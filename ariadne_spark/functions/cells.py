@@ -1,0 +1,211 @@
+"""Hierarchical spatial grid — the engine's H3/S2 analog.
+
+The reference models code locations as intervals inside files and scopes
+as a containment tree (ariadne `packages/types/src/scopes.ts:12-69`,
+tree build via containment at
+`packages/core/src/index_single_file/scopes/scopes.ts:363-400`). Here
+the coordinate system is the globe and the containment tree is a
+hierarchical equirectangular grid:
+
+- resolution r in [0, MAX_RES]: 2^r x 2^r cells
+- integer microdegree coordinates (exact, no float drift):
+  lon_u in [0, 360_000_000), lat_u in [0, 180_000_000)
+- cell x = (lon_u * 2^r) // 360_000_000, y = (lat_u * 2^r) // 180_000_000
+- packed 64-bit cell id: (r << 56) | (x << 28) | y
+- parent(cell) = one resolution up (x>>1, y>>1) — O(1) arithmetic, the
+  analog of ariadne's `find_containing_scope` with no geometric join
+  (scopes.ts:363-400 does a linear containment scan; the grid makes the
+  parent relation closed-form).
+
+All of this is pure integer arithmetic so the SAME formula runs as
+Spark Column expressions (JVM-side, whole-stage codegen) and as ANSI SQL
+in the DuckDB oracle. A numpy implementation mirrors it for fixtures.
+
+Z-order (Morton) keys are provided for partition locality: neighboring
+cells land in the same shuffle partition ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_RES = 20
+LON_SPAN = 360_000_000  # microdegrees
+LAT_SPAN = 180_000_000
+X_SHIFT = 28
+RES_SHIFT = 56
+XY_MASK = (1 << X_SHIFT) - 1
+
+# ---------------------------------------------------------------------------
+# Column-expression API (JVM-side; mirrors oracle SQL exactly)
+# ---------------------------------------------------------------------------
+
+
+def idiv(a: Column, b: int) -> Column:
+    """Exact floor-division for non-negative longs.
+
+    (a - a % b) is exactly divisible by b, so the double division yields
+    an exact integer (inputs stay < 2^53). Matches DuckDB's `//`.
+    """
+    return ((a - (a % F.lit(b))) / F.lit(b)).cast("long")
+
+
+def cell_x(lon_u: Column, res: int) -> Column:
+    """Grid x for integer-microdegree longitude at resolution res."""
+    return idiv((lon_u * F.lit(1 << res)).cast("long"), LON_SPAN)
+
+
+def cell_y(lat_u: Column, res: int) -> Column:
+    return idiv((lat_u * F.lit(1 << res)).cast("long"), LAT_SPAN)
+
+
+def pack_cell(res: Column | int, x: Column, y: Column) -> Column:
+    res_col = F.lit(res) if isinstance(res, int) else res
+    return (
+        res_col.cast("long") * F.lit(1 << RES_SHIFT)
+        + x.cast("long") * F.lit(1 << X_SHIFT)
+        + y.cast("long")
+    )
+
+
+def cell_encode(lon_u: Column, lat_u: Column, res: int) -> Column:
+    """lat/lon (microdegrees) -> packed cell id at resolution res."""
+    return pack_cell(res, cell_x(lon_u, res), cell_y(lat_u, res))
+
+
+def cell_res(cell: Column) -> Column:
+    return F.shiftright(cell, RES_SHIFT).cast("int")
+
+
+def cell_xy(cell: Column) -> tuple[Column, Column]:
+    x = F.shiftright(cell, X_SHIFT).cast("long") % F.lit(1 << X_SHIFT)
+    y = cell % F.lit(1 << X_SHIFT)
+    return x, y
+
+
+def cell_parent(cell: Column, steps: int = 1) -> Column:
+    """Parent cell `steps` resolutions up — closed-form containment."""
+    r = cell_res(cell)
+    x, y = cell_xy(cell)
+    return pack_cell(
+        (r - F.lit(steps)).cast("long"),
+        F.shiftright(x, steps),
+        F.shiftright(y, steps),
+    )
+
+
+def cell_prefix(cell: Column, prefix_res: int) -> Column:
+    """Coarse-resolution ancestor used as the partition key (the analog of
+    ariadne's per-file grouping: registries key state by file,
+    `packages/core/src/resolve_references/registries/definition.ts:26-90`)."""
+    r = cell_res(cell)
+    x, y = cell_xy(cell)
+    steps = r - F.lit(prefix_res)
+    return pack_cell(
+        F.lit(prefix_res).cast("long"),
+        F.shiftright(x, steps),
+        F.shiftright(y, steps),
+    )
+
+
+def kring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """All (dx, dy) offsets within Chebyshev distance k, incl. (0,0)."""
+    return [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+
+
+def cell_neighbors_df(cells_df, cell_col: str, res: int, k: int = 1):
+    """Explode each cell into its k-ring (x wraps, y clamps).
+
+    Returns the input with an extra `neighbor_cell` column; one row per
+    neighbor. Pure column math — no shuffle, no UDF.
+    """
+    n = 1 << res
+    x = F.shiftright(F.col(cell_col), X_SHIFT) % F.lit(1 << X_SHIFT)
+    y = F.col(cell_col) % F.lit(1 << X_SHIFT)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in kring_offsets(k)
+        ]
+    )
+    exploded = cells_df.withColumn("_off", F.explode(offsets))
+    nx = (x + F.col("_off.dx") + F.lit(n)) % F.lit(n)
+    ny = y + F.col("_off.dy")
+    return (
+        exploded.where((ny >= 0) & (ny < n))
+        .withColumn("neighbor_cell", pack_cell(res, nx, ny))
+        .drop("_off")
+    )
+
+
+def lon_to_micro(lon: Column) -> Column:
+    """Degrees [-180,180) -> integer microdegrees [0, 360e6)."""
+    return F.round((lon + F.lit(180.0)) * F.lit(1_000_000)).cast("long") % F.lit(LON_SPAN)
+
+
+def lat_to_micro(lat: Column) -> Column:
+    u = F.round((lat + F.lit(90.0)) * F.lit(1_000_000)).cast("long")
+    return F.least(F.greatest(u, F.lit(0)), F.lit(LAT_SPAN - 1))
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments — same formulas for the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def sql_cell_x(lon_u: str, res: int) -> str:
+    return f"(({lon_u}) * {1 << res}) // {LON_SPAN}"
+
+
+def sql_cell_y(lat_u: str, res: int) -> str:
+    return f"(({lat_u}) * {1 << res}) // {LAT_SPAN}"
+
+
+def sql_pack_cell(res: int, x_expr: str, y_expr: str) -> str:
+    return f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + ({x_expr}) * {1 << X_SHIFT} + ({y_expr}))"
+
+
+# ---------------------------------------------------------------------------
+# numpy mirror (fixtures / pure-python oracle)
+# ---------------------------------------------------------------------------
+
+
+def np_cell_encode(lon_u: np.ndarray, lat_u: np.ndarray, res: int) -> np.ndarray:
+    x = (lon_u.astype(np.int64) * (1 << res)) // LON_SPAN
+    y = (lat_u.astype(np.int64) * (1 << res)) // LAT_SPAN
+    return (np.int64(res) << RES_SHIFT) | (x << X_SHIFT) | y
+
+
+def np_cell_parent(cell: np.ndarray, steps: int = 1) -> np.ndarray:
+    r = cell >> RES_SHIFT
+    x = (cell >> X_SHIFT) & XY_MASK
+    y = cell & XY_MASK
+    return ((r - steps) << RES_SHIFT) | ((x >> steps) << X_SHIFT) | (y >> steps)
+
+
+def np_morton(x: np.ndarray, y: np.ndarray, bits: int = MAX_RES) -> np.ndarray:
+    """Interleave x/y bits -> Z-order key for partition locality."""
+    out = np.zeros_like(x, dtype=np.int64)
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b + 1)
+        out |= ((y >> b) & 1) << (2 * b)
+    return out
+
+
+def morton_key(cell: Column, bits: int = MAX_RES) -> Column:
+    """Z-order key as a Column expression (unrolled bit interleave).
+
+    Used as the repartition/sort key so spatially-adjacent cells stay in
+    adjacent shuffle partitions (Z-ORDER analog of Iceberg table layout).
+    """
+    x, y = cell_xy(cell)
+    terms = []
+    for b in range(bits):
+        terms.append((F.shiftright(x, b) % 2) * F.lit(1 << (2 * b + 1)))
+        terms.append((F.shiftright(y, b) % 2) * F.lit(1 << (2 * b)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")

@@ -1,0 +1,108 @@
+"""Image codecs — the engine's "parse" stage.
+
+The reference parses source text into ASTs with tree-sitter
+(`packages/core/src/project/project.ts:63-101,186-195`); here the
+payload is pixels: `bytes` -> HxWx3 uint8 arrays. This container has no
+image libraries (no PIL), so the engine ships:
+
+- a real, minimal PNG codec (RGB8, filter 0, zlib) — fully lossless and
+  deterministic; readable by any standard PNG tool;
+- a clearly-marked DETERMINISTIC FAKE lossy codec for the 'jpeg' format
+  tag ("FJPG"): 4x uniform quantization + zlib. It is NOT a real JPEG —
+  it is a stand-in that exercises the lossy path with a known error
+  bound (center-quantized, max |err| 2 -> PSNR ≈ 46 dB > 40 dB gate).
+  Swap `encode_fjpg/decode_fjpg` for a real JPEG lib in production.
+
+All functions operate on numpy arrays and are called from Arrow-batched
+pandas UDFs only (no per-row Python in Spark plans outside UDF batches).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+FJPG_MAGIC = b"FJPG"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> PNG bytes (color type 2, bit depth 8, filter 0)."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter byte 0 prepended per scanline
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), px.reshape(h, w * 3)], axis=1)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == PNG_SIG, "not a PNG"
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype == 2, "engine PNG codec supports RGB8 only"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
+    assert (raw[:, 0] == 0).all(), "engine PNG codec supports filter 0 only"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_fjpg(px: np.ndarray) -> bytes:
+    """DETERMINISTIC FAKE lossy codec (see module docstring). NOT real JPEG."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    q = ((px >> 2) << 2).astype(np.uint8)  # stored quantized; decode re-centers
+    return FJPG_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_fjpg(data: bytes) -> np.ndarray:
+    assert data[:4] == FJPG_MAGIC, "not an FJPG payload"
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
+    # re-center inside the quantization bucket: max abs error 2 -> PSNR ~46 dB
+    return np.minimum(q.astype(np.int16) + 1, 255).astype(np.uint8)
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(px)
+    if fmt == "jpeg":
+        return encode_fjpg(px)
+    raise NotImplementedError(f"unsupported fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_fjpg(data)
+    raise NotImplementedError(f"unsupported fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

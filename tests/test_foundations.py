@@ -1,0 +1,158 @@
+"""Unit tests for grid math, codecs, phash, geometry, synth generators.
+
+Mirrors the reference's exact-assertion discipline
+(`/root/reference/CLAUDE.md:112-117`: exact equality, no weak checks).
+"""
+
+import numpy as np
+import pytest
+
+from ariadne_spark.functions import cells, codecs, geometry, phash
+from ariadne_spark.synth import images as synth_images
+from ariadne_spark.synth import regions as synth_regions
+
+
+class TestCells:
+    def test_encode_known_values(self):
+        # lon_u=180e6 (0 deg), lat_u=90e6 (0 deg) at res 1 -> x=1, y=1
+        lon = np.array([180_000_000], dtype=np.int64)
+        lat = np.array([90_000_000], dtype=np.int64)
+        cell = cells.np_cell_encode(lon, lat, 1)
+        assert cell[0] == (1 << 56) | (1 << 28) | 1
+
+    def test_parent_is_containment(self):
+        lon = np.array([123_456_789, 0, 359_999_999], dtype=np.int64)
+        lat = np.array([45_678_901, 0, 179_999_999], dtype=np.int64)
+        child = cells.np_cell_encode(lon, lat, 10)
+        parent = cells.np_cell_parent(child)
+        direct = cells.np_cell_encode(lon, lat, 9)
+        np.testing.assert_array_equal(parent, direct)
+
+    def test_parent_multi_step(self):
+        lon = np.array([200_000_000], dtype=np.int64)
+        lat = np.array([100_000_000], dtype=np.int64)
+        c10 = cells.np_cell_encode(lon, lat, 10)
+        c6 = cells.np_cell_encode(lon, lat, 6)
+        np.testing.assert_array_equal(cells.np_cell_parent(c10, 4), c6)
+
+    def test_morton_locality(self):
+        x = np.array([0, 1, 0, 1], dtype=np.int64)
+        y = np.array([0, 0, 1, 1], dtype=np.int64)
+        np.testing.assert_array_equal(cells.np_morton(x, y, 2), [0, 2, 1, 3])
+
+
+class TestCodecs:
+    def test_png_roundtrip_exact(self):
+        px = synth_images.render_pixels(7, 32, 16)
+        data = codecs.encode_png(px)
+        assert data[:8] == codecs.PNG_SIG
+        np.testing.assert_array_equal(codecs.decode_png(data), px)
+
+    def test_fjpg_lossy_psnr_above_40(self):
+        px = synth_images.render_pixels(11, 64, 64)
+        out = codecs.decode_fjpg(codecs.encode_fjpg(px))
+        assert codecs.psnr(px, out) >= 40.0
+
+    def test_psnr_identical_is_inf(self):
+        px = synth_images.render_pixels(3, 16, 16)
+        assert codecs.psnr(px, px) == float("inf")
+
+
+class TestPhash:
+    def test_deterministic_and_locality(self):
+        px = synth_images.render_pixels(5, 64, 64)
+        h1 = phash.np_phash_from_pixels(px)
+        h2 = phash.np_phash_from_pixels(px)
+        assert h1 == h2
+        # small perturbation -> small hamming distance
+        px2 = px.copy()
+        px2[0, 0] = [255, 255, 255]
+        h3 = phash.np_phash_from_pixels(px2)
+        assert bin((h1 ^ h3) & (2**64 - 1)).count("1") <= 8
+        # a very different image -> larger distance
+        px3 = 255 - px
+        h4 = phash.np_phash_from_pixels(px3)
+        assert bin((h1 ^ h4) & (2**64 - 1)).count("1") > 8
+
+    def test_phash_from_lossy_bytes_close(self):
+        px = synth_images.render_pixels(9, 32, 32)
+        h_exact = phash.np_phash_from_pixels(px)
+        h_lossy = phash.np_phash_from_bytes(codecs.encode_fjpg(px), "jpeg")
+        assert bin((h_exact ^ h_lossy) & (2**64 - 1)).count("1") <= 6
+
+
+class TestGeometry:
+    def test_wkt_roundtrip(self):
+        poly = geometry.regular_polygon(100.0, 200.0, 50.0, 6, 0.3)
+        back = geometry.parse_wkt(geometry.to_wkt(poly))
+        np.testing.assert_allclose(back, poly, atol=0.1)
+
+    def test_pip_square(self):
+        square = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+        px = np.array([5.0, 15.0, -1.0, 9.99])
+        py = np.array([5.0, 5.0, 5.0, 9.99])
+        np.testing.assert_array_equal(
+            geometry.points_in_polygon(px, py, square), [True, False, False, True]
+        )
+
+    def test_pip_hexagon_center_and_outside(self):
+        hexagon = geometry.regular_polygon(0.0, 0.0, 10.0, 6, 0.0)
+        inside = geometry.points_in_polygon(np.array([0.0]), np.array([0.0]), hexagon)
+        outside = geometry.points_in_polygon(np.array([11.0]), np.array([0.0]), hexagon)
+        assert inside[0] and not outside[0]
+
+
+class TestSynth:
+    def test_images_prefix_stable(self):
+        a = synth_images.generate_batch(0, 20).to_pydict()
+        b = synth_images.generate_batch(10, 10).to_pydict()
+        assert a["image_id"][10:] == b["image_id"]
+        assert a["phash"][10:] == b["phash"]
+        assert a["caption"][10:] == b["caption"]
+        assert a["bytes"][10:] == b["bytes"]
+
+    def test_captions_unique(self):
+        caps = synth_images.generate_batch(0, 500).to_pydict()["caption"]
+        assert len(set(caps)) == 500
+
+    def test_image_bytes_decode_and_skew(self):
+        t = synth_images.generate_batch(0, 300).to_pydict()
+        px = codecs.decode_image(t["bytes"][0], t["fmt"][0])
+        assert px.shape == (t["h"][0], t["w"][0], 3)
+        # hotspot mixture: most points near a center (skew exists)
+        lon = np.array(t["lon_u"])
+        near = 0
+        for clon, clat in synth_images.CENTERS:
+            cu = (clon + 180) * 1e6
+            near += int(np.sum(np.abs(lon - cu) < 600_000))
+        assert near > 150  # ~80% of 300 in hotspots
+
+    def test_regions_tree_strict_containment(self):
+        rows = synth_regions.generate_regions()
+        by_id = {r["region_id"]: r for r in rows}
+        assert sum(1 for r in rows if r["parent_region_id"] is None) == 4
+        for r in rows:
+            pid = r["parent_region_id"]
+            if pid is None:
+                continue
+            assert by_id[pid]["depth"] == r["depth"] - 1
+            child = geometry.parse_wkt(r["wkt"])
+            parent = geometry.parse_wkt(by_id[pid]["wkt"])
+            ok = geometry.points_in_polygon(child[:, 0], child[:, 1], parent)
+            assert ok.all(), f"{r['region_id']} leaks outside {pid}"
+
+    def test_sibling_disjoint_except_error_fixture(self):
+        rows = synth_regions.generate_regions(with_overlap_error=True)
+        ids = [r["region_id"] for r in rows]
+        assert "reg_overlap_0" in ids and "reg_overlap_1" in ids
+        a = geometry.parse_wkt([r for r in rows if r["region_id"] == "reg_overlap_0"][0]["wkt"])
+        b = geometry.parse_wkt([r for r in rows if r["region_id"] == "reg_overlap_1"][0]["wkt"])
+        # they do overlap: a's centroid is inside b or vice versa
+        ca = a.mean(axis=0)
+        assert geometry.points_in_polygon(
+            np.array([ca[0]]), np.array([ca[1]]), b
+        )[0]
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
