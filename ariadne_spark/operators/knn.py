@@ -1,0 +1,133 @@
+"""kNN phash linking within cell neighborhoods — the call-edge analog.
+
+The reference resolves call references to definitions through name +
+location matching, possibly to MULTIPLE candidates with a confidence
+grade (`packages/core/src/resolve_references/call_resolver.ts:391-463`;
+`Resolution{confidence: certain|probable|possible}` at
+`packages/types/src/symbol_references.ts:270-298`). The spatial analog:
+link each image to its k nearest perceptual neighbors (phash Hamming
+distance) among images in its cell neighborhood.
+
+Physical plan (explicit; north rule "shuffle plans chosen per join
+cardinality"):
+
+1. Candidate generation — self-join on (band_id, band_value,
+   neighbor_cell): LSH banding over the 64-bit hash (d < n_bands
+   guarantees a shared band — pigeonhole) intersected with k-ring cell
+   locality. This is the SORT-MERGE side: at 10^12 rows the candidate
+   join shuffles on a composite key whose cardinality (n_bands x 2^16 x
+   n_cells) is high enough to spread load; dense-cell skew is handled
+   by optional salting (see `salt` param) + AQE skew-join as backstop.
+2. Exact filter — `bit_count(xor)) <= max_hamming`, JVM built-in.
+3. Dedup — a pair found via several bands collapses via groupBy min.
+4. Top-k — `row_number` over (src) ordered by (distance, dst_id):
+   deterministic tie-break, exactly the fixture contract
+   (FIXTURES.md T3 expected_knn).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cells
+from ..functions.phash import hamming, phash_band
+
+DEFAULT_RES = 5
+
+
+def knn_edges(
+    images: DataFrame,
+    k: int = 5,
+    max_hamming: int = 16,
+    res: int = DEFAULT_RES,
+    kring: int = 1,
+    n_bands: int = 4,
+    salt: int = 1,
+) -> DataFrame:
+    """-> (src_image_id, dst_image_id, hamming, rank, confidence).
+
+    `salt` > 1 splits each candidate bucket into `salt` sub-buckets by a
+    hash of the *probe* side and replicates the build side, bounding the
+    largest shuffle partition for hotspot cells (urban skew). salt=1 is
+    a plain sort-merge self-join.
+    """
+    base = images.select(
+        F.col("image_id"),
+        F.col("phash"),
+        cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res).alias("cell"),
+    )
+
+    bands = F.array(*[phash_band(F.col("phash"), b, n_bands) for b in range(n_bands)])
+    banded = base.select(
+        "image_id",
+        "phash",
+        "cell",
+        F.posexplode(bands).alias("band_id", "band_val"),
+    )
+
+    # probe side: each image under its own cell only
+    # build side: each image replicated to its k-ring so cross-cell
+    # neighbors are found exactly once (probe.cell == build.neighbor_cell)
+    build = cells.cell_neighbors_df(banded, "cell", res, kring).select(
+        F.col("image_id").alias("dst_image_id"),
+        F.col("phash").alias("dst_phash"),
+        F.col("band_id"),
+        F.col("band_val"),
+        F.col("neighbor_cell").alias("join_cell"),
+    )
+    probe = banded.select(
+        F.col("image_id").alias("src_image_id"),
+        F.col("phash").alias("src_phash"),
+        "band_id",
+        "band_val",
+        F.col("cell").alias("join_cell"),
+    )
+
+    if salt > 1:
+        probe = probe.withColumn("_salt", F.pmod(F.xxhash64("src_image_id"), F.lit(salt)))
+        build = build.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        join_keys = ["band_id", "band_val", "join_cell", "_salt"]
+    else:
+        join_keys = ["band_id", "band_val", "join_cell"]
+
+    pairs = (
+        probe.join(build, on=join_keys, how="inner")
+        .where(F.col("src_image_id") != F.col("dst_image_id"))
+        .select(
+            "src_image_id",
+            "dst_image_id",
+            hamming(F.col("src_phash"), F.col("dst_phash")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        # same pair can surface via multiple bands: dedup (map-side
+        # partial agg makes this cheap — key is the pair itself)
+        .groupBy("src_image_id", "dst_image_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+    w = Window.partitionBy("src_image_id").orderBy("hamming", "dst_image_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn(
+            "confidence",
+            F.when(F.col("hamming") == 0, F.lit("certain"))
+            .when(F.col("hamming") <= max_hamming // 2, F.lit("probable"))
+            .otherwise(F.lit("possible")),
+        )
+    )
+
+
+def orphan_images(images: DataFrame, edges: DataFrame) -> DataFrame:
+    """Images never linked as a kNN destination — the entry-point analog.
+
+    Mirrors `detect_entry_points`: callables minus all referenced
+    symbols via left-anti join
+    (`packages/core/src/trace_call_graph/trace_call_graph.ts:102-136`).
+    """
+    referenced = edges.select(F.col("dst_image_id").alias("image_id")).distinct()
+    return images.select("image_id").join(referenced, "image_id", "left_anti")

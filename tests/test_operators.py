@@ -1,0 +1,201 @@
+"""Operator tests vs pure-python oracles (exact row-set equality).
+
+The reference asserts full golden indexes with exact toEqual
+(`/root/reference/CLAUDE.md:112-117`); here every operator result is
+compared against an independently-computed numpy/python oracle on the
+same deterministic fixture tables.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.functions import cells
+from ariadne_spark.functions.geometry import parse_wkt, points_in_polygon
+from ariadne_spark.operators.knn import knn_edges, orphan_images
+from ariadne_spark.operators.pip import pip_join
+from ariadne_spark.operators.tiles import build_pyramid, rasterize_tiles, roundtrip_check
+from ariadne_spark.synth.regions import generate_regions
+
+from conftest import popcount64
+
+
+def oracle_pip(images_np, regions, deepest_only=True):
+    """Pure-python PIP oracle: every (image, region) containment row."""
+    px = images_np["lon_u"].astype(np.float64)
+    py = images_np["lat_u"].astype(np.float64)
+    ids = images_np["image_id"]
+    rows = []
+    for r in regions:
+        poly = parse_wkt(r["wkt"])
+        inside = points_in_polygon(px, py, poly)
+        for i in np.nonzero(inside)[0]:
+            rows.append((ids[i], r["region_id"], r["depth"]))
+    if not deepest_only:
+        return set(rows)
+    best = {}
+    for img, rid, depth in rows:
+        cur = best.get(img)
+        # deepest wins; tie-break region_id asc (engine contract)
+        key = (-depth, rid)
+        if cur is None or key < cur[0]:
+            best[img] = (key, rid, depth)
+    return {(img, v[1], v[2]) for img, v in best.items()}
+
+
+class TestPipJoin:
+    def test_full_chain_matches_oracle(self, spark, images_df, images_np, regions):
+        got = {
+            (r.image_id, r.region_id, r.depth)
+            for r in pip_join(images_df, regions, deepest_only=False).collect()
+        }
+        assert got == oracle_pip(images_np, regions, deepest_only=False)
+        assert len(got) > 100  # fixture sanity: hotspots land inside regions
+
+    def test_deepest_wins_matches_oracle(self, spark, images_df, images_np, regions):
+        got = {
+            (r.image_id, r.region_id, r.depth)
+            for r in pip_join(images_df, regions, deepest_only=True).collect()
+        }
+        assert got == oracle_pip(images_np, regions, deepest_only=True)
+
+    def test_overlap_raises_tie_error(self, spark, data_dir):
+        # points planted inside the overlapping pair
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bad = generate_regions(with_overlap_error=True)
+        pts = pa.table(
+            {
+                "image_id": pa.array(["p0", "p1"]),
+                "lon_u": pa.array([10_050_000, 10_060_000], pa.int64()),
+                "lat_u": pa.array([100_000_000, 100_010_000], pa.int64()),
+            }
+        )
+        p = str(data_dir / "overlap_points.parquet")
+        pq.write_table(pts, p)
+        df = pts_df = __import__("pyspark.sql", fromlist=["SparkSession"]).SparkSession.getActiveSession().read.parquet(p)
+        with pytest.raises(Exception, match="ambiguous containment"):
+            pip_join(df, bad, deepest_only=True).collect()
+
+    def test_pip_plan_has_no_shuffle(self, spark, images_df, regions):
+        plan = pip_join(images_df, regions, deepest_only=True)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"PIP must be shuffle-free, got:\n{plan}"
+
+
+def oracle_knn(images_np, k, max_hamming, res, kring, n_bands):
+    """Pure-python banded-kNN oracle (same operator contract)."""
+    n = len(images_np["image_id"])
+    ph = images_np["phash"].astype(np.int64)
+    cell = cells.np_cell_encode(images_np["lon_u"], images_np["lat_u"], res)
+    x = (cell >> cells.X_SHIFT) & cells.XY_MASK
+    y = cell & cells.XY_MASK
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = np.stack(
+        [(ph.astype(np.uint64) >> np.uint64(b * width)).astype(np.int64) & mask for b in range(n_bands)],
+        axis=1,
+    )
+    nside = 1 << res
+    edges = {}
+    # candidate pairs: same band value in some band AND dst in k-ring of src
+    for b in range(n_bands):
+        order = np.argsort(bands[:, b], kind="stable")
+        vals = bands[order, b]
+        starts = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1]])
+        ends = np.r_[starts[1:], len(vals)]
+        for s, e in zip(starts, ends):
+            grp = order[s:e]
+            if len(grp) < 2:
+                continue
+            for i in grp:
+                for j in grp:
+                    if i == j:
+                        continue
+                    dx = (x[j] - x[i]) % nside
+                    if min(dx, nside - dx) > kring or abs(int(y[j] - y[i])) > kring:
+                        continue
+                    d = int(popcount64(np.array([ph[i] ^ ph[j]]))[0])
+                    if d <= max_hamming:
+                        key = (images_np["image_id"][i], images_np["image_id"][j])
+                        edges[key] = min(edges.get(key, 99), d)
+    out = set()
+    by_src = {}
+    for (src, dst), d in edges.items():
+        by_src.setdefault(src, []).append((d, dst))
+    for src, lst in by_src.items():
+        lst.sort()
+        for rank, (d, dst) in enumerate(lst[:k], 1):
+            out.add((src, dst, d, rank))
+    return out
+
+
+class TestKnn:
+    @pytest.mark.parametrize("salt", [1, 4])
+    def test_knn_matches_oracle(self, spark, images_df, images_np, salt):
+        k, mh, res, kr, nb = 3, 16, 5, 1, 4
+        got = {
+            (r.src_image_id, r.dst_image_id, r.hamming, r.rank)
+            for r in knn_edges(images_df, k=k, max_hamming=mh, res=res, kring=kr, n_bands=nb, salt=salt).collect()
+        }
+        exp = oracle_knn(images_np, k, mh, res, kr, nb)
+        assert got == exp
+        assert len(got) > 50  # fixture sanity: hotspot cells produce links
+
+    def test_confidence_grades(self, spark, images_df):
+        rows = knn_edges(images_df, k=3, max_hamming=16).collect()
+        for r in rows:
+            if r.hamming == 0:
+                assert r.confidence == "certain"
+            elif r.hamming <= 8:
+                assert r.confidence == "probable"
+            else:
+                assert r.confidence == "possible"
+
+    def test_orphans_are_never_destinations(self, spark, images_df):
+        edges = knn_edges(images_df, k=3, max_hamming=16)
+        orphans = {r.image_id for r in orphan_images(images_df, edges).collect()}
+        dsts = {r.dst_image_id for r in edges.select("dst_image_id").distinct().collect()}
+        assert orphans.isdisjoint(dsts)
+        assert len(orphans) + len(dsts) == images_df.count()
+
+
+class TestTiles:
+    def test_pyramid_levels_consistent(self, spark, images_df):
+        pyr = build_pyramid(images_df, max_z=8, min_z=0).collect()
+        total = images_df.count()
+        by_z = {}
+        for r in pyr:
+            by_z.setdefault(r.z, 0)
+            by_z[r.z] += r.n_images
+        # every level partitions the full image set
+        assert all(v == total for v in by_z.values()), by_z
+        # z=0 is a single world tile
+        z0 = [r for r in pyr if r.z == 0]
+        assert len(z0) <= 2 and sum(r.n_images for r in z0) == total
+
+    def test_pyramid_matches_direct_assignment(self, spark, images_df, images_np):
+        z = 6
+        pyr = {(r.tx, r.ty): r.n_images for r in build_pyramid(images_df, max_z=8, min_z=6).collect() if r.z == z}
+        tx = (images_np["lon_u"].astype(np.int64) * (1 << z)) // cells.LON_SPAN
+        ty = (images_np["lat_u"].astype(np.int64) * (1 << z)) // cells.LAT_SPAN
+        exp = {}
+        for a, b in zip(tx, ty):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+        assert pyr == exp
+
+    @pytest.mark.parametrize("fmt", ["png", "jpeg"])
+    def test_rasterize_roundtrip(self, spark, images_df, fmt):
+        z = 4
+        tiles = rasterize_tiles(images_df, z, fmt=fmt)
+        chk = roundtrip_check(tiles, images_df, z, fmt=fmt).collect()
+        assert len(chk) > 0
+        for r in chk:
+            assert r.bins_match, f"tile ({r.tx},{r.ty}) bins diverged"
+            assert r.psnr == float("inf")
+
+    def test_tile_counts_equal_rasterized_counts(self, spark, images_df):
+        z = 5
+        a = {(r.tx, r.ty): r.n_images for r in rasterize_tiles(images_df, z).collect()}
+        b = {(r.tx, r.ty): r.n_images for r in build_pyramid(images_df, max_z=z, min_z=z).collect()}
+        assert a == b
