@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` is an operator from SURVEY.md §2 expressed
+Spark-first; ``oracle_sql()[name]`` is its ANSI-SQL twin for the DuckDB
+oracle. Exact-parity rules used throughout:
+
+- integers everywhere possible: monetary sums as cents via
+  ``CAST(round(x*100) AS BIGINT)`` summed exactly; ratios as scaled
+  integer division (associative, engine-independent);
+- spatial/phash columns derived from doc_id by LCG integer arithmetic
+  (``ariadne_spark.synth.derive``) — identical formulas in both engines;
+- every computed column aliased identically in both forms;
+- deterministic tie-breaks on id columns in every top-k.
+
+Engine-only operators (polygon PIP, real-phash kNN, rasterization) have
+``queries()`` entries without oracle SQL — the driver records the
+weaker rows-only check for those (they are pytest-verified against
+pure-python oracles in tests/).
 """
 
 from __future__ import annotations
@@ -12,27 +23,991 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ariadne_spark.functions import cells
+from ariadne_spark.synth import derive
+
+# ---------------------------------------------------------------------------
+# shared constants / helpers (both engines)
+# ---------------------------------------------------------------------------
+
+LETTERS = "abcdefghijklmnopqrstuvwxyz"
+GRAM_P = 1_000_003  # 3-gram polynomial hash modulus (prime, < 2^31)
+MINHASH_PARAMS = [(2, 3, 5), (7, 11, 13), (17, 19, 23), (29, 31, 37)]
+SIM_BITS = 8
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact monetary sum: double -> integer cents before aggregation."""
+    return F.round(col * 100).cast("long")
+
+
+def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        derive.lon_u_col(d).alias("lon_u"),
+        derive.lat_u_col(d).alias("lat_u"),
+        derive.phash_col(d).alias("phash"),
+    )
+
+
+_DOCS_GEO_SQL = (
+    f"SELECT doc_id, {derive.lon_u_sql()} AS lon_u, {derive.lat_u_sql()} AS lat_u, "
+    f"{derive.phash_sql()} AS phash FROM documents"
+)
+
+
+def _gram_hash_col(a: int, b: int, c: int):
+    """3-gram polynomial hashes of `text` as an array Column."""
+    pos = F.sequence(F.lit(1), F.length("text") - 2)
+    return F.transform(
+        pos,
+        lambda i: (
+            F.lit(a) * F.ascii(F.substr(F.col("text"), i, F.lit(1)))
+            + F.lit(b) * F.ascii(F.substr(F.col("text"), i + 1, F.lit(1)))
+            + F.lit(c) * F.ascii(F.substr(F.col("text"), i + 2, F.lit(1)))
+        )
+        % F.lit(GRAM_P),
+    )
+
+
+def _gram_hash_sql(a: int, b: int, c: int) -> str:
+    return (
+        f"list_transform(range(1, length(text) - 1), i -> "
+        f"(({a} * ascii(substring(text, i, 1)) + {b} * ascii(substring(text, i + 1, 1)) "
+        f"+ {c} * ascii(substring(text, i + 2, 1))) % {GRAM_P}))"
+    )
+
+
+def _letter_mask_col():
+    """26-bit set-of-letters mask of `text` (for exact Jaccard)."""
+    expr = F.lit(0).cast("long")
+    for i, ch in enumerate(LETTERS):
+        expr = expr + F.when(F.col("text").contains(ch), F.lit(1 << i)).otherwise(F.lit(0))
+    return expr
+
+
+def _letter_mask_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN contains(text, '{ch}') THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(LETTERS)
+    )
+    return f"({terms})"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship spatial pipeline at sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived geo points -> cell index -> bbox PIP (deepest
+    wins) -> tile rollup. Returns per-tile counts at z=5 joined with the
+    deepest-region histogram."""
+    sf_dir = "/root/testdata/sf0.001"
+    q = queries()
+    tiles = q["q15_tile_pyramid"](spark, sf_dir)
+    return tiles
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # S1/P1/P3 — scan with pushed filter + pruned projection
+    def q01(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            )
+        )
+
+    Q["q01_scan_prune"] = q01
+
+    # A1/A3 — TPC-H Q1-style wide aggregation
+    def q02(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+                F.sum(
+                    F.round(
+                        _cents(F.col("l_extendedprice")) * (1000 - F.round(F.col("l_discount") * 1000).cast("long"))
+                    ).cast("long")
+                ).alias("sum_disc_milli"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    Q["q02_tpch_q1"] = q02
+
+    # J8-style broadcast dim join
+    def q03(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+            )
+        )
+
+    Q["q03_broadcast_dim_join"] = q03
+
+    # J6 — multi-hop join chain (refs -> symbols -> types -> members analog)
+    def q04(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            )
+        )
+
+    Q["q04_multihop_chain"] = q04
+
+    # J14/U3 — left-anti entry points (customers with no orders)
+    def q05(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment")
+        )
+
+    Q["q05_orphan_customers"] = q05
+
+    # J10 — semi join
+    def q06(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_active"))
+        )
+
+    Q["q06_active_customers_semi"] = q06
+
+    # W2/O2 — top-1 per group with deterministic tie-break
+    def q07(spark, sf):
+        s = _t(spark, sf, "supplier")
+        w = Window.partitionBy("s_nationkey").orderBy(
+            F.desc("s_acctbal"), F.col("s_suppkey")
+        )
+        return (
+            s.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(
+                "s_nationkey",
+                "s_suppkey",
+                _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+            )
+        )
+
+    Q["q07_top_supplier_per_nation"] = q07
+
+    # W4 — per-group rank window, keep top 3
+    def q08(spark, sf):
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.col("o_orderkey")
+        )
+        return (
+            o.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "rank")
+        )
+
+    Q["q08_order_rank_window"] = q08
+
+    # J3 — equi + bounded-range join (ship within 30 days of order)
+    def q09(spark, sf):
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        d = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .where((d >= 0) & (d <= 30))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_fast_items"))
+        )
+
+    Q["q09_equi_range_join"] = q09
+
+    # J3 as-of — previous event of same user, delta seconds
+    def q10(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        delta = (
+            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long")
+        return (
+            e.withColumn("delta_s", delta)
+            .where(F.col("delta_s").isNotNull() & (F.col("delta_s") <= 3600))
+            .select("event_id", "user_id", "delta_s")
+        )
+
+    Q["q10_asof_prev_event"] = q10
+
+    # F10/S4 — cell encode histogram at res 8
+    def q11(spark, sf):
+        g = _docs_geo(spark, sf)
+        return (
+            g.select(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_points"))
+        )
+
+    Q["q11_cells_histogram"] = q11
+
+    # J2/A7 — closed-form parent rollup res8 -> res4
+    def q12(spark, sf):
+        g = _docs_geo(spark, sf)
+        c8 = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8)
+        return (
+            g.select(cells.cell_parent(c8, 4).alias("cell4"))
+            .groupBy("cell4")
+            .agg(F.count("*").alias("n_points"))
+        )
+
+    Q["q12_cell_rollup"] = q12
+
+    # J1/W3 — bbox PIP with deepest-region-wins
+    def q13(spark, sf):
+        g = _docs_geo(spark, sf)
+        n = _t(spark, sf, "nation")
+        box = derive.region_box_cols(F.col("n_nationkey"))
+        regions = n.select(
+            "n_nationkey",
+            box["depth"].alias("depth"),
+            box["xmin"].alias("xmin"),
+            box["xmax"].alias("xmax"),
+            box["ymin"].alias("ymin"),
+            box["ymax"].alias("ymax"),
+        )
+        hit = g.join(
+            F.broadcast(regions),
+            (F.col("lon_u") >= F.col("xmin"))
+            & (F.col("lon_u") <= F.col("xmax"))
+            & (F.col("lat_u") >= F.col("ymin"))
+            & (F.col("lat_u") <= F.col("ymax")),
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("depth"), F.col("n_nationkey"))
+        return (
+            hit.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("doc_id", F.col("n_nationkey").alias("region_key"), "depth")
+        )
+
+    Q["q13_pip_bbox_deepest"] = q13
+
+    # J11/W4 — banded phash kNN, top-3, deterministic tie-break
+    def q14(spark, sf):
+        g = _docs_geo(spark, sf).select(
+            "doc_id", "phash", F.shiftright(F.col("phash"), 46).alias("band")
+        )
+        a = g.select(
+            F.col("doc_id").alias("src"),
+            F.col("phash").alias("p1"),
+            "band",
+        )
+        b = g.select(
+            F.col("doc_id").alias("dst"),
+            F.col("phash").alias("p2"),
+            "band",
+        )
+        pairs = (
+            a.join(b, "band")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= 16)
+        )
+        w = Window.partitionBy("src").orderBy("hamming", "dst")
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+        )
+
+    Q["q14_knn_phash_topk"] = q14
+
+    # A7 — two-level tile pyramid (z6 + rollup to z3)
+    def q15(spark, sf):
+        g = _docs_geo(spark, sf)
+        tx6 = cells.idiv((F.col("lon_u") * F.lit(1 << 6)).cast("long"), cells.LON_SPAN)
+        ty6 = cells.idiv((F.col("lat_u") * F.lit(1 << 6)).cast("long"), cells.LAT_SPAN)
+        z6 = (
+            g.select(tx6.alias("tx"), ty6.alias("ty"))
+            .groupBy("tx", "ty")
+            .agg(F.count("*").alias("n_points"))
+            .select(F.lit(6).alias("z"), "tx", "ty", "n_points")
+        )
+        z3 = (
+            z6.select(
+                F.lit(3).alias("z"),
+                F.shiftright(F.col("tx"), 3).alias("tx"),
+                F.shiftright(F.col("ty"), 3).alias("ty"),
+                "n_points",
+            )
+            .groupBy("z", "tx", "ty")
+            .agg(F.sum("n_points").alias("n_points"))
+        )
+        return z6.unionByName(z3)
+
+    Q["q15_tile_pyramid"] = q15
+
+    # J14 — orphans of the kNN graph (docs never linked as dst)
+    def q16(spark, sf):
+        edges = q14(spark, sf)
+        docs = _t(spark, sf, "documents").select("doc_id")
+        dsts = edges.select(F.col("dst").alias("doc_id")).distinct()
+        return docs.join(dsts, "doc_id", "left_anti")
+
+    Q["q16_knn_orphans"] = q16
+
+    # dedup (exact): canonical doc per (lang, size bucket)
+    def q17(spark, sf):
+        d = _t(spark, sf, "documents")
+        bucket = cells.idiv(F.col("n_chars").cast("long"), 50)
+        return (
+            d.select("lang", bucket.alias("size_bucket"), "doc_id")
+            .groupBy("lang", "size_bucket")
+            .agg(
+                F.min("doc_id").alias("canonical_doc"),
+                F.count("*").alias("group_size"),
+            )
+        )
+
+    Q["q17_dedup_exact"] = q17
+
+    # dedup (near, set-Jaccard): letter-set jaccard >= 0.9 within lang
+    def q18(spark, sf):
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "lang", _letter_mask_col().alias("mask")
+        )
+        a = d.select(F.col("doc_id").alias("a"), F.col("lang"), F.col("mask").alias("ma"))
+        b = d.select(F.col("doc_id").alias("b"), F.col("lang"), F.col("mask").alias("mb"))
+        inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+        union = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
+        # floor division in BOTH engines (DuckDB CAST(double) would round)
+        j1000 = F.floor((inter * F.lit(1000)) / union).cast("long")
+        return (
+            a.join(b, "lang")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", j1000.alias("j1000"))
+            .where(F.col("j1000") >= 900)
+        )
+
+    Q["q18_jaccard_neardup"] = q18
+
+    # dedup (MinHash): 4-hash signature over 3-gram polynomial hashes
+    def q19(spark, sf):
+        d = _t(spark, sf, "documents")
+        sig = [
+            F.array_min(_gram_hash_col(*p)).alias(f"mh{i}")
+            for i, p in enumerate(MINHASH_PARAMS)
+        ]
+        return d.select("doc_id", *sig)
+
+    Q["q19_minhash_signatures"] = q19
+
+    # dedup (SimHash): 8-bit majority simhash over 3-gram hashes
+    def q20(spark, sf):
+        d = _t(spark, sf, "documents")
+        grams = _gram_hash_col(*MINHASH_PARAMS[0])
+        bits = []
+        for bpos in range(SIM_BITS):
+            s = F.aggregate(
+                grams,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.shiftright(h, bpos) % 2) * 2
+                - 1,
+            )
+            bits.append(F.when(s >= 0, F.lit(1 << bpos)).otherwise(F.lit(0)))
+        sim = bits[0]
+        for bb in bits[1:]:
+            sim = sim + bb
+        return d.select("doc_id", sim.cast("long").alias("simhash"))
+
+    Q["q20_simhash"] = q20
+
+    # similarity — brute-force top-3 by quantized dot product (cosine:
+    # embeddings are unit-norm) with deterministic tie-break
+    def q21(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+        base = e.select("vec_id", qv.alias("q"))
+        a = base.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+        b = base.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+        dot = F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        pairs = (
+            a.crossJoin(b)
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", dot.alias("dot_q"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("dot_q"), F.col("dst"))
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+        )
+
+    Q["q21_embedding_topk"] = q21
+
+    # text — token counts per lang (whitespace tokens, exact arithmetic)
+    def q22(spark, sf):
+        d = _t(spark, sf, "documents")
+        words = (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long")
+        return (
+            d.select("lang", words.alias("words"), F.col("n_chars").cast("long").alias("nc"))
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("words").alias("sum_words"),
+                F.sum("nc").alias("sum_chars"),
+            )
+        )
+
+    Q["q22_token_stats"] = q22
+
+    # text — quality score (integer-scaled): word count, avg word length,
+    # stopword share of 'the'
+    def q23(spark, sf):
+        d = _t(spark, sf, "documents")
+        text = F.col("text")
+        words = (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1).cast(
+            "long"
+        )
+        the_count = cells.idiv(
+            (F.length(text) - F.length(F.replace(text, F.lit("the"), F.lit("")))).cast("long"),
+            3,
+        )
+        score = (
+            F.when(words >= 20, F.lit(40)).otherwise(F.lit(0))
+            + F.when((the_count * 100) <= words * 20, F.lit(30)).otherwise(F.lit(0))
+            + F.when(F.col("n_chars") >= 200, F.lit(30)).otherwise(F.lit(0))
+        ).cast("long")
+        return d.select("doc_id", words.alias("words"), the_count.alias("the_count"), score.alias("quality"))
+
+    Q["q23_quality_score"] = q23
+
+    # text — marker-token language-id heuristic + confusion counts
+    def q24(spark, sf):
+        d = _t(spark, sf, "documents")
+        text = F.col("text")
+
+        def cnt(tok):
+            return cells.idiv(
+                (F.length(text) - F.length(F.replace(text, F.lit(tok), F.lit("")))).cast(
+                    "long"
+                ),
+                len(tok),
+            )
+
+        pred = (
+            F.when(cnt(" the ") >= 2, F.lit("en"))
+            .when(cnt(" a ") >= 2, F.lit("en_lite"))
+            .otherwise(F.lit("unknown"))
+        )
+        return (
+            d.select("lang", pred.alias("pred"))
+            .groupBy("lang", "pred")
+            .agg(F.count("*").alias("n"))
+        )
+
+    Q["q24_langid_heuristic"] = q24
+
+    # text — rolling polynomial fingerprint of the first 16 chars
+    def q25(spark, sf):
+        d = _t(spark, sf, "documents")
+        fp = F.lit(0).cast("long")
+        for k in range(1, 17):
+            fp = (fp * F.lit(31) + F.ascii(F.substring(F.col("text"), k, 1))) % F.lit(
+                derive.M31
+            )
+        return d.select("doc_id", fp.alias("fingerprint"))
+
+    Q["q25_fingerprint"] = q25
+
+    # U2/U4 — set difference over distinct key sets
+    def q26(spark, sf):
+        e = _t(spark, sf, "events")
+        err = e.where(F.col("event_type") == "error").select("user_id").distinct()
+        pur = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+        return err.join(pur, "user_id", "left_anti")
+
+    Q["q26_error_only_users"] = q26
+
+    # U1 — union of per-kind aggregates (unionByName)
+    def q27(spark, sf):
+        e = _t(spark, sf, "events")
+        views = (
+            e.where(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .withColumn("kind", F.lit("view"))
+        )
+        clicks = (
+            e.where(F.col("event_type") == "click")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .withColumn("kind", F.lit("click"))
+        )
+        return views.unionByName(clicks)
+
+    Q["q27_union_kinds"] = q27
+
+    # A2 — member-index build: per nation, ordered member roster
+    def q28(spark, sf):
+        c = _t(spark, sf, "customer")
+        return (
+            c.groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.concat_ws("|", F.sort_array(F.collect_list("c_name"))).alias("roster"),
+            )
+        )
+
+    Q["q28_member_index"] = q28
+
+    # A3 — global stats
+    def q29(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            c.agg(F.count("*").alias("n_customers"))
+            .crossJoin(o.agg(F.count("*").alias("n_orders")))
+            .crossJoin(
+                li.agg(
+                    F.count("*").alias("n_lineitems"),
+                    F.countDistinct("l_partkey").alias("n_distinct_parts"),
+                )
+            )
+        )
+
+    Q["q29_stats"] = q29
+
+    # J5/A5 — bounded iterative closure over a derived functional graph
+    def q30(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id")
+        n_docs = d.count()
+        step = lambda col: (col * 7 + 3) % F.lit(n_docs)  # noqa: E731
+        roots = d.where(F.col("doc_id") < 10).select(F.col("doc_id").alias("root"))
+        frontier = roots.select("root", F.col("root").alias("node"))
+        reach = frontier
+        for _ in range(3):
+            frontier = frontier.select("root", step(F.col("node")).alias("node"))
+            reach = reach.unionByName(frontier).distinct()
+        return reach.groupBy("root").agg(F.count("*").alias("n_reachable"))
+
+    Q["q30_reachability_3hop"] = q30
+
+    # skew-handling — salted large join, result identical to plain join
+    def q31(spark, sf):
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        SALT = 8
+        li_s = li.withColumn("_salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(SALT)))
+        o_s = o.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(SALT)]))
+        )
+        return (
+            li_s.join(
+                o_s,
+                (li_s.l_orderkey == o_s.o_orderkey) & (li_s._salt == o_s._salt),
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            )
+        )
+
+    Q["q31_salted_skew_join"] = q31
+
+    # streaming-concept analog — sessionization (gap > 600 s)
+    def q32(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+        new_session = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+        return (
+            e.withColumn("ns", new_session)
+            .groupBy("user_id")
+            .agg(F.sum("ns").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+        )
+
+    Q["q32_sessionize"] = q32
+
+    # ----- engine-only operators (rows-only driver check; pytest-verified
+    # against pure-python oracles in tests/test_operators.py) -----
+
+    def x01(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.pip import pip_join
+        from ariadne_spark.synth.images import write_images
+        from ariadne_spark.synth.regions import generate_regions
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 2000)
+        images = spark.read.parquet(f"{d}/images.parquet")
+        return pip_join(images, generate_regions(), deepest_only=True)
+
+    Q["x01_polygon_pip"] = x01
+
+    def x02(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.knn import knn_edges
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 2000)
+        images = spark.read.parquet(f"{d}/images.parquet")
+        return knn_edges(images, k=5, max_hamming=16)
+
+    Q["x02_real_phash_knn"] = x02
+
+    def x03(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.tiles import rasterize_tiles
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 2000)
+        images = spark.read.parquet(f"{d}/images.parquet")
+        return rasterize_tiles(images, 4, fmt="png").select(
+            "z", "tx", "ty", "n_images", F.length("tile_img").alias("png_bytes")
+        )
+
+    Q["x03_rasterize_tiles"] = x03
+
+    return Q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    geo = _DOCS_GEO_SQL
+    cell8 = cells.sql_pack_cell(8, cells.sql_cell_x("lon_u", 8), cells.sql_cell_y("lat_u", 8))
+    cell4 = cells.sql_pack_cell(4, cells.sql_cell_x("lon_u", 4), cells.sql_cell_y("lat_u", 4))
+    box = derive.region_box_sql()
+    mask = _letter_mask_sql()
+    mh = ", ".join(
+        f"list_min({_gram_hash_sql(*p)}) AS mh{i}" for i, p in enumerate(MINHASH_PARAMS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({_gram_hash_sql(*MINHASH_PARAMS[0])}, "
+        f"h -> ((h >> {b}) & 1) * 2 - 1)) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIM_BITS)
+    )
+    fp = "CAST(0 AS BIGINT)"
+    for k in range(1, 17):
+        fp = f"((({fp}) * 31 + ascii(substring(text, {k}, 1))) % {derive.M31})"
+
+    return {
+        "q01_scan_prune": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+            GROUP BY l_returnflag
+        """,
+        "q02_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   sum(CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (1000 - CAST(round(l_discount * 1000) AS BIGINT))) AS BIGINT))
+                       AS sum_disc_milli,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_broadcast_dim_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q04_multihop_chain": """
+            SELECT r_name, count(*) AS n_items,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q05_orphan_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q06_active_customers_semi": """
+            SELECT c_mktsegment, count(*) AS n_active FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment
+        """,
+        "q07_top_supplier_per_nation": """
+            SELECT s_nationkey, s_suppkey,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rk
+              FROM supplier) t
+            WHERE rk = 1
+        """,
+        "q08_order_rank_window": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+              SELECT o_custkey, o_orderkey, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) t
+            WHERE rank <= 3
+        """,
+        "q09_equi_range_join": """
+            SELECT o_orderpriority, count(*) AS n_fast_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+                  BETWEEN 0 AND 30
+            GROUP BY o_orderpriority
+        """,
+        "q10_asof_prev_event": """
+            SELECT event_id, user_id, delta_s FROM (
+              SELECT event_id, user_id,
+                     epoch_us(ts) // 1000000
+                     - epoch_us(lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+                       AS delta_s
+              FROM events) t
+            WHERE delta_s IS NOT NULL AND delta_s <= 3600
+        """,
+        "q11_cells_histogram": f"""
+            SELECT {cell8} AS cell, count(*) AS n_points
+            FROM ({geo}) g GROUP BY 1
+        """,
+        "q12_cell_rollup": f"""
+            SELECT {cell4} AS cell4, count(*) AS n_points
+            FROM ({geo}) g GROUP BY 1
+        """,
+        "q13_pip_bbox_deepest": f"""
+            WITH g AS ({geo}),
+            r AS (SELECT n_nationkey, {box['depth']} AS depth,
+                         {box['xmin']} AS xmin, {box['xmax']} AS xmax,
+                         {box['ymin']} AS ymin, {box['ymax']} AS ymax
+                  FROM nation),
+            hit AS (
+              SELECT g.doc_id, r.n_nationkey, r.depth,
+                     row_number() OVER (PARTITION BY g.doc_id
+                                        ORDER BY r.depth DESC, r.n_nationkey) AS rk
+              FROM g JOIN r
+                ON g.lon_u >= r.xmin AND g.lon_u <= r.xmax
+               AND g.lat_u >= r.ymin AND g.lat_u <= r.ymax)
+            SELECT doc_id, n_nationkey AS region_key, depth FROM hit WHERE rk = 1
+        """,
+        "q14_knn_phash_topk": f"""
+            WITH g AS (SELECT doc_id, phash, phash >> 46 AS band FROM ({geo}) t),
+            pairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     bit_count(xor(a.phash, b.phash)) AS hamming
+              FROM g a JOIN g b ON a.band = b.band AND a.doc_id <> b.doc_id),
+            ranked AS (
+              SELECT src, dst, hamming, row_number() OVER (
+                PARTITION BY src ORDER BY hamming, dst) AS rank
+              FROM pairs WHERE hamming <= 16)
+            SELECT src, dst, hamming, rank FROM ranked WHERE rank <= 3
+        """,
+        "q15_tile_pyramid": f"""
+            WITH g AS ({geo}),
+            z6 AS (
+              SELECT 6 AS z, (lon_u * 64) // {cells.LON_SPAN} AS tx,
+                     (lat_u * 64) // {cells.LAT_SPAN} AS ty, count(*) AS n_points
+              FROM g GROUP BY 2, 3)
+            SELECT z, tx, ty, n_points FROM z6
+            UNION ALL
+            SELECT 3 AS z, tx >> 3 AS tx, ty >> 3 AS ty, sum(n_points) AS n_points
+            FROM z6 GROUP BY 2, 3
+        """,
+        "q16_knn_orphans": f"""
+            WITH g AS (SELECT doc_id, phash, phash >> 46 AS band FROM ({geo}) t),
+            pairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     bit_count(xor(a.phash, b.phash)) AS hamming
+              FROM g a JOIN g b ON a.band = b.band AND a.doc_id <> b.doc_id),
+            ranked AS (
+              SELECT src, dst, hamming, row_number() OVER (
+                PARTITION BY src ORDER BY hamming, dst) AS rank
+              FROM pairs WHERE hamming <= 16),
+            dsts AS (SELECT DISTINCT dst FROM ranked WHERE rank <= 3)
+            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dst FROM dsts)
+        """,
+        "q17_dedup_exact": """
+            SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,
+                   min(doc_id) AS canonical_doc, count(*) AS group_size
+            FROM documents GROUP BY 1, 2
+        """,
+        "q18_jaccard_neardup": f"""
+            WITH m AS (SELECT doc_id, lang, {mask} AS mask FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   (CAST(bit_count(a.mask & b.mask) AS BIGINT) * 1000)
+                       // CAST(bit_count(a.mask | b.mask) AS BIGINT) AS j1000
+            FROM m a JOIN m b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE (CAST(bit_count(a.mask & b.mask) AS BIGINT) * 1000)
+                      // CAST(bit_count(a.mask | b.mask) AS BIGINT) >= 900
+        """,
+        "q19_minhash_signatures": f"""
+            SELECT doc_id, {mh} FROM documents
+        """,
+        "q20_simhash": f"""
+            SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM documents
+        """,
+        "q21_embedding_topk": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+              FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+            ranked AS (
+              SELECT src, dst, dot_q, row_number() OVER (
+                PARTITION BY src ORDER BY dot_q DESC, dst) AS rank
+              FROM pairs)
+            SELECT src, dst, dot_q, rank FROM ranked WHERE rank <= 3
+        """,
+        "q22_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(length(text) - length(replace(text, ' ', '')) + 1) AS sum_words,
+                   sum(CAST(n_chars AS BIGINT)) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "q23_quality_score": """
+            SELECT doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS words,
+                   (length(text) - length(replace(text, 'the', ''))) // 3 AS the_count,
+                   (CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+                         THEN 40 ELSE 0 END
+                    + CASE WHEN ((length(text) - length(replace(text, 'the', ''))) // 3) * 100
+                                <= (length(text) - length(replace(text, ' ', '')) + 1) * 20
+                           THEN 30 ELSE 0 END
+                    + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END) AS quality
+            FROM documents
+        """,
+        "q24_langid_heuristic": """
+            WITH p AS (
+              SELECT lang,
+                     CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 >= 2
+                          THEN 'en'
+                          WHEN (length(text) - length(replace(text, ' a ', ''))) // 3 >= 2
+                          THEN 'en_lite'
+                          ELSE 'unknown' END AS pred
+              FROM documents)
+            SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred
+        """,
+        "q25_fingerprint": f"""
+            SELECT doc_id, {fp} AS fingerprint FROM documents
+        """,
+        "q26_error_only_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            AND user_id NOT IN (
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "q27_union_kinds": """
+            SELECT user_id, count(*) AS n, 'view' AS kind FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+            UNION ALL
+            SELECT user_id, count(*) AS n, 'click' AS kind FROM events
+            WHERE event_type = 'click' GROUP BY user_id
+        """,
+        "q28_member_index": """
+            SELECT c_nationkey, count(*) AS n_members,
+                   string_agg(c_name, '|' ORDER BY c_name) AS roster
+            FROM customer GROUP BY c_nationkey
+        """,
+        "q29_stats": """
+            SELECT (SELECT count(*) FROM customer) AS n_customers,
+                   (SELECT count(*) FROM orders) AS n_orders,
+                   (SELECT count(*) FROM lineitem) AS n_lineitems,
+                   (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_distinct_parts
+        """,
+        "q30_reachability_3hop": """
+            WITH RECURSIVE walk(root, node, depth) AS (
+              SELECT doc_id AS root, doc_id AS node, 0 AS depth
+              FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT root, (node * 7 + 3) % (SELECT count(*) FROM documents), depth + 1
+              FROM walk WHERE depth < 3)
+            SELECT root, count(DISTINCT node) AS n_reachable
+            FROM walk GROUP BY root
+        """,
+        "q31_salted_skew_join": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q32_sessionize": """
+            SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               IS NULL
+                          OR epoch_us(ts) // 1000000
+                             - epoch_us(lag(ts) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+                             > 600
+                          THEN 1 ELSE 0 END AS ns
+              FROM events) t
+            GROUP BY user_id
+        """,
+    }

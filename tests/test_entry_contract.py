@@ -1,0 +1,72 @@
+"""Mimics the driver's correctness gate: run every queries() entry in
+Spark and its oracle_sql() twin in DuckDB at sf=0.01, compare schemas
+(column names) and exact value sets (order-insensitive, columns sorted
+by name — same normalization the driver applies)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(spark, duck, name):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"column mismatch: {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    a, b = normalize(sdf), normalize(odf)
+    assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert (av == bv).all(), (
+            f"{name}.{c}: first diff at "
+            f"{[(x, y) for x, y in zip(av, bv) if x != y][:3]}"
+        )
+
+
+def test_every_query_has_oracle_or_is_engine_only():
+    for name in QUERIES:
+        if name.startswith("q"):
+            assert name in ORACLES, f"{name} lacks an oracle"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.schema) > 0
+
+
+@pytest.mark.parametrize("name", ["x01_polygon_pip", "x02_real_phash_knn", "x03_rasterize_tiles"])
+def test_engine_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() > 0
