@@ -45,6 +45,7 @@ def knn_edges(
     kring: int = 1,
     n_bands: int = 4,
     salt: int = 1,
+    build_images: DataFrame | None = None,
 ) -> DataFrame:
     """-> (src_image_id, dst_image_id, hamming, rank, confidence).
 
@@ -52,25 +53,35 @@ def knn_edges(
     hash of the *probe* side and replicates the build side, bounding the
     largest shuffle partition for hotspot cells (urban skew). salt=1 is
     a plain sort-merge self-join.
-    """
-    base = images.select(
-        F.col("image_id"),
-        F.col("phash"),
-        cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res).alias("cell"),
-    )
 
-    bands = F.array(*[phash_band(F.col("phash"), b, n_bands) for b in range(n_bands)])
-    banded = base.select(
-        "image_id",
-        "phash",
-        "cell",
-        F.posexplode(bands).alias("band_id", "band_val"),
-    )
+    `build_images` restricts/extends the candidate (destination) side
+    independently of the probe side — the incremental path passes the
+    affected partitions as `images` and their k-ring superset as
+    `build_images`, mirroring the reference's re-resolution over
+    {file} ∪ dependents (`packages/core/src/project/project.ts:312`).
+    """
+
+    def prep(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col("image_id"),
+            F.col("phash"),
+            cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res).alias("cell"),
+        )
+        bands = F.array(*[phash_band(F.col("phash"), b, n_bands) for b in range(n_bands)])
+        return base.select(
+            "image_id",
+            "phash",
+            "cell",
+            F.posexplode(bands).alias("band_id", "band_val"),
+        )
+
+    banded = prep(images)
+    banded_build = banded if build_images is None else prep(build_images)
 
     # probe side: each image under its own cell only
     # build side: each image replicated to its k-ring so cross-cell
     # neighbors are found exactly once (probe.cell == build.neighbor_cell)
-    build = cells.cell_neighbors_df(banded, "cell", res, kring).select(
+    build = cells.cell_neighbors_df(banded_build, "cell", res, kring).select(
         F.col("image_id").alias("dst_image_id"),
         F.col("phash").alias("dst_phash"),
         F.col("band_id"),

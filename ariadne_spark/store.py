@@ -1,0 +1,250 @@
+"""Snapshot store — versioned, partition-granular parquet tables.
+
+The Iceberg stand-in (this container ships no Iceberg runtime jars; the
+API mirrors the subset of Iceberg semantics the engine needs, so the
+backend can be swapped for `df.writeTo(tbl).overwritePartitions()` +
+snapshot metadata on a real cluster):
+
+- every write produces a new immutable **snapshot**: a JSON manifest
+  mapping partition-key -> (data path, row count, content fingerprint);
+- partition data is written ONCE and never mutated — an overwrite
+  writes new partition dirs and re-points the manifest (old snapshots
+  stay readable: time travel / rollback for free);
+- `diff(a, b)` is metadata-only: compare manifests, return changed
+  keys — the analog of ariadne's git-accelerated change detection
+  (`packages/core/src/persistence/git_change_detection.ts:47-74`:
+  tree-hash fast path, per-file blob hashes) and its `CacheManifest`
+  content hashes (`packages/core/src/persistence/cache_manifest.ts:10-21`).
+
+Content fingerprints are order-independent (sum of per-row xxhash64
+over all columns, mod 2^64) so they are stable across partitioning,
+shuffle order, and cluster size — required for cross-cluster-size
+equality evidence.
+
+The store also keeps the **lineage log** (`lineage.jsonl`): one row per
+(stage, partition, snapshot) with row counts, wall ms and status — the
+per-partition lineage rows + counters the north rule requires, and the
+`restore_file` analog (`packages/core/src/project/project.ts:220-235`):
+a stage/partition whose lineage row is `done` for the target snapshot
+is skipped on resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FINGERPRINT_MOD = 1 << 64
+
+
+@dataclass
+class Manifest:
+    table: str
+    snapshot_id: int
+    parent_id: int | None
+    # key(str) -> {"path": str, "n_rows": int, "fingerprint": int}
+    partitions: dict[str, dict] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "table": self.table,
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "partitions": self.partitions,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(d["table"], d["snapshot_id"], d["parent_id"], d["partitions"])
+
+
+def partition_summary(df: DataFrame, key: str) -> dict[str, dict]:
+    """key -> {n_rows, fingerprint} in ONE pass (order-independent)."""
+    cols = [c for c in df.columns]
+    row_hash = F.xxhash64(*[F.col(c) for c in cols])
+    rows = (
+        df.groupBy(key)
+        .agg(
+            F.count("*").alias("n"),
+            # sum of uint64 hashes mod 2^64 via two 32-bit halves (avoids
+            # signed-long overflow while staying deterministic)
+            F.sum(F.shiftrightunsigned(row_hash, 32)).alias("hi"),
+            F.sum(row_hash.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+        )
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        fp = ((int(r["hi"]) << 32) + int(r["lo"])) % FINGERPRINT_MOD
+        out[str(r[key])] = {"n_rows": int(r["n"]), "fingerprint": fp}
+    return out
+
+
+class SnapshotStore:
+    """Versioned partitioned tables + lineage log under one root dir."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(f"{root}/manifests", exist_ok=True)
+        os.makedirs(f"{root}/data", exist_ok=True)
+
+    # -- manifests ---------------------------------------------------------
+
+    def _manifest_path(self, table: str, snapshot_id: int) -> str:
+        return f"{self.root}/manifests/{table}.{snapshot_id}.json"
+
+    def current_snapshot_id(self, table: str) -> int | None:
+        ids = [
+            int(f.rsplit(".", 2)[-2])
+            for f in os.listdir(f"{self.root}/manifests")
+            if f.startswith(f"{table}.") and f.endswith(".json")
+        ]
+        return max(ids) if ids else None
+
+    def manifest(self, table: str, snapshot_id: int | None = None) -> Manifest | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
+        if sid is None:
+            return None
+        with open(self._manifest_path(table, sid)) as fh:
+            return Manifest.from_json(fh.read())
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_partition_data(self, df: DataFrame, table: str, key: str, sid: int) -> str:
+        """Write df (all partitions it contains) under a fresh version dir;
+        returns the version dir. Data includes the key column (plain
+        parquet dirs keyed by `key=<v>` subdirs via partitionBy, but the
+        column is also kept in the data for hive-free reads)."""
+        vdir = f"{self.root}/data/{table}/v{sid}"
+        # duplicate the key so partitionBy doesn't strip it from the data
+        (
+            df.withColumn("__pk", F.col(key))
+            .repartition(F.col("__pk"))
+            .write.mode("overwrite")
+            .partitionBy("__pk")
+            .parquet(vdir)
+        )
+        return vdir
+
+    def write_table(self, df: DataFrame, table: str, key: str) -> int:
+        """Full write -> snapshot 0 (or next id if the table exists)."""
+        prev = self.current_snapshot_id(table)
+        sid = 0 if prev is None else prev + 1
+        summary = partition_summary(df, key)
+        vdir = self._write_partition_data(df, table, key, sid)
+        m = Manifest(table, sid, prev)
+        for k, s in summary.items():
+            m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
+        with open(self._manifest_path(table, sid), "w") as fh:
+            fh.write(m.to_json())
+        return sid
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, key: str, keys: list[str] | None = None
+    ) -> int:
+        """Partition-granular overwrite: df holds the NEW full content of
+        the partitions it touches (delete-then-insert idempotency, the
+        analog of `registries/definition.ts:99-103`). Unchanged
+        partitions keep pointing at their old data files. `keys`
+        additionally lists partitions to DELETE even if df has no rows
+        for them (the `remove_file` path, `project.ts:402-467`)."""
+        prev_m = self.manifest(table)
+        assert prev_m is not None, f"table {table} has no snapshot yet"
+        sid = prev_m.snapshot_id + 1
+        summary = partition_summary(df, key)
+        vdir = self._write_partition_data(df, table, key, sid)
+        m = Manifest(table, sid, prev_m.snapshot_id, dict(prev_m.partitions))
+        for k in set(keys or []) | set(summary):
+            m.partitions.pop(k, None)
+        for k, s in summary.items():
+            m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
+        with open(self._manifest_path(table, sid), "w") as fh:
+            fh.write(m.to_json())
+        return sid
+
+    # -- reads -------------------------------------------------------------
+
+    def read(
+        self,
+        table: str,
+        snapshot_id: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (default: current), optionally pruned to a
+        partition-key subset — metadata-level partition pruning: only
+        the selected partitions' files are listed at all."""
+        m = self.manifest(table, snapshot_id)
+        assert m is not None, f"table {table} has no snapshot"
+        sel = m.partitions if keys is None else {k: m.partitions[k] for k in keys if k in m.partitions}
+        paths = [p["path"] for p in sel.values()]
+        if not paths:
+            raise ValueError(f"no partitions selected for {table}")
+        return self.spark.read.parquet(*paths)
+
+    def diff(self, table: str, from_sid: int | None, to_sid: int) -> list[str]:
+        """Changed/added/removed partition keys between two snapshots —
+        metadata only, no data read (the ~20ms git fast path analog)."""
+        new = self.manifest(table, to_sid)
+        assert new is not None
+        old = self.manifest(table, from_sid) if from_sid is not None else None
+        old_parts = old.partitions if old else {}
+        changed = []
+        for k in set(old_parts) | set(new.partitions):
+            a, b = old_parts.get(k), new.partitions.get(k)
+            if a is None or b is None or a["fingerprint"] != b["fingerprint"]:
+                changed.append(k)
+        return sorted(changed)
+
+    # -- lineage -----------------------------------------------------------
+
+    @property
+    def _lineage_path(self) -> str:
+        return f"{self.root}/lineage.jsonl"
+
+    def log_lineage(
+        self,
+        stage: str,
+        partition: str,
+        snapshot_id: int,
+        n_rows: int,
+        wall_ms: float,
+        status: str = "done",
+    ) -> None:
+        rec = {
+            "stage": stage,
+            "partition": partition,
+            "snapshot_id": snapshot_id,
+            "n_rows": n_rows,
+            "wall_ms": round(wall_ms, 2),
+            "status": status,
+            "ts": time.time(),
+        }
+        with open(self._lineage_path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def lineage(self) -> list[dict]:
+        if not os.path.exists(self._lineage_path):
+            return []
+        with open(self._lineage_path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def completed(self, stage: str, snapshot_id: int) -> set[str]:
+        """Partitions already `done` for (stage, snapshot) — the resume
+        check (`restore_file` analog): completed work is skipped."""
+        return {
+            r["partition"]
+            for r in self.lineage()
+            if r["stage"] == stage
+            and r["snapshot_id"] == snapshot_id
+            and r["status"] == "done"
+        }

@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Headline benchmark — the driver's per-round feedback loop.
+
+Runs two suites on `local[$SPARK_GRAFT_CPUS]` against
+`$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1):
+
+1. the flagship spatial pipeline over the deterministic synthetic
+   images table (decode+phash verify -> polygon PIP join -> banded kNN
+   -> tile pyramid -> rasterize) — the BASELINE.json metric is this
+   pipeline's throughput in images/sec;
+2. a representative subset of the driver-contract operator queries
+   (`__spark_entry__.queries()`), each fully materialized through the
+   noop sink (no driver collect).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "images_per_sec": ..., "n_images": ..., "cpus": ...}
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+`bench_scaling.py`, which reuses `spatial_pipeline_stages` below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ariadne_spark.session import get_spark  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "q02_tpch_q1",
+    "q04_multihop_chain",
+    "q08_order_rank_window",
+    "q13_pip_bbox_deepest",
+    "q14_knn_phash_topk",
+    "q15_tile_pyramid",
+    "q18_jaccard_neardup",
+    "q21_embedding_topk",
+    "q31_salted_skew_join",
+    "q32_sessionize",
+]
+
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/ariadne_bench_cache")
+
+
+def _noop(df) -> None:
+    """Materialize every row through the noop sink (full execution, no
+    driver-side collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_images(spark, n: int) -> str:
+    """Distributed, deterministic synthesis of the n-row images table
+    (cached — synthesis is fixture setup, not the measured workload)."""
+    path = f"{CACHE_DIR}/images_{n}.parquet"
+    done = f"{CACHE_DIR}/images_{n}.done"
+    if not os.path.exists(done):
+        from ariadne_spark.synth.images import images_df
+
+        images_df(spark, n).write.mode("overwrite").parquet(path)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def spatial_pipeline_stages(spark, images_path: str) -> dict[str, float]:
+    """Run + time each stage of the flagship pipeline. Returns stage->sec."""
+    from ariadne_spark.functions.phash import phash_udf
+    from ariadne_spark.operators.knn import knn_edges
+    from ariadne_spark.operators.pip import pip_join
+    from ariadne_spark.operators.tiles import build_pyramid, rasterize_tiles
+    from ariadne_spark.synth.regions import generate_regions
+
+    timings: dict[str, float] = {}
+    images = spark.read.parquet(images_path)
+    meta = images.drop("bytes")  # pruned scan for geometry-only stages
+
+    t0 = time.perf_counter()
+    bad = (
+        images.select(
+            "image_id",
+            "phash",
+            phash_udf(F.col("bytes"), F.col("fmt")).alias("recomputed"),
+        )
+        .where(F.col("phash") != F.col("recomputed"))
+        .count()
+    )
+    timings["pipe_decode_phash"] = time.perf_counter() - t0
+    assert bad == 0, f"{bad} phash mismatches — decode stage corrupt"
+
+    t0 = time.perf_counter()
+    _noop(pip_join(meta, generate_regions(), deepest_only=True))
+    timings["pipe_pip_join"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _noop(knn_edges(meta, k=5, max_hamming=16))
+    timings["pipe_knn"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _noop(build_pyramid(meta, max_z=8))
+    timings["pipe_tile_pyramid"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _noop(rasterize_tiles(meta, z=5, fmt="png"))
+    timings["pipe_rasterize"] = time.perf_counter() - t0
+
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_images = max(int(400_000 * sf), 2_000)
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    spark = get_spark(cores=cpus, app_name="ariadne_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    images_path = ensure_images(spark, n_images)
+
+    timings: dict[str, float] = {}
+
+    pipe_t0 = time.perf_counter()
+    timings.update(spatial_pipeline_stages(spark, images_path))
+    pipe_sec = time.perf_counter() - pipe_t0
+
+    import __spark_entry__ as entry_mod
+
+    Q = entry_mod.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.perf_counter()
+        _noop(Q[name](spark, sf_dir))
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join + tiling pipeline + operator suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "images_per_sec": round(n_images / pipe_sec, 1),
+                "n_images": n_images,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
