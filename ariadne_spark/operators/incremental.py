@@ -1,0 +1,284 @@
+"""Incremental re-tiling of changed cells — the `update_file` analog.
+
+The reference's hot path is `Project.update_file`: re-index ONE file,
+then re-resolve only {file} ∪ dependents
+(`packages/core/src/project/project.ts:173-208,241-393`), with
+`remove_file` mirroring it (`project.ts:402-467`) and `restore_file`
+skipping work that a cache manifest proves unchanged
+(`project.ts:220-235`). Here the unit of incrementality is the **coarse
+grid cell partition** (prefix cell), and "dependents" is the partition
+k-ring (a neighbor partition's kNN edges can cross the boundary, like a
+dependent file's imports).
+
+Stage dataflow (all partition-granular, all idempotent delete-then-insert):
+
+  images_indexed  (pk = prefix cell)      <- upsert/remove merges rows
+    ├─> pip            recompute changed pk only (partition-local join)
+    ├─> knn            recompute changed ∪ ring(changed); candidate side
+    │                  reads ring(affected) — exactly ariadne's
+    │                  affected = {file} ∪ dependents re-resolution set
+    └─> tiles_fine     z ∈ [prefix_res..max_z]: each tile's subtree lives
+        │              inside one pk (tile grid ≡ cell grid formula)
+        └─> tiles_coarse  z < prefix_res: tiny (≤ 4^prefix_res rows of
+                          input), rebuilt whole from tiles_fine level
+                          prefix_res — the pyramid apex
+
+Every stage logs per-partition lineage rows + a stage marker; a rerun
+against the same input snapshot skips committed stages entirely
+(crash-resume), and partial data writes are harmless because manifests
+commit last (see `store.py`).
+
+Correctness contract (tested in tests/test_incremental.py): after any
+sequence of upserts/removes, every output table is bit-identical
+(fingerprint-equal) to a cold full build over the final input.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells
+from ..store import SnapshotStore, partition_summary
+from .knn import knn_edges
+from .pip import pip_join
+
+PREFIX_RES = 3  # 8x8 coarse partitions in the sandbox; res 5-6 at 10^12
+META_COLS = ["image_id", "phash", "lon_u", "lat_u", "w", "h", "fmt", "caption"]
+
+
+def _pk_col() -> F.Column:
+    return cells.cell_encode(F.col("lon_u"), F.col("lat_u"), PREFIX_RES).cast("string")
+
+
+def prefix_ring(keys: list[str], k: int = 1) -> list[str]:
+    """k-ring of prefix-cell partition keys (driver-side arithmetic —
+    the `get_dependents` analog, `project/import_graph.ts:178-185`)."""
+    n = 1 << PREFIX_RES
+    out: set[str] = set()
+    for key in keys:
+        cell = int(key)
+        x = (cell >> cells.X_SHIFT) & cells.XY_MASK
+        y = cell & cells.XY_MASK
+        for dx, dy in cells.kring_offsets(k):
+            nx, ny = (x + dx) % n, y + dy
+            if 0 <= ny < n:
+                out.add(str((PREFIX_RES << cells.RES_SHIFT) | (nx << cells.X_SHIFT) | ny))
+    return sorted(out)
+
+
+class SpatialPipeline:
+    """Full-build + incremental-update orchestration over a SnapshotStore."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        regions: list[dict],
+        max_z: int = 8,
+        knn_k: int = 5,
+        max_hamming: int = 16,
+        knn_res: int = 5,
+    ):
+        assert knn_res > PREFIX_RES, "knn cells must be finer than partitions"
+        self.spark = spark
+        self.store = SnapshotStore(spark, root)
+        self.regions = regions
+        self.max_z = max_z
+        assert max_z >= PREFIX_RES
+        self.knn_k = knn_k
+        self.max_hamming = max_hamming
+        self.knn_res = knn_res
+
+    # -- helpers -----------------------------------------------------------
+
+    def _stage_done(self, stage: str, in_sid: int) -> bool:
+        return "*" in self.store.completed(stage, in_sid)
+
+    def _commit_stage(
+        self, stage: str, in_sid: int, out_df: DataFrame, keys: list[str] | None, t0: float
+    ) -> None:
+        """Write stage output (full or partition-scoped), log lineage."""
+        table = stage
+        if self.store.current_snapshot_id(table) is None:
+            self.store.write_table(out_df, table, "pk")
+        else:
+            self.store.overwrite_partitions(out_df, table, "pk", keys=keys)
+        wall = (time.perf_counter() - t0) * 1000
+        m = self.store.manifest(table)
+        for k, p in sorted(m.partitions.items()):
+            if keys is None or k in keys:
+                self.store.log_lineage(stage, k, in_sid, p["n_rows"], wall)
+        self.store.log_lineage(stage, "*", in_sid, sum(p["n_rows"] for p in m.partitions.values()), wall)
+
+    # -- stages ------------------------------------------------------------
+
+    def _stage_pip(self, in_sid: int, keys: list[str] | None) -> None:
+        if self._stage_done("pip", in_sid):
+            return
+        t0 = time.perf_counter()
+        src = self.store.read("images_indexed", keys=keys)
+        out = pip_join(src, self.regions, deepest_only=True).join(
+            src.select("image_id", "lon_u", "lat_u"), "image_id"
+        ).select("image_id", "region_id", "depth", _pk_col().alias("pk"))
+        self._commit_stage("pip", in_sid, out, keys, t0)
+
+    def _stage_knn(self, in_sid: int, keys: list[str] | None) -> None:
+        if self._stage_done("knn", in_sid):
+            return
+        t0 = time.perf_counter()
+        if keys is None:
+            probe = self.store.read("images_indexed")
+            build = None
+            affected = None
+        else:
+            affected = prefix_ring(keys, 1)
+            m = self.store.manifest("images_indexed")
+            affected = [k for k in affected if k in m.partitions]
+            build_keys = [k for k in prefix_ring(affected, 1) if k in m.partitions]
+            probe = self.store.read("images_indexed", keys=affected)
+            build = self.store.read("images_indexed", keys=build_keys)
+        out = knn_edges(
+            probe,
+            k=self.knn_k,
+            max_hamming=self.max_hamming,
+            res=self.knn_res,
+            build_images=build,
+        ).join(
+            probe.select(F.col("image_id").alias("src_image_id"), "lon_u", "lat_u"),
+            "src_image_id",
+        ).select(
+            "src_image_id", "dst_image_id", "hamming", "rank", "confidence",
+            _pk_col().alias("pk"),
+        )
+        self._commit_stage("knn", in_sid, out, affected, t0)
+
+    def _stage_tiles(self, in_sid: int, keys: list[str] | None) -> None:
+        """tiles_fine: per-pk counts for z in [PREFIX_RES..max_z];
+        tiles_coarse: apex rebuilt whole from fine level PREFIX_RES."""
+        if not self._stage_done("tiles_fine", in_sid):
+            t0 = time.perf_counter()
+            src = self.store.read("images_indexed", keys=keys)
+            levels = []
+            for z in range(PREFIX_RES, self.max_z + 1):
+                tx = cells.idiv((F.col("lon_u") * F.lit(1 << z)).cast("long"), cells.LON_SPAN)
+                ty = cells.idiv((F.col("lat_u") * F.lit(1 << z)).cast("long"), cells.LAT_SPAN)
+                levels.append(
+                    src.select(
+                        F.lit(z).alias("z"), tx.alias("tx"), ty.alias("ty"), _pk_col().alias("pk")
+                    )
+                    .groupBy("z", "tx", "ty", "pk")
+                    .agg(F.count("*").alias("n_images"))
+                )
+            out = levels[0]
+            for lvl in levels[1:]:
+                out = out.unionByName(lvl)
+            self._commit_stage("tiles_fine", in_sid, out, keys, t0)
+
+        if not self._stage_done("tiles_coarse", in_sid):
+            t0 = time.perf_counter()
+            base = self.store.read("tiles_fine").where(F.col("z") == PREFIX_RES)
+            levels = []
+            cur = base.select("z", "tx", "ty", "n_images")
+            for z in range(PREFIX_RES - 1, -1, -1):
+                cur = (
+                    cur.select(
+                        F.lit(z).alias("z"),
+                        F.shiftright(F.col("tx"), 1).alias("tx"),
+                        F.shiftright(F.col("ty"), 1).alias("ty"),
+                        "n_images",
+                    )
+                    .groupBy("z", "tx", "ty")
+                    .agg(F.sum("n_images").alias("n_images"))
+                )
+                levels.append(cur)
+            out = levels[0]
+            for lvl in levels[1:]:
+                out = out.unionByName(lvl)
+            out = out.withColumn("pk", F.lit("all"))
+            # apex is rebuilt whole every time: overwrite its only partition
+            self._commit_stage("tiles_coarse", in_sid, out, None if
+                               self.store.current_snapshot_id("tiles_coarse") is None
+                               else ["all"], t0)
+
+    def _run_stages(self, in_sid: int, keys: list[str] | None) -> None:
+        self._stage_pip(in_sid, keys)
+        self._stage_knn(in_sid, keys)
+        self._stage_tiles(in_sid, keys)
+
+    # -- entry points ------------------------------------------------------
+
+    def full_build(self, images: DataFrame) -> int:
+        """Cold build: index every partition (≅ `load_project` cold path,
+        `packages/core/src/project/load_project.ts:67-150`)."""
+        meta = images.select(*META_COLS).withColumn("pk", _pk_col())
+        in_sid = self.store.write_table(meta, "images_indexed", "pk")
+        self._run_stages(in_sid, None)
+        return in_sid
+
+    def update(self, changed: DataFrame, deleted_ids: list[str] | None = None) -> int:
+        """Upsert `changed` rows (new or modified images) and remove
+        `deleted_ids`, then re-run stages over changed partitions only.
+
+        ≅ `update_file` + `remove_file`: merged partition content is
+        old rows minus (changed ∪ deleted) ids plus new rows —
+        delete-then-insert (`registries/definition.ts:99-103`)."""
+        prev_sid = self.store.current_snapshot_id("images_indexed")
+        assert prev_sid is not None, "full_build first"
+        changed_meta = changed.select(*META_COLS).withColumn("pk", _pk_col())
+        cur = self.store.read("images_indexed")
+
+        dead_ids = changed_meta.select("image_id").unionByName(
+            self.spark.createDataFrame(
+                [(i,) for i in (deleted_ids or [])], "image_id string"
+            )
+        ).distinct()
+        touched = (
+            changed_meta.select("pk")
+            .unionByName(cur.join(dead_ids, "image_id", "left_semi").select("pk"))
+            .distinct()
+        )
+        touched_keys = sorted(r["pk"] for r in touched.collect())
+        if not touched_keys:
+            return prev_sid
+
+        merged = (
+            self.store.read("images_indexed", keys=touched_keys)
+            .join(dead_ids, "image_id", "left_anti")
+            .unionByName(changed_meta)
+        )
+        in_sid = self.store.overwrite_partitions(
+            merged, "images_indexed", "pk", keys=touched_keys
+        )
+        changed_keys = self.store.diff("images_indexed", prev_sid, in_sid)
+        if changed_keys:
+            self._run_stages(in_sid, changed_keys)
+        return in_sid
+
+    def resume(self) -> int:
+        """Re-run stages for the current input snapshot, skipping stages
+        whose lineage marker is committed (≅ `restore_file`). Call after
+        a crash: stages re-run only over the partitions the interrupted
+        update targeted (derived from the images_indexed manifest diff)."""
+        in_sid = self.store.current_snapshot_id("images_indexed")
+        assert in_sid is not None, "nothing to resume"
+        m = self.store.manifest("images_indexed")
+        keys = None
+        if m.parent_id is not None:
+            keys = self.store.diff("images_indexed", m.parent_id, in_sid)
+        self._run_stages(in_sid, keys)
+        return in_sid
+
+    # -- verification ------------------------------------------------------
+
+    def table_fingerprints(self) -> dict[str, dict[str, dict]]:
+        """Per-table, per-partition {n_rows, fingerprint} — the equality
+        evidence used by tests (incremental == cold full build)."""
+        out = {}
+        for t in ["images_indexed", "pip", "knn", "tiles_fine", "tiles_coarse"]:
+            if self.store.current_snapshot_id(t) is not None:
+                df = self.store.read(t)
+                out[t] = partition_summary(df.select(*sorted(df.columns)), "pk")
+        return out

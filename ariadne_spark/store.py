@@ -49,6 +49,7 @@ class Manifest:
     parent_id: int | None
     # key(str) -> {"path": str, "n_rows": int, "fingerprint": int}
     partitions: dict[str, dict] = field(default_factory=dict)
+    schema_json: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -57,6 +58,7 @@ class Manifest:
                 "snapshot_id": self.snapshot_id,
                 "parent_id": self.parent_id,
                 "partitions": self.partitions,
+                "schema_json": self.schema_json,
             },
             sort_keys=True,
         )
@@ -64,7 +66,10 @@ class Manifest:
     @staticmethod
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
-        return Manifest(d["table"], d["snapshot_id"], d["parent_id"], d["partitions"])
+        return Manifest(
+            d["table"], d["snapshot_id"], d["parent_id"], d["partitions"],
+            d.get("schema_json"),
+        )
 
 
 def partition_summary(df: DataFrame, key: str) -> dict[str, dict]:
@@ -142,7 +147,7 @@ class SnapshotStore:
         sid = 0 if prev is None else prev + 1
         summary = partition_summary(df, key)
         vdir = self._write_partition_data(df, table, key, sid)
-        m = Manifest(table, sid, prev)
+        m = Manifest(table, sid, prev, schema_json=df.schema.json())
         for k, s in summary.items():
             m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
         with open(self._manifest_path(table, sid), "w") as fh:
@@ -163,7 +168,10 @@ class SnapshotStore:
         sid = prev_m.snapshot_id + 1
         summary = partition_summary(df, key)
         vdir = self._write_partition_data(df, table, key, sid)
-        m = Manifest(table, sid, prev_m.snapshot_id, dict(prev_m.partitions))
+        m = Manifest(
+            table, sid, prev_m.snapshot_id, dict(prev_m.partitions),
+            schema_json=prev_m.schema_json or df.schema.json(),
+        )
         for k in set(keys or []) | set(summary):
             m.partitions.pop(k, None)
         for k, s in summary.items():
@@ -188,7 +196,13 @@ class SnapshotStore:
         sel = m.partitions if keys is None else {k: m.partitions[k] for k in keys if k in m.partitions}
         paths = [p["path"] for p in sel.values()]
         if not paths:
-            raise ValueError(f"no partitions selected for {table}")
+            # every selected partition was deleted: empty frame, real schema
+            from pyspark.sql.types import StructType
+
+            assert m.schema_json, f"no partitions and no schema for {table}"
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m.schema_json))
+            )
         return self.spark.read.parquet(*paths)
 
     def diff(self, table: str, from_sid: int | None, to_sid: int) -> list[str]:

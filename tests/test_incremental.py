@@ -1,0 +1,203 @@
+"""Incremental re-tiling + snapshot store + lineage/resume tests.
+
+The contract under test (north rule: "incremental re-tiling of changed
+cells ... resumes idempotently from snapshot metadata"): after ANY
+sequence of upserts/removes, every derived table equals a cold full
+build over the final input — verified by order-independent per-partition
+fingerprints. Mirrors the reference's incremental tests
+(`packages/core/src/project/project.*.integration.test.ts`: update_file
+then exact-equality assertions on the resulting graph).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ariadne_spark.operators.incremental import PREFIX_RES, SpatialPipeline, prefix_ring
+from ariadne_spark.store import SnapshotStore
+from ariadne_spark.synth.images import generate_rows
+from ariadne_spark.synth.regions import generate_regions
+
+N = 1200
+
+
+def _images(spark, ids: np.ndarray):
+    from ariadne_spark.synth.images import IMAGES_SCHEMA
+
+    pdf = generate_rows(ids).to_pandas()
+    return spark.createDataFrame(pdf, schema=IMAGES_SCHEMA).drop("bytes")
+
+
+def _modified_images(spark, ids: np.ndarray, shift: int = 777):
+    """Same ids, different content: re-derive rows as if they were other
+    images (id+shift) but keep the original image_id — a changed file."""
+    pdf = generate_rows(ids + shift).to_pandas().drop(columns=["bytes"])
+    pdf["image_id"] = [f"img_{int(i):08d}" for i in ids]
+    return spark.createDataFrame(pdf)
+
+
+def _pipeline(spark, tmp_path, name: str) -> SpatialPipeline:
+    return SpatialPipeline(
+        spark, str(tmp_path / name), generate_regions(), max_z=7, knn_res=5
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """Pipeline after: full build on [0,N) -> update(modify 40, add 30,
+    delete 20)."""
+    tmp = tmp_path_factory.mktemp("incr")
+    p = _pipeline(spark, tmp, "main")
+    p.full_build(_images(spark, np.arange(N)))
+
+    mod_ids = np.arange(100, 140)
+    add_ids = np.arange(N, N + 30)
+    del_ids = [f"img_{i:08d}" for i in range(500, 520)]
+    changed = _modified_images(spark, mod_ids).unionByName(_images(spark, add_ids))
+    p.update(changed, deleted_ids=del_ids)
+
+    # cold full build over the FINAL logical input
+    final_ids = np.array(
+        [i for i in range(N + 30) if not (500 <= i < 520)], dtype=np.int64
+    )
+    keep = ~np.isin(final_ids, mod_ids)
+    ref = _images(spark, final_ids[keep]).unionByName(
+        _modified_images(spark, mod_ids)
+    )
+    ref_p = _pipeline(spark, tmp, "reference")
+    ref_p.full_build(ref)
+    return p, ref_p
+
+
+def test_incremental_equals_full_build(built):
+    inc, ref = built
+    a, b = inc.table_fingerprints(), ref.table_fingerprints()
+    assert set(a) == set(b) == {"images_indexed", "pip", "knn", "tiles_fine", "tiles_coarse"}
+    for table in a:
+        assert a[table] == b[table], f"{table}: incremental != full rebuild"
+
+
+def test_update_touches_only_changed_ring(built):
+    """Partition pruning evidence: the update recomputed knn only over
+    ring(changed), pip/tiles only over changed partitions."""
+    inc, _ = built
+    lineage = inc.store.lineage()
+    sid = inc.store.current_snapshot_id("images_indexed")
+    m = inc.store.manifest("images_indexed")
+    changed = set(inc.store.diff("images_indexed", m.parent_id, sid))
+    n_parts = len(m.partitions)
+    assert 0 < len(changed) < n_parts, "fixture must change a strict subset"
+    pip_parts = {
+        r["partition"] for r in lineage
+        if r["stage"] == "pip" and r["snapshot_id"] == sid and r["partition"] != "*"
+    }
+    assert pip_parts <= changed
+    knn_parts = {
+        r["partition"] for r in lineage
+        if r["stage"] == "knn" and r["snapshot_id"] == sid and r["partition"] != "*"
+    }
+    assert knn_parts <= set(prefix_ring(sorted(changed), 1))
+    assert len(knn_parts) < n_parts
+
+
+def test_lineage_counters_match_manifests(built):
+    inc, _ = built
+    sid = inc.store.current_snapshot_id("images_indexed")
+    m = inc.store.manifest("pip")
+    by_part = {
+        r["partition"]: r["n_rows"]
+        for r in inc.store.lineage()
+        if r["stage"] == "pip" and r["snapshot_id"] == sid and r["partition"] != "*"
+    }
+    for k, n in by_part.items():
+        assert m.partitions[k]["n_rows"] == n
+
+
+def test_time_travel_reads_old_snapshot(built):
+    inc, _ = built
+    cur = inc.store.current_snapshot_id("images_indexed")
+    first = inc.store.read("images_indexed", snapshot_id=0).count()
+    assert first == N  # pre-update row count still readable
+    now = inc.store.read("images_indexed", snapshot_id=cur).count()
+    assert now == N + 30 - 20
+
+
+def test_metadata_only_diff(built):
+    inc, _ = built
+    m = inc.store.manifest("images_indexed")
+    changed = inc.store.diff("images_indexed", m.parent_id, m.snapshot_id)
+    assert changed  # and it came purely from manifest JSON comparison
+    unchanged = inc.store.diff("images_indexed", m.snapshot_id, m.snapshot_id)
+    assert unchanged == []
+
+
+def test_crash_resume_skips_committed_stages(spark, tmp_path_factory):
+    """Kill after the pip stage of full_build; resume() completes the
+    remaining stages; result equals an uninterrupted build; committed
+    stages are NOT recomputed (restore_file semantics)."""
+    tmp = tmp_path_factory.mktemp("resume")
+    ids = np.arange(600)
+
+    crashed = _pipeline(spark, tmp, "crashed")
+    meta = _images(spark, ids)
+    # run only images_indexed + pip, then "crash"
+    from ariadne_spark.operators.incremental import META_COLS, _pk_col
+
+    in_sid = crashed.store.write_table(
+        meta.select(*META_COLS).withColumn("pk", _pk_col()), "images_indexed", "pk"
+    )
+    crashed._stage_pip(in_sid, None)
+    pip_lineage_before = [r for r in crashed.store.lineage() if r["stage"] == "pip"]
+
+    resumed_sid = crashed.resume()
+    assert resumed_sid == in_sid
+    pip_lineage_after = [r for r in crashed.store.lineage() if r["stage"] == "pip"]
+    assert pip_lineage_before == pip_lineage_after, "pip must not re-run"
+    assert crashed.store.current_snapshot_id("knn") is not None
+    assert crashed.store.current_snapshot_id("tiles_coarse") is not None
+
+    clean = _pipeline(spark, tmp, "clean")
+    clean.full_build(_images(spark, ids))
+    assert crashed.table_fingerprints() == clean.table_fingerprints()
+
+
+def test_double_resume_is_idempotent(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("idem")
+    p = _pipeline(spark, tmp, "p")
+    p.full_build(_images(spark, np.arange(400)))
+    fp1 = p.table_fingerprints()
+    lineage_len = len(p.store.lineage())
+    p.resume()  # no-op: everything committed
+    assert p.table_fingerprints() == fp1
+    assert len(p.store.lineage()) == lineage_len
+
+
+def test_delete_entire_partition(spark, tmp_path_factory):
+    """Removing every image of a partition drops it from all tables."""
+    tmp = tmp_path_factory.mktemp("delpart")
+    p = _pipeline(spark, tmp, "p")
+    imgs = _images(spark, np.arange(800))
+    p.full_build(imgs)
+    # pick the smallest partition and delete all of its images
+    m = p.store.manifest("images_indexed")
+    victim = min(m.partitions, key=lambda k: m.partitions[k]["n_rows"])
+    ids = [
+        r["image_id"]
+        for r in p.store.read("images_indexed", keys=[victim]).select("image_id").collect()
+    ]
+    empty = _images(spark, np.arange(0))
+    p.update(empty, deleted_ids=ids)
+    m2 = p.store.manifest("images_indexed")
+    assert victim not in m2.partitions
+    assert victim not in p.store.manifest("pip").partitions
+
+
+def test_prefix_ring_wraps_and_clamps():
+    n = 1 << PREFIX_RES
+    # corner cell x=0,y=0: x wraps, y clamps -> 6 neighbors incl. self
+    key = str((PREFIX_RES << 56) | (0 << 28) | 0)
+    ring = prefix_ring([key], 1)
+    assert key in ring and len(ring) == 6
+    xs = [((int(k) >> 28) & ((1 << 28) - 1)) for k in ring]
+    assert (n - 1) in xs  # wrapped across the antimeridian
