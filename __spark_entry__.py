@@ -728,6 +728,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x03_rasterize_tiles"] = x03
 
+    # incremental re-tiling: full build on [0,600) then update (modify
+    # 20, add 10, delete 10) must equal a cold build on the final input —
+    # returns the per-table per-partition fingerprint comparison rows
+    # (all `equal` = true). Engine-only: snapshot stores + lineage have
+    # no single-SQL oracle; deep checks live in tests/test_incremental.py.
+    def x04(spark, sf):
+        import tempfile
+
+        import numpy as np
+
+        from ariadne_spark.operators.incremental import SpatialPipeline
+        from ariadne_spark.synth.images import IMAGES_SCHEMA, generate_rows
+        from ariadne_spark.synth.regions import generate_regions
+
+        def imgs(ids):
+            return spark.createDataFrame(
+                generate_rows(ids).to_pandas(), schema=IMAGES_SCHEMA
+            ).drop("bytes")
+
+        def modified(ids, shift=777):
+            pdf = generate_rows(ids + shift).to_pandas().drop(columns=["bytes"])
+            pdf["image_id"] = [f"img_{int(i):08d}" for i in ids]
+            return spark.createDataFrame(pdf)
+
+        d = tempfile.mkdtemp()
+        regions = generate_regions()
+        inc = SpatialPipeline(spark, f"{d}/inc", regions, max_z=6)
+        inc.full_build(imgs(np.arange(600)))
+        mod = np.arange(50, 70)
+        inc.update(
+            modified(mod).unionByName(imgs(np.arange(600, 610))),
+            deleted_ids=[f"img_{i:08d}" for i in range(200, 210)],
+        )
+
+        ref = SpatialPipeline(spark, f"{d}/ref", regions, max_z=6)
+        final = np.array(
+            [i for i in range(610) if not (200 <= i < 210 or i in set(mod))]
+        )
+        ref.full_build(imgs(final).unionByName(modified(mod)))
+
+        a, b = inc.table_fingerprints(), ref.table_fingerprints()
+        rows = []
+        for table in sorted(set(a) | set(b)):
+            for pk in sorted(set(a.get(table, {})) | set(b.get(table, {}))):
+                fa = a.get(table, {}).get(pk)
+                fb = b.get(table, {}).get(pk)
+                rows.append((table, pk, fa == fb))
+        return spark.createDataFrame(rows, "table string, pk string, equal boolean")
+
+    Q["x04_incremental_retile"] = x04
+
+    # query surface: orphan images (never a kNN destination) ranked by
+    # transitive reach — the list_entrypoints analog
+    def x05(spark, sf):
+        import tempfile
+
+        from ariadne_spark.api import list_orphans
+        from ariadne_spark.operators.knn import knn_edges
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 2000)
+        images = spark.read.parquet(f"{d}/images.parquet").drop("bytes")
+        edges = knn_edges(images, k=3, max_hamming=16)
+        return list_orphans(images, edges, max_depth=4).limit(100)
+
+    Q["x05_orphan_reach"] = x05
+
     return Q
 
 

@@ -1,0 +1,151 @@
+"""Query surface — the MCP-tool analogs over the engine's output tables.
+
+The reference exposes its call graph through two MCP tools plus getters:
+`list_entrypoints` (entry points sorted by transitive callee count,
+`mcp/src/tools/core/list_entrypoints.ts:51-87,251-285`),
+`show_call_graph_neighborhood` (BFS callers/callees to a depth,
+`mcp/src/tools/core/show_call_graph_neighborhood.ts:9-44`), and
+`get_stats` (`core/src/project/project.ts:473-479`).
+
+Spatial analogs over (images, knn_edges, pip, tiles):
+- `list_orphans` — images never referenced as a kNN destination (the
+  entry-point anti-join) ranked by transitive reach (frontier-BFS loop
+  with a visited set: Catalyst has no recursion, so the DFS+cycle-guard
+  of `list_entrypoints.ts:56-61` becomes an iterate-to-fixpoint loop of
+  joins, each iteration one shuffle bounded by the frontier size);
+- `neighborhood` — BFS over knn edges from one image, both directions;
+- `stats` — table-level counts.
+
+All functions return DataFrames (composable, lazily planned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reach_counts(edges: DataFrame, roots: DataFrame, max_depth: int = 10) -> DataFrame:
+    """(root, n_reachable): transitive destinations reachable from each
+    root via src->dst edges within max_depth hops, cycle-safe.
+
+    ≅ `count_tree_size` (`list_entrypoints.ts:51-87`): DFS with a cycle
+    set becomes level-synchronous BFS — `visited` is the accumulated
+    distinct (root, node) set; each iteration joins the frontier to the
+    edge table and anti-joins the visited set. Converges in <= max_depth
+    iterations or when a frontier empties.
+    """
+    e = edges.select(
+        F.col("src_image_id").alias("node"), F.col("dst_image_id").alias("next")
+    ).persist()
+    frontier = roots.select(
+        F.col("image_id").alias("root"), F.col("image_id").alias("node")
+    ).localCheckpoint()
+    visited = frontier
+    for _ in range(max_depth):
+        # localCheckpoint truncates lineage each iteration — without it
+        # the logical plan doubles per hop and analysis time, not the
+        # data, becomes the bottleneck (same reason ariadne guards DFS
+        # with a cycle set: bounded work per step)
+        nxt = (
+            frontier.join(e, "node")
+            .select("root", F.col("next").alias("node"))
+            .distinct()
+            .join(visited, ["root", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    # exclude the root itself from its reach count
+    return (
+        visited.where(F.col("root") != F.col("node"))
+        .groupBy("root")
+        .agg(F.count("*").alias("n_reachable"))
+        .join(roots.select(F.col("image_id").alias("root")), "root", "right")
+        .fillna(0, ["n_reachable"])
+    )
+
+
+def list_orphans(
+    images: DataFrame, edges: DataFrame, max_depth: int = 10, with_reach: bool = True
+) -> DataFrame:
+    """Images never linked as a kNN destination, ranked by transitive
+    reach desc (≅ entry points sorted by tree size,
+    `trace_call_graph.ts:102-136` + `list_entrypoints.ts:281`)."""
+    referenced = edges.select(F.col("dst_image_id").alias("image_id")).distinct()
+    orphans = images.select("image_id").join(referenced, "image_id", "left_anti")
+    if not with_reach:
+        return orphans
+    counts = reach_counts(edges, orphans, max_depth)
+    return (
+        orphans.join(counts.withColumnRenamed("root", "image_id"), "image_id", "left")
+        .fillna(0, ["n_reachable"])
+        .orderBy(F.desc("n_reachable"), "image_id")
+    )
+
+
+def neighborhood(
+    edges: DataFrame, image_id: str, depth: int = 2, direction: str = "both"
+) -> DataFrame:
+    """(image_id, min_depth, direction) for every node within `depth`
+    hops of the focus node. direction in {'out', 'in', 'both'} —
+    callees / callers / union (≅ `show_call_graph_neighborhood`)."""
+    assert direction in ("out", "in", "both")
+    spark = edges.sparkSession
+    out_e = edges.select(F.col("src_image_id").alias("a"), F.col("dst_image_id").alias("b"))
+    in_e = edges.select(F.col("dst_image_id").alias("a"), F.col("src_image_id").alias("b"))
+    parts = []
+    for dname, e in (("out", out_e), ("in", in_e)):
+        if direction not in (dname, "both"):
+            continue
+        frontier = spark.createDataFrame([(image_id,)], "node string")
+        visited = frontier.withColumn("min_depth", F.lit(0))
+        for d in range(1, depth + 1):
+            frontier = (
+                frontier.join(e, frontier.node == e.a)
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+            ).localCheckpoint()
+            if frontier.isEmpty():
+                break
+            visited = visited.unionByName(
+                frontier.withColumn("min_depth", F.lit(d))
+            ).localCheckpoint()
+        parts.append(
+            visited.where(F.col("node") != image_id).withColumn("direction", F.lit(dname))
+        )
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result.select(F.col("node").alias("image_id"), "min_depth", "direction")
+
+
+def stats(
+    images: DataFrame,
+    pip: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    tiles: DataFrame | None = None,
+) -> DataFrame:
+    """Single-row global stats (≅ `get_stats`, `project.ts:473-479`)."""
+    out = images.agg(F.count("*").alias("n_images"))
+    if pip is not None:
+        out = out.crossJoin(
+            pip.agg(
+                F.count("*").alias("n_pip_assignments"),
+                F.countDistinct("region_id").alias("n_regions_hit"),
+            )
+        )
+    if edges is not None:
+        out = out.crossJoin(
+            edges.agg(
+                F.count("*").alias("n_knn_edges"),
+                F.countDistinct("src_image_id").alias("n_linked_images"),
+            )
+        )
+    if tiles is not None:
+        out = out.crossJoin(tiles.agg(F.count("*").alias("n_tiles")))
+    return out

@@ -161,20 +161,35 @@ class SpatialPipeline:
         if not self._stage_done("tiles_fine", in_sid):
             t0 = time.perf_counter()
             src = self.store.read("images_indexed", keys=keys)
-            levels = []
-            for z in range(PREFIX_RES, self.max_z + 1):
-                tx = cells.idiv((F.col("lon_u") * F.lit(1 << z)).cast("long"), cells.LON_SPAN)
-                ty = cells.idiv((F.col("lat_u") * F.lit(1 << z)).cast("long"), cells.LAT_SPAN)
-                levels.append(
-                    src.select(
-                        F.lit(z).alias("z"), tx.alias("tx"), ty.alias("ty"), _pk_col().alias("pk")
-                    )
-                    .groupBy("z", "tx", "ty", "pk")
-                    .agg(F.count("*").alias("n_images"))
+            # two-shuffle pyramid (see tiles.build_pyramid): raw -> max_z
+            # counts, then explode-ancestors down to PREFIX_RES (pk is
+            # invariant under coarsening: a tile's PREFIX_RES ancestor IS
+            # the partition cell)
+            z = self.max_z
+            tx = cells.idiv((F.col("lon_u") * F.lit(1 << z)).cast("long"), cells.LON_SPAN)
+            ty = cells.idiv((F.col("lat_u") * F.lit(1 << z)).cast("long"), cells.LAT_SPAN)
+            base = (
+                src.select(
+                    F.lit(z).alias("z"), tx.alias("tx"), ty.alias("ty"), _pk_col().alias("pk")
                 )
-            out = levels[0]
-            for lvl in levels[1:]:
-                out = out.unionByName(lvl)
+                .groupBy("z", "tx", "ty", "pk")
+                .agg(F.count("*").alias("n_images"))
+            )
+            ancestors = F.array(
+                *[
+                    F.struct(
+                        F.lit(zz).alias("z"),
+                        F.shiftright(F.col("tx"), self.max_z - zz).alias("tx"),
+                        F.shiftright(F.col("ty"), self.max_z - zz).alias("ty"),
+                    )
+                    for zz in range(PREFIX_RES, self.max_z + 1)
+                ]
+            )
+            out = (
+                base.select(F.explode(ancestors).alias("a"), "pk", "n_images")
+                .groupBy("a.z", "a.tx", "a.ty", "pk")
+                .agg(F.sum("n_images").alias("n_images"))
+            )
             self._commit_stage("tiles_fine", in_sid, out, keys, t0)
 
         if not self._stage_done("tiles_coarse", in_sid):

@@ -66,7 +66,21 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0 and len(df.schema) > 0
 
 
-@pytest.mark.parametrize("name", ["x01_polygon_pip", "x02_real_phash_knn", "x03_rasterize_tiles"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x01_polygon_pip",
+        "x02_real_phash_knn",
+        "x03_rasterize_tiles",
+        "x04_incremental_retile",
+        "x05_orphan_reach",
+    ],
+)
 def test_engine_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_incremental_retile_all_equal(spark):
+    rows = QUERIES["x04_incremental_retile"](spark, SF_DIR).collect()
+    assert rows and all(r["equal"] for r in rows)
