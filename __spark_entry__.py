@@ -796,6 +796,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x05_orphan_reach"] = x05
 
+    # decode-stage per-row invariants (BASELINE.json input_hint): exact
+    # png decode, PSNR>=40dB lossy decode, caption equality, phash
+    # self-consistency — summarized per fmt, all violation counts zero
+    def x06(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.decode import invariant_summary
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 2000)
+        return invariant_summary(spark.read.parquet(f"{d}/images.parquet"))
+
+    Q["x06_decode_invariants"] = x06
+
     return Q
 
 

@@ -124,6 +124,35 @@ def neighborhood(
     return result.select(F.col("node").alias("image_id"), "min_depth", "direction")
 
 
+def lineage_report(store) -> "DataFrame":
+    """Per-stage timing/volume aggregates from the lineage log — the
+    profiler analog (`packages/core/src/profiling/profiler.ts:22-90`:
+    per-label total/count/min/max plus per-file breakdown becomes
+    per-stage total/count/min/max over partition rows)."""
+    import pandas as pd
+
+    rows = [r for r in store.lineage() if r["partition"] != "*"]
+    spark = store.spark
+    if not rows:
+        return spark.createDataFrame(
+            [], "stage string, n_partitions long, n_rows long, "
+            "wall_ms_min double, wall_ms_max double, wall_ms_total double"
+        )
+    pdf = pd.DataFrame(rows)
+    agg = (
+        pdf.groupby("stage")
+        .agg(
+            n_partitions=("partition", "count"),
+            n_rows=("n_rows", "sum"),
+            wall_ms_min=("wall_ms", "min"),
+            wall_ms_max=("wall_ms", "max"),
+            wall_ms_total=("wall_ms", "sum"),
+        )
+        .reset_index()
+    )
+    return spark.createDataFrame(agg)
+
+
 def stats(
     images: DataFrame,
     pip: DataFrame | None = None,

@@ -38,9 +38,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES, which serializes Python grouped-map
+        # stages whose cost is per-row CPU, not I/O (measured: the
+        # rasterize stage collapsed to ONE task). Keep a parallelism
+        # floor; large shuffles still coalesce toward the advisory size.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep Arrow batches ~8MB for binary-heavy rows: at 10k rows/batch
+        # (~40MB of image blobs) N concurrent tasks hold N*40MB of IPC
+        # buffers and the JVM GC inverts the scaling curve (measured 63s
+        # vs 8.4s for the same 300k-row decode at 32 threads)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

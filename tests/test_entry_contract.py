@@ -74,6 +74,7 @@ def test_entry_smoke(spark):
         "x03_rasterize_tiles",
         "x04_incremental_retile",
         "x05_orphan_reach",
+        "x06_decode_invariants",
     ],
 )
 def test_engine_only_queries_run(spark, name):

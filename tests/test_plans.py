@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the engine's scale contract, pinned.
+
+These don't execute jobs; they check the OPTIMIZED/physical plan shape
+so regressions that would only hurt at 100TB (lost filter pushdown, a
+broadcast that became a shuffle, an extra Exchange in the pyramid) fail
+fast at test time. SURVEY.md §4.2 lists the intended strategy per
+operator; these tests are that table, executable.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def Q():
+    return entrymod.queries()
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark, Q):
+    p = plan(Q["q01_scan_prune"](spark, SF_DIR))
+    assert "PushedFilters:" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1].split("\n")[0] or (
+        "IsNotNull(l_shipdate)" in p
+    )
+    # projection pruning: untouched wide columns never reach the scan
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_dim_join_broadcasts(spark, Q):
+    p = plan(Q["q03_broadcast_dim_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_orphans_plan_is_anti_join(spark, Q):
+    p = plan(Q["q05_orphan_customers"](spark, SF_DIR))
+    assert "LeftAnti" in p
+
+
+def test_pip_join_has_zero_shuffles(spark, images_df, regions):
+    from ariadne_spark.operators.pip import pip_join
+
+    p = plan(pip_join(images_df.drop("bytes"), regions, deepest_only=True))
+    # the central join is scan -> project -> MapInPandas: narrow plan
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_meta_scan_skips_bytes(spark, images_df):
+    p = plan(images_df.drop("bytes").select(F.col("image_id"), F.col("phash")))
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "bytes" not in read_schema
+
+
+def test_pyramid_is_two_shuffles(spark, images_df):
+    from ariadne_spark.operators.tiles import build_pyramid
+
+    p = plan(build_pyramid(images_df.drop("bytes"), max_z=8))
+    # raw->counts exchange + ancestors rollup exchange; AQE may add
+    # AQEShuffleRead wrappers but the Exchange operator count is 2
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges == 2, p
+
+
+def test_knn_salted_and_plain_same_plan_family(spark, images_df):
+    from ariadne_spark.operators.knn import knn_edges
+
+    meta = images_df.drop("bytes")
+    p = plan(knn_edges(meta, k=3, max_hamming=16))
+    # candidate join + top-k window both present; no cartesian anywhere
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
