@@ -75,6 +75,7 @@ def test_entry_smoke(spark):
         "x04_incremental_retile",
         "x05_orphan_reach",
         "x06_decode_invariants",
+        "x07_ann_lsh",
     ],
 )
 def test_engine_only_queries_run(spark, name):
