@@ -839,6 +839,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x07_ann_lsh"] = x07
 
+    # multimodal plumbing: audio decode + DSP features; video frame
+    # sampling via container index seek (engine-only: binary payloads
+    # synthesized distributedly; oracles are pure-python in tests/)
+    def x08(spark, sf):
+        from ariadne_spark.operators.multimodal import audio_df, extract_audio_features
+
+        return extract_audio_features(audio_df(spark, 500))
+
+    Q["x08_audio_features"] = x08
+
+    def x09(spark, sf):
+        from ariadne_spark.operators.multimodal import sample_frames, video_df
+
+        return sample_frames(video_df(spark, 500), every_k=4)
+
+    Q["x09_video_frame_sample"] = x09
+
     return Q
 
 

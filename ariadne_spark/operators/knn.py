@@ -44,8 +44,9 @@ def knn_edges(
     res: int = DEFAULT_RES,
     kring: int = 1,
     n_bands: int = 4,
-    salt: int = 1,
+    salt: int | str = 1,
     build_images: DataFrame | None = None,
+    salt_target_rows: int = 200_000,
 ) -> DataFrame:
     """-> (src_image_id, dst_image_id, hamming, rank, confidence).
 
@@ -59,7 +60,15 @@ def knn_edges(
     affected partitions as `images` and their k-ring superset as
     `build_images`, mirroring the reference's re-resolution over
     {file} ∪ dependents (`packages/core/src/project/project.ts:312`).
+
+    `salt='auto'` collects the cell histogram and picks the smallest
+    factor bounding the hottest cell at `salt_target_rows` rows — the
+    driver-side histogram-driven strategy decision of SURVEY.md §4.2.
     """
+    if salt == "auto":
+        from .skew import cell_histogram, choose_salt
+
+        salt = choose_salt(cell_histogram(images, res), salt_target_rows)
 
     def prep(df: DataFrame) -> DataFrame:
         base = df.select(

@@ -76,6 +76,8 @@ def test_entry_smoke(spark):
         "x05_orphan_reach",
         "x06_decode_invariants",
         "x07_ann_lsh",
+        "x08_audio_features",
+        "x09_video_frame_sample",
     ],
 )
 def test_engine_only_queries_run(spark, name):

@@ -1,0 +1,96 @@
+"""Multimodal plumbing tests: WAV round-trip, FVID frame seek, Spark
+feature extraction vs pure-python oracle, lineage_report sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ariadne_spark.functions.media import (
+    audio_features,
+    decode_fvid_frame,
+    decode_wav,
+    encode_fvid,
+    encode_wav,
+    fvid_meta,
+    synth_audio,
+    synth_video,
+)
+from ariadne_spark.operators.multimodal import (
+    audio_df,
+    extract_audio_features,
+    sample_frames,
+    video_df,
+)
+
+
+class TestCodecs:
+    def test_wav_roundtrip(self):
+        s = synth_audio(7)
+        back, rate = decode_wav(encode_wav(s))
+        assert rate == 8000
+        np.testing.assert_array_equal(back, s)
+
+    def test_wav_header_is_standard_riff(self):
+        blob = encode_wav(synth_audio(1))
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+
+    def test_fvid_frame_seek_exact(self):
+        frames = synth_video(3)
+        blob = encode_fvid(frames)
+        w, h, n = fvid_meta(blob)
+        assert (w, h, n) == (32, 24, len(frames))
+        for idx in (0, 3, len(frames) - 1):
+            np.testing.assert_array_equal(decode_fvid_frame(blob, idx), frames[idx])
+
+    def test_fvid_rejects_bad_frame(self):
+        blob = encode_fvid(synth_video(3))
+        with pytest.raises(AssertionError):
+            decode_fvid_frame(blob, 99)
+
+
+class TestSparkPlumbing:
+    def test_audio_features_match_oracle(self, spark):
+        n = 60
+        got = {r["audio_id"]: r for r in extract_audio_features(audio_df(spark, n, 4)).collect()}
+        assert len(got) == n
+        for i in (0, 17, 59):
+            s = synth_audio(i)
+            exp = audio_features(s, 8000)
+            r = got[f"aud_{i:08d}"]
+            assert abs(r["rms"] - exp["rms"]) < 1e-9
+            assert abs(r["spectral_centroid"] - exp["spectral_centroid"]) < 1e-9
+
+    def test_frame_sampling_decodes_only_requested(self, spark):
+        n = 40
+        rows = sample_frames(video_df(spark, n, 4), every_k=4).collect()
+        # 8 frames per video, every 4th -> frames 0 and 4
+        assert len(rows) == n * 2
+        assert {r["frame_idx"] for r in rows} == {0, 4}
+        # per-frame means match a direct decode
+        r0 = next(r for r in rows if r["video_id"] == "vid_00000005" and r["frame_idx"] == 4)
+        px = synth_video(5)[4]
+        assert abs(r0["mean_r"] - px[:, :, 0].mean()) < 1e-9
+
+    def test_generation_is_prefix_stable(self, spark):
+        a = {r["audio_id"]: bytes(r["wav"]) for r in audio_df(spark, 20, 2).collect()}
+        b = {r["audio_id"]: bytes(r["wav"]) for r in audio_df(spark, 10, 5).collect()}
+        for k, v in b.items():
+            assert a[k] == v
+
+
+def test_lineage_report(spark, tmp_path):
+    import numpy as np
+
+    from ariadne_spark.api import lineage_report
+    from ariadne_spark.operators.incremental import SpatialPipeline
+    from ariadne_spark.synth.images import IMAGES_SCHEMA, generate_rows
+    from ariadne_spark.synth.regions import generate_regions
+
+    p = SpatialPipeline(spark, str(tmp_path / "s"), generate_regions(), max_z=6)
+    pdf = generate_rows(np.arange(400)).to_pandas()
+    p.full_build(spark.createDataFrame(pdf, schema=IMAGES_SCHEMA).drop("bytes"))
+    rep = {r["stage"]: r for r in lineage_report(p.store).collect()}
+    assert {"pip", "knn", "tiles_fine", "tiles_coarse"} <= set(rep)
+    for r in rep.values():
+        assert r["n_partitions"] >= 1 and r["wall_ms_total"] > 0

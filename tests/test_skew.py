@@ -112,3 +112,8 @@ def test_salted_knn_equals_unsalted(spark, images_df):
         for r in knn_edges(meta, k=3, max_hamming=16, salt=salt).collect()
     }
     assert salted == plain
+    auto = {
+        (r["src_image_id"], r["dst_image_id"], r["hamming"], r["rank"])
+        for r in knn_edges(meta, k=3, max_hamming=16, salt="auto", salt_target_rows=300).collect()
+    }
+    assert auto == plain
