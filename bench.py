@@ -28,6 +28,11 @@ import os
 import sys
 import time
 
+# one BLAS thread per python worker (workers inherit this env in local
+# mode): N workers x 32-thread OpenBLAS pools oversubscribe the host
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
