@@ -701,6 +701,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q32_sessionize"] = q32
 
+    # A7 — explicit ROLLUP with grouping_id (the materialized-pyramid
+    # concept as a single relational operator)
+    def q33(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.grouping_id().alias("gid"),
+            )
+        )
+
+    Q["q33_rollup_grouping"] = q33
+
     # ----- engine-only operators (rows-only driver check; pytest-verified
     # against pure-python oracles in tests/test_operators.py) -----
 
@@ -855,6 +870,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sample_frames(video_df(spark, 500), every_k=4)
 
     Q["x09_video_frame_sample"] = x09
+
+    # raster -> vector round-trip (north rule): decode each rendered
+    # tile, re-extract the occupied-bin set, compare to the bin set
+    # computed from raw points; bins_match must be all-true and PSNR
+    # infinite (png) — the call-graph <-> source fidelity analog
+    def x10(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.tiles import rasterize_tiles, roundtrip_check
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 2000)
+        images = spark.read.parquet(f"{d}/images.parquet")
+        tiles = rasterize_tiles(images, 4, fmt="png")
+        return roundtrip_check(tiles, images, 4, fmt="png")
+
+    Q["x10_tile_roundtrip"] = x10
 
     return Q
 
@@ -1124,6 +1157,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(l_quantity AS BIGINT)) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "q33_rollup_grouping": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   GROUPING(l_returnflag, l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q32_sessionize": """
             SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM (

@@ -131,7 +131,9 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir).replace("sf", ""))
     except ValueError:
         sf = 0.1
-    n_images = max(int(400_000 * sf), 2_000)
+    # large enough that per-stage fixed overheads (~1-2s) amortize:
+    # at sf0.1 the pipeline runs 200k images (~60-90s on 32 threads)
+    n_images = max(int(2_000_000 * sf), 2_000)
 
     os.makedirs(CACHE_DIR, exist_ok=True)
     spark = get_spark(

@@ -78,6 +78,7 @@ def test_entry_smoke(spark):
         "x07_ann_lsh",
         "x08_audio_features",
         "x09_video_frame_sample",
+        "x10_tile_roundtrip",
     ],
 )
 def test_engine_only_queries_run(spark, name):
@@ -88,3 +89,8 @@ def test_engine_only_queries_run(spark, name):
 def test_incremental_retile_all_equal(spark):
     rows = QUERIES["x04_incremental_retile"](spark, SF_DIR).collect()
     assert rows and all(r["equal"] for r in rows)
+
+
+def test_tile_roundtrip_all_match(spark):
+    rows = QUERIES["x10_tile_roundtrip"](spark, SF_DIR).collect()
+    assert rows and all(r["bins_match"] for r in rows)

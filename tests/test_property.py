@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) — the analog of the reference's
+`persistence.property.test.ts` round-trip invariants: codecs must be
+lossless (png/wav) or bounded-error (fjpg), and grid algebra must obey
+containment laws for ALL inputs, not just fixture rows."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ariadne_spark.functions import cells, codecs, media
+
+dims = st.integers(min_value=1, max_value=40)
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1))
+def test_png_roundtrip_lossless(w, h, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1))
+def test_fjpg_bounded_error_and_psnr(w, h, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    back = codecs.decode_fjpg(codecs.encode_fjpg(px))
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 3
+    # exact zeros stay zero (occupancy-preserving)
+    assert not back[px == 0].any()
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 5000), seed=st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_lossless(n, seed):
+    s = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, n)
+        .astype(np.int16)
+    )
+    back, rate = media.decode_wav(media.encode_wav(s))
+    np.testing.assert_array_equal(back, s)
+    assert rate == media.WAV_RATE
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lon=st.integers(0, cells.LON_SPAN - 1),
+    lat=st.integers(0, cells.LAT_SPAN - 1),
+    res=st.integers(1, cells.MAX_RES),
+)
+def test_cell_parent_containment_law(lon, lat, res):
+    """parent(encode(p, res)) == encode(p, res-1) for every point/res —
+    the closed-form containment that replaces the reference's geometric
+    scope-tree build."""
+    lon_a, lat_a = np.array([lon]), np.array([lat])
+    child = cells.np_cell_encode(lon_a, lat_a, res)
+    parent_direct = cells.np_cell_encode(lon_a, lat_a, res - 1)
+    assert cells.np_cell_parent(child, 1)[0] == parent_direct[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lon=st.integers(0, cells.LON_SPAN - 1),
+    lat=st.integers(0, cells.LAT_SPAN - 1),
+    res=st.integers(0, cells.MAX_RES),
+    steps=st.integers(1, 6),
+)
+def test_cell_multistep_parent(lon, lat, res, steps):
+    steps = min(steps, res)
+    if steps == 0:
+        return
+    lon_a, lat_a = np.array([lon]), np.array([lat])
+    child = cells.np_cell_encode(lon_a, lat_a, res)
+    expect = cells.np_cell_encode(lon_a, lat_a, res - steps)
+    assert cells.np_cell_parent(child, steps)[0] == expect[0]
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_frames=st.integers(1, 12))
+def test_fvid_seek_equals_sequential(seed, n_frames):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (10, 12, 3), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    blob = media.encode_fvid(frames)
+    for i in range(n_frames):
+        np.testing.assert_array_equal(media.decode_fvid_frame(blob, i), frames[i])
