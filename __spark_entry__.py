@@ -889,6 +889,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x10_tile_roundtrip"] = x10
 
+    # adaptive H3-resolution split (north rule skew handling): dense
+    # cells refine to children until bounded; returns the (res, cell, n)
+    # histogram — deterministic across partitionings (pytest-oracled)
+    def x11(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.skew import adaptive_split, split_histogram
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 3000)
+        images = spark.read.parquet(f"{d}/images.parquet").drop("bytes")
+        return split_histogram(adaptive_split(images, 3, 7, 200))
+
+    Q["x11_adaptive_split"] = x11
+
     return Q
 
 

@@ -79,6 +79,7 @@ def test_entry_smoke(spark):
         "x08_audio_features",
         "x09_video_frame_sample",
         "x10_tile_roundtrip",
+        "x11_adaptive_split",
     ],
 )
 def test_engine_only_queries_run(spark, name):
