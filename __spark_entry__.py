@@ -716,6 +716,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q33_rollup_grouping"] = q33
 
+    # J1/J4 — full containment CHAIN (deepest_only=False semantics):
+    # every enclosing region per point, ordered by depth — the scope
+    # ancestor path analog
+    def q34(spark, sf):
+        g = _docs_geo(spark, sf)
+        n = _t(spark, sf, "nation")
+        box = derive.region_box_cols(F.col("n_nationkey"))
+        regions = n.select(
+            "n_nationkey",
+            box["depth"].alias("depth"),
+            box["xmin"].alias("xmin"),
+            box["xmax"].alias("xmax"),
+            box["ymin"].alias("ymin"),
+            box["ymax"].alias("ymax"),
+        )
+        return g.join(
+            F.broadcast(regions),
+            (F.col("lon_u") >= F.col("xmin"))
+            & (F.col("lon_u") <= F.col("xmax"))
+            & (F.col("lat_u") >= F.col("ymin"))
+            & (F.col("lat_u") <= F.col("ymax")),
+        ).select("doc_id", F.col("n_nationkey").alias("region_key"), "depth")
+
+    Q["q34_pip_chain"] = q34
+
+    # J12/cells — k-ring neighbor expansion (x wraps, y clamps), counts
+    # per neighbor cell at res 6
+    def q35(spark, sf):
+        res = 6
+        nside = 1 << res
+        g = _docs_geo(spark, sf)
+        x = cells.cell_x(F.col("lon_u"), res)
+        y = cells.cell_y(F.col("lat_u"), res)
+        offs = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in cells.kring_offsets(1)
+            ]
+        )
+        e = g.select(x.alias("x"), y.alias("y"), F.explode(offs).alias("o"))
+        nx = (F.col("x") + F.col("o.dx") + F.lit(nside)) % F.lit(nside)
+        ny = F.col("y") + F.col("o.dy")
+        return (
+            e.where((ny >= 0) & (ny < nside))
+            .select(cells.pack_cell(res, nx, ny).alias("neighbor_cell"))
+            .groupBy("neighbor_cell")
+            .agg(F.count("*").alias("n"))
+        )
+
+    Q["q35_kring_counts"] = q35
+
+    # F — Morton/Z-order key (bit interleave) of the res-8 cell
+    def q36(spark, sf):
+        g = _docs_geo(spark, sf)
+        c8 = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8)
+        return g.select("doc_id", cells.morton_key(c8, bits=8).alias("morton"))
+
+    Q["q36_morton_key"] = q36
+
     # ----- engine-only operators (rows-only driver check; pytest-verified
     # against pure-python oracles in tests/test_operators.py) -----
 
@@ -1173,6 +1232,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(l_quantity AS BIGINT)) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "q34_pip_chain": f"""
+            WITH g AS ({geo}),
+            r AS (SELECT n_nationkey, {box['depth']} AS depth,
+                         {box['xmin']} AS xmin, {box['xmax']} AS xmax,
+                         {box['ymin']} AS ymin, {box['ymax']} AS ymax
+                  FROM nation)
+            SELECT g.doc_id, r.n_nationkey AS region_key, r.depth
+            FROM g JOIN r
+              ON g.lon_u >= r.xmin AND g.lon_u <= r.xmax
+             AND g.lat_u >= r.ymin AND g.lat_u <= r.ymax
+        """,
+        "q35_kring_counts": f"""
+            WITH g AS ({geo}),
+            c AS (SELECT {cells.sql_cell_x('lon_u', 6)} AS x,
+                         {cells.sql_cell_y('lat_u', 6)} AS y FROM g),
+            o(dx, dy) AS (VALUES {", ".join(f"({dx}, {dy})" for dx, dy in cells.kring_offsets(1))}),
+            e AS (SELECT (x + dx + 64) % 64 AS nx, y + dy AS ny
+                  FROM c CROSS JOIN o)
+            SELECT {cells.sql_pack_cell(6, 'nx', 'ny')} AS neighbor_cell,
+                   count(*) AS n
+            FROM e WHERE ny >= 0 AND ny < 64 GROUP BY 1
+        """,
+        "q36_morton_key": f"""
+            WITH g AS ({geo}),
+            c AS (SELECT doc_id, {cells.sql_cell_x('lon_u', 8)} AS x,
+                         {cells.sql_cell_y('lat_u', 8)} AS y FROM g)
+            SELECT doc_id,
+                   ({" + ".join(f"((x >> {b}) & 1) * {1 << (2 * b + 1)} + ((y >> {b}) & 1) * {1 << (2 * b)}" for b in range(8))})
+                       AS morton
+            FROM c
         """,
         "q33_rollup_grouping": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
