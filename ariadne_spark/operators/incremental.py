@@ -81,6 +81,7 @@ class SpatialPipeline:
         knn_k: int = 5,
         max_hamming: int = 16,
         knn_res: int = 5,
+        knn_salt: int | str = 1,
     ):
         assert knn_res > PREFIX_RES, "knn cells must be finer than partitions"
         self.spark = spark
@@ -91,6 +92,9 @@ class SpatialPipeline:
         self.knn_k = knn_k
         self.max_hamming = max_hamming
         self.knn_res = knn_res
+        # 'auto' = histogram-driven salt per run (skew.choose_salt);
+        # results are salt-invariant (tests/test_skew.py)
+        self.knn_salt = knn_salt
 
     # -- helpers -----------------------------------------------------------
 
@@ -146,6 +150,7 @@ class SpatialPipeline:
             max_hamming=self.max_hamming,
             res=self.knn_res,
             build_images=build,
+            salt=self.knn_salt,
         ).join(
             probe.select(F.col("image_id").alias("src_image_id"), "lon_u", "lat_u"),
             "src_image_id",
