@@ -775,6 +775,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q36_morton_key"] = q36
 
+    # dedup (MinHash LSH) — banded candidate pairs: 4-hash signatures in
+    # 2 bands of 2; a pair is a candidate if ANY band matches, reported
+    # once under its first matching band (the same first-match dedup
+    # as the phash kNN operator — zero extra shuffles)
+    def q37(spark, sf):
+        d = _t(spark, sf, "documents")
+        sig = d.select(
+            "doc_id",
+            *[
+                F.array_min(_gram_hash_col(*p)).alias(f"mh{i}")
+                for i, p in enumerate(MINHASH_PARAMS)
+            ],
+        )
+        a = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+        b = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+        band0 = (F.col("a_mh0") == F.col("b_mh0")) & (F.col("a_mh1") == F.col("b_mh1"))
+        band1 = (F.col("a_mh2") == F.col("b_mh2")) & (F.col("a_mh3") == F.col("b_mh3"))
+        p0 = (
+            a.join(b, (F.col("a_mh0") == F.col("b_mh0")) & (F.col("a_mh1") == F.col("b_mh1")))
+            .where(F.col("a_doc_id") < F.col("b_doc_id"))
+            .select(
+                F.col("a_doc_id").alias("a"),
+                F.col("b_doc_id").alias("b"),
+                F.lit(0).alias("band"),
+            )
+        )
+        p1 = (
+            a.join(b, (F.col("a_mh2") == F.col("b_mh2")) & (F.col("a_mh3") == F.col("b_mh3")))
+            .where((F.col("a_doc_id") < F.col("b_doc_id")) & ~band0)
+            .select(
+                F.col("a_doc_id").alias("a"),
+                F.col("b_doc_id").alias("b"),
+                F.lit(1).alias("band"),
+            )
+        )
+        return p0.unionByName(p1)
+
+    Q["q37_minhash_lsh_pairs"] = q37
+
+    # dedup (embedding-cosine near-dup) — pairs with quantized dot >=
+    # 900000 (~cosine 0.9 on unit vectors); broadcast-matmul mapInPandas
+    # (same plan family as q21), exact integer arithmetic
+    def q38(spark, sf):
+        import numpy as np
+        import pandas as pd
+
+        e = _t(spark, sf, "embeddings")
+        qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+        base = e.select("vec_id", qv.alias("q"))
+        rows = base.orderBy("vec_id").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.stack([np.array(r["q"], dtype=np.int64) for r in rows])
+        bc = spark.sparkContext.broadcast((ids, mat))
+        THRESH = 900_000
+
+        def pairs(iterator):
+            c_ids, c_mat = bc.value
+            for pdf in iterator:
+                src = pdf["vec_id"].to_numpy(dtype=np.int64)
+                q = np.stack([np.array(v, dtype=np.int64) for v in pdf["q"]])
+                dots = q @ c_mat.T
+                out_a, out_b, out_d = [], [], []
+                for i in range(len(src)):
+                    mask = (c_ids > src[i]) & (dots[i] >= THRESH)
+                    out_a.extend([src[i]] * int(mask.sum()))
+                    out_b.extend(c_ids[mask].tolist())
+                    out_d.extend(dots[i][mask].tolist())
+                yield pd.DataFrame({"a": out_a, "b": out_b, "dot_q": out_d})
+
+        return base.mapInPandas(pairs, "a long, b long, dot_q long")
+
+    Q["q38_embedding_neardup"] = q38
+
     # ----- engine-only operators (rows-only driver check; pytest-verified
     # against pure-python oracles in tests/test_operators.py) -----
 
@@ -1263,6 +1336,32 @@ def oracle_sql() -> dict[str, str]:
                    ({" + ".join(f"((x >> {b}) & 1) * {1 << (2 * b + 1)} + ((y >> {b}) & 1) * {1 << (2 * b)}" for b in range(8))})
                        AS morton
             FROM c
+        """,
+        "q37_minhash_lsh_pairs": f"""
+            WITH s AS (SELECT doc_id, {mh} FROM documents),
+            p0 AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, 0 AS band
+              FROM s a JOIN s b
+                ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id),
+            p1 AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, 1 AS band
+              FROM s a JOIN s b
+                ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+              WHERE NOT (a.mh0 = b.mh0 AND a.mh1 = b.mh1))
+            SELECT a, b, band FROM p0
+            UNION ALL
+            SELECT a, b, band FROM p1
+        """,
+        "q38_embedding_neardup": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+            FROM q a JOIN q b ON a.vec_id < b.vec_id
+            WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 900000
         """,
         "q33_rollup_grouping": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
