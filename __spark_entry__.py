@@ -915,7 +915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def modified(ids, shift=777):
             pdf = generate_rows(ids + shift).to_pandas().drop(columns=["bytes"])
             pdf["image_id"] = [f"img_{int(i):08d}" for i in ids]
-            return spark.createDataFrame(pdf)
+            # explicit schema: without it w/h infer as int64 and the
+            # update snapshot's parquet drifts from the full build's int32
+            fields = [
+                f for f in IMAGES_SCHEMA.split(", ") if not f.startswith("bytes ")
+            ]
+            cols = [f.split(" ")[0] for f in fields]
+            return spark.createDataFrame(pdf[cols], schema=", ".join(fields))
 
         d = tempfile.mkdtemp()
         regions = generate_regions()
@@ -1066,7 +1072,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_scan_prune": """
             SELECT l_returnflag, count(*) AS n_rows,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-06-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -1074,23 +1081,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q02_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT)
                         * (1000 - CAST(round(l_discount * 1000) AS BIGINT))) AS BIGINT))
-                       AS sum_disc_milli,
+                        AS BIGINT) AS sum_disc_milli,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "q03_broadcast_dim_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "q04_multihop_chain": """
             SELECT r_name, count(*) AS n_items,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1183,7 +1193,8 @@ def oracle_sql() -> dict[str, str]:
               FROM g GROUP BY 2, 3)
             SELECT z, tx, ty, n_points FROM z6
             UNION ALL
-            SELECT 3 AS z, tx >> 3 AS tx, ty >> 3 AS ty, sum(n_points) AS n_points
+            SELECT 3 AS z, tx >> 3 AS tx, ty >> 3 AS ty,
+                   CAST(sum(n_points) AS BIGINT) AS n_points
             FROM z6 GROUP BY 2, 3
         """,
         "q16_knn_orphans": f"""
@@ -1237,8 +1248,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_token_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(length(text) - length(replace(text, ' ', '')) + 1) AS sum_words,
-                   sum(CAST(n_chars AS BIGINT)) AS sum_chars
+                   CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                        AS BIGINT) AS sum_words,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "q23_quality_score": """
@@ -1302,7 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q31_salted_skew_join": """
             SELECT o_orderpriority, count(*) AS n_items,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
@@ -1365,13 +1377,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q33_rollup_grouping": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    GROUPING(l_returnflag, l_linestatus) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q32_sessionize": """
-            SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM (
+            SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events FROM (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                IS NULL

@@ -75,38 +75,42 @@ def ann_topk(
     buckets = _bucket_udf(planes)
 
     qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
-    base = embeddings.select(
+    # candidate generation ships ONLY (vec_id, table_id, bucket) through
+    # the bucket self-join — the full int64 vectors (dim×8 B each) are
+    # joined back AFTER pair dedup, cutting candidate-shuffle bytes by
+    # ~2·dim·8 per pair
+    bucketed = embeddings.select(
         F.col("vec_id"),
-        qv.alias("q"),
         F.posexplode(buckets(F.col("embedding"))).alias("table_id", "bucket"),
     )
+    a = bucketed.select(F.col("vec_id").alias("src"), "table_id", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("dst"), "table_id", "bucket")
 
-    a = base.select(
-        F.col("vec_id").alias("src"), F.col("q").alias("qa"), "table_id", "bucket"
-    )
-    b = base.select(
-        F.col("vec_id").alias("dst"), F.col("q").alias("qb"), "table_id", "bucket"
+    # dedup pairs colliding in multiple tables via min(table_id) — a
+    # groupBy on the pair key with map-side partial agg (deterministic;
+    # the table id itself is then dropped). Candidate sets are LSH-small,
+    # so this shuffle is bounded by collisions, not n^2.
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("table_id").alias("first_table"))
+        .drop("first_table")
     )
 
+    vecs = embeddings.select("vec_id", qv.alias("q"))
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-
-    pairs = (
-        a.join(b, ["table_id", "bucket"])
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", "qa", "qb", "table_id")
-    )
-    # first-match-table dedup needs per-pair knowledge of earlier-table
-    # collisions; recomputing table buckets JVM-side is not possible (the
-    # projection is in the UDF), so dedup via min(table_id) — a groupBy
-    # on the pair key with map-side partial agg. Candidate sets are
-    # LSH-small, so this shuffle is bounded by collisions, not n^2.
     ranked = (
-        pairs.groupBy("src", "dst")
-        .agg(F.first("qa").alias("qa"), F.first("qb").alias("qb"))
+        cand.join(
+            vecs.select(F.col("vec_id").alias("src"), F.col("q").alias("qa")), "src"
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb")), "dst"
+        )
         .select("src", "dst", dot.alias("dot_q"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("dot_q"), F.col("dst"))

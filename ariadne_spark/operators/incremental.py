@@ -108,6 +108,15 @@ class SpatialPipeline:
         table = stage
         if self.store.current_snapshot_id(table) is None:
             self.store.write_table(out_df, table, "pk")
+        elif keys is None:
+            # full rebuild over an existing table: replace ALL prior
+            # partitions, not just those present in the new output —
+            # otherwise a shrunken/shifted input leaves orphaned
+            # partitions from the previous snapshot
+            prior = self.store.manifest(table)
+            self.store.overwrite_partitions(
+                out_df, table, "pk", keys=sorted(prior.partitions)
+            )
         else:
             self.store.overwrite_partitions(out_df, table, "pk", keys=keys)
         wall = (time.perf_counter() - t0) * 1000
@@ -138,11 +147,18 @@ class SpatialPipeline:
             build = None
             affected = None
         else:
-            affected = prefix_ring(keys, 1)
             m = self.store.manifest("images_indexed")
-            affected = [k for k in affected if k in m.partitions]
-            build_keys = [k for k in prefix_ring(affected, 1) if k in m.partitions]
-            probe = self.store.read("images_indexed", keys=affected)
+            ring = prefix_ring(keys, 1)
+            # read scope: only partitions that still exist
+            existing = [k for k in ring if k in m.partitions]
+            # commit scope must ALSO include changed partitions that were
+            # fully emptied by the update (no longer in the manifest) so
+            # their stale knn edges are deleted — dropping them from the
+            # overwrite key list would break the incremental==cold-build
+            # fingerprint contract
+            affected = sorted(set(existing) | set(keys))
+            build_keys = [k for k in prefix_ring(existing, 1) if k in m.partitions]
+            probe = self.store.read("images_indexed", keys=existing)
             build = self.store.read("images_indexed", keys=build_keys)
         out = knn_edges(
             probe,

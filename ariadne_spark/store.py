@@ -94,6 +94,20 @@ def partition_summary(df: DataFrame, key: str) -> dict[str, dict]:
     return out
 
 
+def _atomic_write(path: str, content: str) -> None:
+    """Write-to-temp + rename: atomic on POSIX, so a crash mid-write can
+    never leave a truncated file at `path` (the commit point is the
+    rename). Single-writer store: concurrent writers are NOT supported
+    (no catalog-level CAS here; a real deployment swaps this layer for
+    Iceberg's optimistic-commit catalog)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
+
+
 class SnapshotStore:
     """Versioned partitioned tables + lineage log under one root dir."""
 
@@ -108,13 +122,27 @@ class SnapshotStore:
     def _manifest_path(self, table: str, snapshot_id: int) -> str:
         return f"{self.root}/manifests/{table}.{snapshot_id}.json"
 
+    def _head_path(self, table: str) -> str:
+        return f"{self.root}/manifests/{table}.HEAD"
+
     def current_snapshot_id(self, table: str) -> int | None:
-        ids = [
-            int(f.rsplit(".", 2)[-2])
-            for f in os.listdir(f"{self.root}/manifests")
-            if f.startswith(f"{table}.") and f.endswith(".json")
-        ]
-        return max(ids) if ids else None
+        """Resolve HEAD from the single pointer file (commit point). A
+        manifest file without a HEAD update is an uncommitted snapshot
+        and is ignored — so a crash between data/manifest write and the
+        HEAD rename leaves the previous snapshot fully readable."""
+        head = self._head_path(table)
+        if os.path.exists(head):
+            with open(head) as fh:
+                return int(fh.read().strip())
+        return None
+
+    def _commit(self, m: Manifest) -> None:
+        """Two-step atomic commit: manifest json first, then the HEAD
+        pointer rename (the actual commit). Data files were already
+        written; partial data writes are harmless because nothing
+        references them until HEAD moves."""
+        _atomic_write(self._manifest_path(m.table, m.snapshot_id), m.to_json())
+        _atomic_write(self._head_path(m.table), str(m.snapshot_id))
 
     def manifest(self, table: str, snapshot_id: int | None = None) -> Manifest | None:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
@@ -124,6 +152,26 @@ class SnapshotStore:
             return Manifest.from_json(fh.read())
 
     # -- writes ------------------------------------------------------------
+
+    def _conform(self, df: DataFrame, schema_json: str | None) -> DataFrame:
+        """Cast an incoming frame to the table's committed schema — the
+        fixed-schema discipline of the reference's compile-time record
+        types (`packages/types/src/symbol_definitions.ts:236-248`).
+        Without this, two snapshots of one table can carry different
+        physical parquet types (int32 vs int64 `w`) and a multi-path
+        read fails or succeeds depending on which file schema inference
+        samples first."""
+        if not schema_json:
+            return df
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(json.loads(schema_json))
+        want = [f.name for f in target.fields]
+        assert set(df.columns) == set(want), (
+            f"schema drift: incoming columns {sorted(df.columns)} "
+            f"vs table schema {sorted(want)}"
+        )
+        return df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
 
     def _write_partition_data(self, df: DataFrame, table: str, key: str, sid: int) -> str:
         """Write df (all partitions it contains) under a fresh version dir;
@@ -142,16 +190,20 @@ class SnapshotStore:
         return vdir
 
     def write_table(self, df: DataFrame, table: str, key: str) -> int:
-        """Full write -> snapshot 0 (or next id if the table exists)."""
+        """Full write -> snapshot 0 (or next id if the table exists).
+        Re-snapshots of an existing table are cast to its committed
+        schema so physical types never drift across snapshots."""
         prev = self.current_snapshot_id(table)
         sid = 0 if prev is None else prev + 1
+        if prev is not None:
+            prev_m = self.manifest(table, prev)
+            df = self._conform(df, prev_m.schema_json if prev_m else None)
         summary = partition_summary(df, key)
         vdir = self._write_partition_data(df, table, key, sid)
         m = Manifest(table, sid, prev, schema_json=df.schema.json())
         for k, s in summary.items():
             m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
-        with open(self._manifest_path(table, sid), "w") as fh:
-            fh.write(m.to_json())
+        self._commit(m)
         return sid
 
     def overwrite_partitions(
@@ -165,6 +217,7 @@ class SnapshotStore:
         for them (the `remove_file` path, `project.ts:402-467`)."""
         prev_m = self.manifest(table)
         assert prev_m is not None, f"table {table} has no snapshot yet"
+        df = self._conform(df, prev_m.schema_json)
         sid = prev_m.snapshot_id + 1
         summary = partition_summary(df, key)
         vdir = self._write_partition_data(df, table, key, sid)
@@ -176,8 +229,7 @@ class SnapshotStore:
             m.partitions.pop(k, None)
         for k, s in summary.items():
             m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
-        with open(self._manifest_path(table, sid), "w") as fh:
-            fh.write(m.to_json())
+        self._commit(m)
         return sid
 
     # -- reads -------------------------------------------------------------

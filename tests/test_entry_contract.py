@@ -48,6 +48,14 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # dtype-kind-strict: the driver hashes serialized values, so an
+        # int64 Spark column vs a HUGEINT→float64/object oracle column
+        # hash-mismatches even when values are equal (round-1 failure
+        # class). Integer width differences (int32 vs int64) serialize
+        # identically and are fine; kind changes are not.
+        ak = "i" if av.dtype.kind == "u" else av.dtype.kind
+        bk = "i" if bv.dtype.kind == "u" else bv.dtype.kind
+        assert ak == bk, f"{name}.{c}: dtype {av.dtype} vs {bv.dtype}"
         assert (av == bv).all(), (
             f"{name}.{c}: first diff at "
             f"{[(x, y) for x, y in zip(av, bv) if x != y][:3]}"

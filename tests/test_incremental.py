@@ -191,6 +191,76 @@ def test_delete_entire_partition(spark, tmp_path_factory):
     m2 = p.store.manifest("images_indexed")
     assert victim not in m2.partitions
     assert victim not in p.store.manifest("pip").partitions
+    # knn is the table where stale edges from an emptied partition can
+    # survive (the overwrite key list must include emptied partitions)
+    assert victim not in p.store.manifest("knn").partitions
+    assert victim not in p.store.manifest("tiles_fine").partitions
+    # and the full contract: incremental result == cold build of the
+    # post-delete input
+    survivors = np.array(
+        [i for i in range(800) if f"img_{i:08d}" not in set(ids)], dtype=np.int64
+    )
+    ref = _pipeline(spark, tmp, "ref")
+    ref.full_build(_images(spark, survivors))
+    assert p.table_fingerprints() == ref.table_fingerprints()
+
+
+def test_store_enforces_committed_schema(spark, tmp_path_factory):
+    """Two snapshots of one table must not drift in physical types: an
+    int64 frame written over an int32 table is cast on write, so a
+    multi-path read never hits parquet int32/int64 conversion errors
+    (the round-1 x04 failure class)."""
+    tmp = tmp_path_factory.mktemp("schema")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    df32 = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "id string, pk int, w int"
+    )
+    store.write_table(df32, "t", "pk")
+    df64 = spark.createDataFrame([("c", 1, 30)], "id string, pk long, w long")
+    store.overwrite_partitions(df64, "t", "pk")
+    out = store.read("t")
+    assert dict(out.dtypes)["w"] == "int"
+    assert {r["id"] for r in out.collect()} == {"b", "c"}
+    # full re-snapshot via write_table is conformed too
+    store.write_table(df64, "t", "pk")
+    assert dict(store.read("t").dtypes)["w"] == "int"
+
+
+def test_crash_before_head_commit_leaves_old_snapshot_readable(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Kill between the data/manifest write and the HEAD pointer rename:
+    the table must still resolve to the previous snapshot and read
+    cleanly (manifests commit last; HEAD move is the commit point)."""
+    import ariadne_spark.store as store_mod
+
+    tmp = tmp_path_factory.mktemp("crash")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, pk int")
+    store.write_table(df, "t", "pk")
+
+    real = store_mod._atomic_write
+
+    def crash_on_head(path, content):
+        if path.endswith(".HEAD") and content == "1":
+            raise RuntimeError("injected crash before commit")
+        real(path, content)
+
+    monkeypatch.setattr(store_mod, "_atomic_write", crash_on_head)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.overwrite_partitions(
+            spark.createDataFrame([("c", 1)], "id string, pk int"), "t", "pk"
+        )
+    monkeypatch.setattr(store_mod, "_atomic_write", real)
+
+    assert store.current_snapshot_id("t") == 0
+    assert {r["id"] for r in store.read("t").collect()} == {"a", "b"}
+    # and the next write commits cleanly over the orphaned attempt
+    store.overwrite_partitions(
+        spark.createDataFrame([("d", 1)], "id string, pk int"), "t", "pk"
+    )
+    assert store.current_snapshot_id("t") == 1
+    assert {r["id"] for r in store.read("t").collect()} == {"b", "d"}
 
 
 def test_prefix_ring_wraps_and_clamps():
