@@ -416,23 +416,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q17_dedup_exact"] = q17
 
-    # dedup (near, set-Jaccard): letter-set jaccard >= 0.9 within lang
+    # dedup (near, set-Jaccard): letter-set jaccard >= 0.9 within lang.
+    # Spark side is the BANDED subquadratic operator (pigeonhole over 3
+    # mask bands, 100% recall at this threshold — operators/dedup.py);
+    # the oracle keeps the all-pairs form, so the driver verifies the
+    # scale path against exact O(n^2) semantics.
     def q18(spark, sf):
+        from ariadne_spark.operators.dedup import jaccard_neardup_banded
+
         d = _t(spark, sf, "documents").select(
             "doc_id", "lang", _letter_mask_col().alias("mask")
         )
-        a = d.select(F.col("doc_id").alias("a"), F.col("lang"), F.col("mask").alias("ma"))
-        b = d.select(F.col("doc_id").alias("b"), F.col("lang"), F.col("mask").alias("mb"))
-        inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
-        union = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
-        # floor division in BOTH engines (DuckDB CAST(double) would round)
-        j1000 = F.floor((inter * F.lit(1000)) / union).cast("long")
-        return (
-            a.join(b, "lang")
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b", j1000.alias("j1000"))
-            .where(F.col("j1000") >= 900)
-        )
+        return jaccard_neardup_banded(d, threshold_milli=900)
 
     Q["q18_jaccard_neardup"] = q18
 
@@ -470,45 +465,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # similarity — exact top-3 by quantized dot product (cosine:
     # embeddings are unit-norm), deterministic tie-break on dst.
-    # Physical plan: broadcast the (n x dim) int64 corpus matrix, then
-    # ONE mapInPandas pass does a batch matmul per Arrow batch and emits
-    # each row's top-3 directly — no crossJoin, no n^2 shuffle, no
-    # window (the JVM higher-order-function dot over 4M pairs measured
-    # 34s; this is ~2s). Same integer arithmetic as the DuckDB oracle.
+    # Physical plan: distributed block-matmul (operators/exact_sim.py) —
+    # probe/corpus rows replicated to data-derived block pairs, one numpy
+    # matmul per (pb, cb) group in applyInPandas, final window merges
+    # per-block top-ks. Exact, and no driver-side collect of the corpus
+    # (the round-1 plan broadcast a driver-collected matrix: hard driver
+    # memory ceiling). ann_topk (x07) remains the subquadratic path.
     def q21(spark, sf):
-        import numpy as np
-        import pandas as pd
+        from ariadne_spark.operators.exact_sim import exact_topk
 
-        e = _t(spark, sf, "embeddings")
-        qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
-        base = e.select("vec_id", qv.alias("q"))
-        rows = base.orderBy("vec_id").collect()
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = np.stack([np.array(r["q"], dtype=np.int64) for r in rows])
-        bc = spark.sparkContext.broadcast((ids, mat))
-
-        def topk(iterator):
-            c_ids, c_mat = bc.value
-            for pdf in iterator:
-                src = pdf["vec_id"].to_numpy(dtype=np.int64)
-                q = np.stack([np.array(v, dtype=np.int64) for v in pdf["q"]])
-                dots = q @ c_mat.T  # exact int64
-                out_src, out_dst, out_dot, out_rank = [], [], [], []
-                for i in range(len(src)):
-                    d = dots[i]
-                    mask = c_ids != src[i]
-                    order = np.lexsort((c_ids[mask], -d[mask]))[:3]
-                    sel_ids = c_ids[mask][order]
-                    sel_dots = d[mask][order]
-                    out_src.extend([src[i]] * len(order))
-                    out_dst.extend(sel_ids.tolist())
-                    out_dot.extend(sel_dots.tolist())
-                    out_rank.extend(range(1, len(order) + 1))
-                yield pd.DataFrame(
-                    {"src": out_src, "dst": out_dst, "dot_q": out_dot, "rank": out_rank}
-                )
-
-        return base.mapInPandas(topk, "src long, dst long, dot_q long, rank int")
+        return exact_topk(_t(spark, sf, "embeddings"), k=3)
 
     Q["q21_embedding_topk"] = q21
 
@@ -815,36 +781,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["q37_minhash_lsh_pairs"] = q37
 
     # dedup (embedding-cosine near-dup) — pairs with quantized dot >=
-    # 900000 (~cosine 0.9 on unit vectors); broadcast-matmul mapInPandas
-    # (same plan family as q21), exact integer arithmetic
+    # 900000 (~cosine 0.9 on unit vectors); distributed block-matmul
+    # (same plan family as q21 — no driver collect), exact integer
+    # arithmetic; a<b orientation lands each pair in exactly one block
     def q38(spark, sf):
-        import numpy as np
-        import pandas as pd
+        from ariadne_spark.operators.exact_sim import exact_neardup_pairs
 
-        e = _t(spark, sf, "embeddings")
-        qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
-        base = e.select("vec_id", qv.alias("q"))
-        rows = base.orderBy("vec_id").collect()
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = np.stack([np.array(r["q"], dtype=np.int64) for r in rows])
-        bc = spark.sparkContext.broadcast((ids, mat))
-        THRESH = 900_000
-
-        def pairs(iterator):
-            c_ids, c_mat = bc.value
-            for pdf in iterator:
-                src = pdf["vec_id"].to_numpy(dtype=np.int64)
-                q = np.stack([np.array(v, dtype=np.int64) for v in pdf["q"]])
-                dots = q @ c_mat.T
-                out_a, out_b, out_d = [], [], []
-                for i in range(len(src)):
-                    mask = (c_ids > src[i]) & (dots[i] >= THRESH)
-                    out_a.extend([src[i]] * int(mask.sum()))
-                    out_b.extend(c_ids[mask].tolist())
-                    out_d.extend(dots[i][mask].tolist())
-                yield pd.DataFrame({"a": out_a, "b": out_b, "dot_q": out_d})
-
-        return base.mapInPandas(pairs, "a long, b long, dot_q long")
+        return exact_neardup_pairs(_t(spark, sf, "embeddings"), threshold=900_000)
 
     Q["q38_embedding_neardup"] = q38
 

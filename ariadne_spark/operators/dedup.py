@@ -1,0 +1,150 @@
+"""Banded set-Jaccard near-dup pairs — the subquadratic scale path for
+bitmask-set similarity (driver query q18's semantics).
+
+Two-level plan:
+
+1. **Mask-equivalence classes.** Docs with identical (group, mask) are
+   interchangeable for set-Jaccard, so the similarity search runs over
+   DISTINCT masks only — at most 2^26 representatives per group *no
+   matter how many documents exist*. On natural text masks saturate
+   (every English doc contains most letters), so distinct masks are
+   few and this collapses the quadratic blowup the naive per-doc
+   banding suffers.
+2. **Pigeonhole banding over representatives.** Masks with
+   floor(1000*|A∩B|/|A∪B|) >= 900 satisfy 10*|A∩B| >= 9*|A∪B|, so
+   their symmetric difference is at most floor(26/10) = 2 bits. Split
+   the 26 bits into 3 disjoint bands (9/9/8): <=2 differing bits
+   cannot touch all 3 bands, so every qualifying mask pair shares at
+   least one band verbatim — the equi-join on (group, band_id,
+   band_bits) has 100% recall. Multi-band collisions are deduped
+   zero-shuffle first-match (both masks ride the row, so "an earlier
+   band matched too" is recomputable JVM-side — same trick as
+   `operators/knn.py`).
+
+Qualifying mask pairs then expand to id pairs via two equi-joins on
+(group, mask); same-mask classes emit their internal pairs directly at
+j1000 = 1000 (defined only for non-empty masks — empty-mask pairs have
+0/0 Jaccard = NULL and are excluded, matching the all-pairs form).
+Total cost: O(n) scan + O(distinct_masks^2 / bands) candidate checks +
+O(answer) expansion — the expansion join is sized by the OUTPUT, which
+is the information-theoretic floor.
+
+Reference analog: candidate generation then exact re-check mirrors the
+two-phase method-call resolution (receiver narrows candidates, member
+lookup re-checks exactly — `packages/core/src/resolve_references/
+call_resolution/method_call.ts:56-85`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# disjoint cover of bits 0..25: (shift, width)
+BANDS = ((0, 9), (9, 9), (18, 8))
+# ceil(26 * (1 - threshold/1000)) must stay <= len(BANDS)-1 for recall
+MAX_DIFF_BITS = len(BANDS) - 1
+
+
+def _band_bits(mask: F.Column, shift: int, width: int) -> F.Column:
+    return F.shiftright(mask, shift).bitwiseAND(F.lit((1 << width) - 1))
+
+
+def rep_candidate_pairs(masked: DataFrame, group_col: str, mask_col: str) -> DataFrame:
+    """-> (grp, ma, mb) with ma < mb: distinct-mask candidate pairs from
+    the banded self-join, first-match-band deduped (exposed separately
+    so tests can gate candidate volume)."""
+    reps = masked.select(
+        F.col(group_col).alias("grp"), F.col(mask_col).alias("mask")
+    ).distinct()
+    exploded = reps.select(
+        "grp",
+        "mask",
+        F.posexplode(
+            F.array(*[_band_bits(F.col("mask"), s, w) for s, w in BANDS])
+        ).alias("band", "bits"),
+    )
+    a = exploded.select("grp", F.col("mask").alias("ma"), "band", "bits")
+    b = exploded.select("grp", F.col("mask").alias("mb"), "band", "bits")
+    pairs = a.join(b, ["grp", "band", "bits"]).where(F.col("ma") < F.col("mb"))
+
+    # first-match-band dedup: keep the pair only at its earliest
+    # matching band (earlier bands must differ)
+    first_match = F.lit(True)
+    for i in range(len(BANDS)):
+        earlier_differs = F.lit(True)
+        for s2, w2 in BANDS[:i]:
+            earlier_differs = earlier_differs & (
+                _band_bits(F.col("ma"), s2, w2) != _band_bits(F.col("mb"), s2, w2)
+            )
+        first_match = F.when(F.col("band") == i, earlier_differs).otherwise(
+            first_match
+        )
+    return pairs.where(first_match).select("grp", "ma", "mb")
+
+
+def jaccard_neardup_banded(
+    masked: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    mask_col: str = "mask",
+    threshold_milli: int = 900,
+) -> DataFrame:
+    """-> (a, b, j1000) with a < b, same group, and
+    floor(1000*|A∩B|/|A∪B|) >= threshold_milli.
+
+    `masked` must carry (id_col, group_col, mask_col:long). Row set is
+    identical to the all-pairs O(n^2) form whenever the threshold
+    admits at most MAX_DIFF_BITS differing bits — asserted below for
+    the 26-bit letter mask."""
+    assert (26 * (1000 - threshold_milli)) // 1000 <= MAX_DIFF_BITS, (
+        "threshold too low for 3-band exact recall"
+    )
+    ids = masked.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(mask_col).alias("mask"),
+    )
+
+    inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+    union = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
+    j1000 = F.floor((inter * F.lit(1000)) / union).cast("long")
+    qual = (
+        rep_candidate_pairs(masked, group_col, mask_col)
+        .select("grp", "ma", "mb", j1000.alias("j1000"))
+        .where(F.col("j1000") >= threshold_milli)
+    )
+    # expand qualifying mask pairs to id pairs (cost == answer size)
+    cross = (
+        qual.join(
+            ids.select(F.col("id").alias("ia"), "grp", F.col("mask").alias("ma")),
+            ["grp", "ma"],
+        )
+        .join(
+            ids.select(F.col("id").alias("ib"), "grp", F.col("mask").alias("mb")),
+            ["grp", "mb"],
+        )
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "j1000",
+        )
+    )
+    # same-mask classes: every internal pair qualifies at j1000 = 1000
+    # (non-empty masks only: 0/0 Jaccard is NULL in the all-pairs form)
+    if threshold_milli <= 1000:
+        same = (
+            ids.where(F.col("mask") != 0)
+            .select("grp", "mask", F.col("id").alias("ia"))
+            .join(
+                ids.select("grp", "mask", F.col("id").alias("ib")), ["grp", "mask"]
+            )
+            .where(F.col("ia") < F.col("ib"))
+            .select(
+                F.col("ia").alias("a"),
+                F.col("ib").alias("b"),
+                F.lit(1000).cast("long").alias("j1000"),
+            )
+        )
+        cross = cross.unionByName(same)
+    return cross

@@ -62,3 +62,53 @@ def test_ann_candidate_volume_is_subquadratic(spark, emb):
         .select("src", "dst").distinct().count()
     )
     assert cand < 0.5 * n * (n - 1), f"{cand} of {n*(n-1)} pairs"
+
+
+def test_exact_topk_matches_brute_force(spark, emb):
+    """Distributed block-matmul == single-pass brute force, exactly
+    (rows, scores, ranks) — the q21 scale path keeps exact semantics."""
+    from ariadne_spark.operators.exact_sim import exact_topk
+
+    a = sorted(
+        (r["src"], r["dst"], r["dot_q"], r["rank"])
+        for r in exact_topk(emb, k=K).collect()
+    )
+    b = sorted(
+        (r["src"], r["dst"], r["dot_q"], r["rank"])
+        for r in brute_force_topk(emb, k=K).collect()
+    )
+    assert a == b
+
+
+def test_exact_topk_block_count_invariant(spark, emb):
+    """Results are identical for any (p_blocks, c_blocks) — block ids
+    are data-derived, so parallelism never changes the answer."""
+    from ariadne_spark.operators.exact_sim import exact_topk
+
+    a = sorted(map(tuple, exact_topk(emb, k=K, p_blocks=2, c_blocks=3).collect()))
+    b = sorted(map(tuple, exact_topk(emb, k=K, p_blocks=8, c_blocks=8).collect()))
+    assert a == b
+
+
+def test_exact_neardup_pairs_once_each(spark, emb):
+    """Every qualifying pair appears exactly once, oriented a<b, and
+    matches a brute-force threshold filter."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.exact_sim import exact_neardup_pairs
+
+    # low threshold so the fixture yields a non-trivial pair set (the
+    # production 900k threshold matches nothing at sf0.01)
+    THRESH = 200_000
+    got = [(r["a"], r["b"], r["dot_q"]) for r in
+           exact_neardup_pairs(emb, threshold=THRESH, p_blocks=3, c_blocks=2).collect()]
+    assert len(got) > 0
+    assert len(got) == len(set((a, b) for a, b, _ in got))
+    assert all(a < b for a, b, _ in got)
+    want = {
+        (r["src"], r["dst"], r["dot_q"])
+        for r in brute_force_topk(emb, k=10_000).where(
+            (F.col("dot_q") >= THRESH) & (F.col("src") < F.col("dst"))
+        ).collect()
+    }
+    assert set(got) == want
