@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ariadne_spark.functions import cells
+from ariadne_spark.functions import filters as _filters
 from ariadne_spark.synth import derive
 
 # ---------------------------------------------------------------------------
@@ -986,6 +987,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x11_adaptive_split"] = x11
 
+    # P4/P5 — entry-point filtering: orphan docs minus holdout (per-lang
+    # marker registry ≅ detect_test_file.ts:21) minus framework ids
+    # (round-id ≅ dunder filter, filter_entry_points.ts:46-58)
+    def q39(spark, sf):
+        from ariadne_spark.functions import filters
+
+        orphans = q16(spark, sf)
+        docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+        return filters.filter_entry_points(orphans.join(docs, "doc_id")).select(
+            "doc_id", "lang"
+        )
+
+    Q["q39_entrypoint_filter"] = q39
+
+    # A6 — query-stats analytics: per-tool call counts recorded through
+    # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
+    # registry dispatch). Engine-only: the call history is runtime state.
+    def x12(spark, sf):
+        import tempfile
+
+        from ariadne_spark.api import (
+            list_orphans,
+            neighborhood,
+            query_stats,
+            record_query,
+            stats,
+        )
+        from ariadne_spark.operators.knn import knn_edges
+        from ariadne_spark.store import SnapshotStore
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        store = SnapshotStore(spark, f"{d}/s")
+        write_images(f"{d}/images.parquet", 800)
+        images = spark.read.parquet(f"{d}/images.parquet").drop("bytes")
+        edges = knn_edges(images, k=3, max_hamming=16)
+        record_query(store, "list_orphans")
+        orphans = list_orphans(images, edges, with_reach=False)
+        record_query(store, "list_orphans")
+        list_orphans(images, edges, with_reach=False, exclude_framework=True)
+        record_query(store, "neighborhood")
+        neighborhood(edges, orphans.first()["image_id"], depth=1)
+        record_query(store, "stats")
+        stats(images, edges=edges)
+        return query_stats(store)
+
+    Q["x12_query_stats"] = x12
+
     return Q
 
 
@@ -1152,6 +1201,24 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs WHERE hamming <= 16),
             dsts AS (SELECT DISTINCT dst FROM ranked WHERE rank <= 3)
             SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dst FROM dsts)
+        """,
+        "q39_entrypoint_filter": f"""
+            WITH g AS (SELECT doc_id, phash, phash >> 46 AS band FROM ({geo}) t),
+            pairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     bit_count(xor(a.phash, b.phash)) AS hamming
+              FROM g a JOIN g b ON a.band = b.band AND a.doc_id <> b.doc_id),
+            ranked AS (
+              SELECT src, dst, hamming, row_number() OVER (
+                PARTITION BY src ORDER BY hamming, dst) AS rank
+              FROM pairs WHERE hamming <= 16),
+            dsts AS (SELECT DISTINCT dst FROM ranked WHERE rank <= 3),
+            orph AS (
+              SELECT doc_id, text, lang FROM documents
+              WHERE doc_id NOT IN (SELECT dst FROM dsts))
+            SELECT doc_id, lang FROM orph
+            WHERE NOT ({_filters.holdout_sql('text', 'lang')})
+              AND NOT ({_filters.framework_entry_sql('doc_id')})
         """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,

@@ -70,13 +70,35 @@ def reach_counts(edges: DataFrame, roots: DataFrame, max_depth: int = 10) -> Dat
 
 
 def list_orphans(
-    images: DataFrame, edges: DataFrame, max_depth: int = 10, with_reach: bool = True
+    images: DataFrame,
+    edges: DataFrame,
+    max_depth: int = 10,
+    with_reach: bool = True,
+    exclude_holdout: bool = False,
+    exclude_framework: bool = False,
 ) -> DataFrame:
     """Images never linked as a kNN destination, ranked by transitive
     reach desc (≅ entry points sorted by tree size,
-    `trace_call_graph.ts:102-136` + `list_entrypoints.ts:281`)."""
+    `trace_call_graph.ts:102-136` + `list_entrypoints.ts:281`).
+
+    `exclude_holdout` drops images whose caption matches their format's
+    holdout marker (the per-language test-file detector analog,
+    `project/detect_test_file.ts:21` — requires caption+fmt columns);
+    `exclude_framework` drops round image ids (the dunder entry-point
+    filter analog, `trace_call_graph/filter_entry_points.ts:46-58`)."""
+    from .functions import filters
+
+    base = images
+    if exclude_holdout:
+        base = base.where(
+            ~filters.is_holdout(
+                F.col("caption"), F.col("fmt"), filters.HOLDOUT_CAPTION_MARKERS
+            )
+        )
+    if exclude_framework:
+        base = base.where(~filters.is_framework_entry(F.col("image_id")))
     referenced = edges.select(F.col("dst_image_id").alias("image_id")).distinct()
-    orphans = images.select("image_id").join(referenced, "image_id", "left_anti")
+    orphans = base.select("image_id").join(referenced, "image_id", "left_anti")
     if not with_reach:
         return orphans
     counts = reach_counts(edges, orphans, max_depth)
@@ -151,6 +173,37 @@ def lineage_report(store) -> "DataFrame":
         .reset_index()
     )
     return spark.createDataFrame(agg)
+
+
+def record_query(store, tool: str) -> None:
+    """Append one tool-invocation row to the store's query log — the
+    MCP analytics recorder (`packages/mcp/src/analytics/query_stats.ts`
+    records per-tool calls as they dispatch through the registry,
+    `mcp/src/tools/tool_registry.ts:68+`)."""
+    import json
+    import time
+
+    with open(f"{store.root}/query_log.jsonl", "a") as fh:
+        fh.write(json.dumps({"tool": tool, "ts": time.time()}) + "\n")
+
+
+def query_stats(store) -> DataFrame:
+    """(tool, n_calls) per recorded tool, call-count desc — the A6
+    query-stats analytics (`mcp/src/analytics/query_stats.ts`)."""
+    import json
+    import os
+
+    path = f"{store.root}/query_log.jsonl"
+    rows = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            rows = [(json.loads(line)["tool"],) for line in fh if line.strip()]
+    df = store.spark.createDataFrame(rows, "tool string")
+    return (
+        df.groupBy("tool")
+        .agg(F.count("*").alias("n_calls"))
+        .orderBy(F.desc("n_calls"), "tool")
+    )
 
 
 def stats(

@@ -11,7 +11,12 @@ image libraries (no PIL), so the engine ships:
   tag ("FJPG"): 4x uniform quantization + zlib. It is NOT a real JPEG —
   it is a stand-in that exercises the lossy path with a known error
   bound (center-quantized, max |err| 2 -> PSNR ≈ 46 dB > 40 dB gate).
-  Swap `encode_fjpg/decode_fjpg` for a real JPEG lib in production.
+  Swap `encode_fjpg/decode_fjpg` for a real JPEG lib in production;
+- a real 24-bit BMP codec (uncompressed BI_RGB) — lossless, standard.
+
+Formats dispatch through the CODECS registry keyed by `fmt` (the
+per-language handler-registry convention of the reference,
+`docs/ARCHITECTURE.md:53-55`); `register_codec` is the extension point.
 
 All functions operate on numpy arrays and are called from Arrow-batched
 pandas UDFs only (no per-row Python in Spark plans outside UDF batches).
@@ -88,20 +93,62 @@ def decode_fjpg(data: bytes) -> np.ndarray:
     return np.where(q == 0, 0, centered).astype(np.uint8)
 
 
+def encode_bmp(px: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up BGR rows padded to 4 bytes) — real, lossless, readable by
+    any standard image tool."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                              2835, 2835, 0, 0)
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    assert data[:2] == b"BM", "not a BMP"
+    (offset,) = struct.unpack("<I", data[10:14])
+    size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
+    assert bpp == 24 and comp == 0, "engine BMP codec supports BI_RGB 24bpp only"
+    assert h > 0, "engine BMP codec supports bottom-up rows only"
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data[offset : offset + row_size * h], np.uint8)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # back to top-down RGB
+
+
+# per-format codec registry — the extension surface the reference keys
+# by language through its `{module}.{language}.ts` convention
+# (`docs/ARCHITECTURE.md:53-55`, capture handlers at
+# `query_code_tree/capture_handlers/capture_handlers.{lang}.ts`): new
+# formats plug in via `register_codec` without touching dispatch.
+CODECS: dict[str, tuple] = {
+    "png": (encode_png, decode_png),
+    "jpeg": (encode_fjpg, decode_fjpg),
+    "bmp": (encode_bmp, decode_bmp),
+}
+
+
+def register_codec(fmt: str, encode, decode) -> None:
+    CODECS[fmt] = (encode, decode)
+
+
 def encode_image(px: np.ndarray, fmt: str) -> bytes:
-    if fmt == "png":
-        return encode_png(px)
-    if fmt == "jpeg":
-        return encode_fjpg(px)
-    raise NotImplementedError(f"unsupported fmt {fmt!r}")
+    try:
+        return CODECS[fmt][0](px)
+    except KeyError:
+        raise NotImplementedError(f"unsupported fmt {fmt!r}") from None
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    if fmt == "png":
-        return decode_png(data)
-    if fmt == "jpeg":
-        return decode_fjpg(data)
-    raise NotImplementedError(f"unsupported fmt {fmt!r}")
+    try:
+        return CODECS[fmt][1](data)
+    except KeyError:
+        raise NotImplementedError(f"unsupported fmt {fmt!r}") from None
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -47,10 +47,23 @@ from .pip import pip_join
 
 PREFIX_RES = 3  # 8x8 coarse partitions in the sandbox; res 5-6 at 10^12
 META_COLS = ["image_id", "phash", "lon_u", "lat_u", "w", "h", "fmt", "caption"]
+IDX_BUCKETS = 64  # id_index hash buckets (thousands at 10^12 rows)
 
 
 def _pk_col() -> F.Column:
     return cells.cell_encode(F.col("lon_u"), F.col("lat_u"), PREFIX_RES).cast("string")
+
+
+def _idx_bucket_col() -> F.Column:
+    # crc32 matches zlib.crc32 driver-side, so the bucket of a known id
+    # is computable without any Spark job (the O(changed) lookup path)
+    return F.pmod(F.crc32(F.col("image_id")), F.lit(IDX_BUCKETS)).cast("string")
+
+
+def _idx_bucket(image_id: str) -> str:
+    import zlib
+
+    return str(zlib.crc32(image_id.encode()) % IDX_BUCKETS)
 
 
 def prefix_ring(keys: list[str], k: int = 1) -> list[str]:
@@ -251,8 +264,50 @@ class SpatialPipeline:
         `packages/core/src/project/load_project.ts:67-150`)."""
         meta = images.select(*META_COLS).withColumn("pk", _pk_col())
         in_sid = self.store.write_table(meta, "images_indexed", "pk")
+        self._sync_id_index(in_sid, buckets=None, dead_ids=None, changed_meta=None)
         self._run_stages(in_sid, None)
         return in_sid
+
+    # -- id index ----------------------------------------------------------
+    #
+    # (image_id -> pk) sidecar, hash-bucketed by crc32(image_id): locating
+    # the partitions of N changed/deleted ids reads only their N buckets,
+    # never the full images_indexed table — the reference's O(changed)
+    # invalidation (`persistence/git_change_detection.ts:47-74`: per-file
+    # blob hashes make change lookup independent of project size).
+
+    def _id_index_fresh(self, sid: int) -> bool:
+        return "*" in self.store.completed("id_index_sync", sid)
+
+    def _sync_id_index(self, in_sid, buckets, dead_ids, changed_meta) -> None:
+        """buckets=None: full rebuild from images_indexed; else merge the
+        given buckets (old content minus dead ids plus changed rows)."""
+        t0 = time.perf_counter()
+        if buckets is None:
+            idx = self.store.read("images_indexed").select(
+                "image_id", "pk", _idx_bucket_col().alias("bucket")
+            )
+            if self.store.current_snapshot_id("id_index") is None:
+                self.store.write_table(idx, "id_index", "bucket")
+            else:
+                prior = self.store.manifest("id_index")
+                self.store.overwrite_partitions(
+                    idx, "id_index", "bucket", keys=sorted(prior.partitions)
+                )
+        else:
+            merged = (
+                self.store.read("id_index", keys=buckets)
+                .join(dead_ids, "image_id", "left_anti")
+                .unionByName(
+                    changed_meta.select(
+                        "image_id", "pk", _idx_bucket_col().alias("bucket")
+                    )
+                )
+            )
+            self.store.overwrite_partitions(merged, "id_index", "bucket", keys=buckets)
+        self.store.log_lineage(
+            "id_index_sync", "*", in_sid, 0, (time.perf_counter() - t0) * 1000
+        )
 
     def update(self, changed: DataFrame, deleted_ids: list[str] | None = None) -> int:
         """Upsert `changed` rows (new or modified images) and remove
@@ -264,16 +319,24 @@ class SpatialPipeline:
         prev_sid = self.store.current_snapshot_id("images_indexed")
         assert prev_sid is not None, "full_build first"
         changed_meta = changed.select(*META_COLS).withColumn("pk", _pk_col())
-        cur = self.store.read("images_indexed")
 
-        dead_ids = changed_meta.select("image_id").unionByName(
-            self.spark.createDataFrame(
-                [(i,) for i in (deleted_ids or [])], "image_id string"
-            )
-        ).distinct()
+        # the delta is small by contract — collecting its ids lets the
+        # old-pk lookup prune to exactly the ids' index buckets
+        changed_ids = [r["image_id"] for r in changed_meta.select("image_id").collect()]
+        all_dead = sorted(set(changed_ids) | set(deleted_ids or []))
+        dead_ids = self.spark.createDataFrame(
+            [(i,) for i in all_dead], "image_id string"
+        )
+        if not self._id_index_fresh(prev_sid):
+            # stale sidecar (crash between images_indexed and id_index
+            # commits): rebuild once, pruned lookups thereafter
+            self._sync_id_index(prev_sid, None, None, None)
+        buckets = sorted({_idx_bucket(i) for i in all_dead})
+        idx = self.store.read("id_index", keys=buckets)
+
         touched = (
             changed_meta.select("pk")
-            .unionByName(cur.join(dead_ids, "image_id", "left_semi").select("pk"))
+            .unionByName(idx.join(dead_ids, "image_id", "left_semi").select("pk"))
             .distinct()
         )
         touched_keys = sorted(r["pk"] for r in touched.collect())
@@ -288,6 +351,7 @@ class SpatialPipeline:
         in_sid = self.store.overwrite_partitions(
             merged, "images_indexed", "pk", keys=touched_keys
         )
+        self._sync_id_index(in_sid, buckets, dead_ids, changed_meta)
         changed_keys = self.store.diff("images_indexed", prev_sid, in_sid)
         if changed_keys:
             self._run_stages(in_sid, changed_keys)
@@ -300,6 +364,8 @@ class SpatialPipeline:
         update targeted (derived from the images_indexed manifest diff)."""
         in_sid = self.store.current_snapshot_id("images_indexed")
         assert in_sid is not None, "nothing to resume"
+        if not self._id_index_fresh(in_sid):
+            self._sync_id_index(in_sid, None, None, None)
         m = self.store.manifest("images_indexed")
         keys = None
         if m.parent_id is not None:
@@ -313,8 +379,16 @@ class SpatialPipeline:
         """Per-table, per-partition {n_rows, fingerprint} — the equality
         evidence used by tests (incremental == cold full build)."""
         out = {}
-        for t in ["images_indexed", "pip", "knn", "tiles_fine", "tiles_coarse"]:
+        tables = {
+            "images_indexed": "pk",
+            "pip": "pk",
+            "knn": "pk",
+            "tiles_fine": "pk",
+            "tiles_coarse": "pk",
+            "id_index": "bucket",
+        }
+        for t, key in tables.items():
             if self.store.current_snapshot_id(t) is not None:
                 df = self.store.read(t)
-                out[t] = partition_summary(df.select(*sorted(df.columns)), "pk")
+                out[t] = partition_summary(df.select(*sorted(df.columns)), key)
         return out

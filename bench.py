@@ -124,6 +124,46 @@ def spatial_pipeline_stages(spark, images_path: str) -> dict[str, float]:
     return timings
 
 
+def incremental_update_scenario(spark, n: int = 20_000) -> float:
+    """1-cell-change incremental update latency (the reference's
+    headline metric: `project.bench.test.ts:79-129` times update_file
+    against a warm project). Full build is cached fixture setup; the
+    measured work is: modify 100 images of ONE coarse cell (phash
+    perturbation — geometry unchanged, so exactly one partition of
+    images_indexed changes) and re-run the partition-scoped stages."""
+    import shutil
+
+    from ariadne_spark.operators.incremental import SpatialPipeline
+    from ariadne_spark.synth.regions import generate_regions
+
+    images_path = ensure_images(spark, n)
+    base = f"{CACHE_DIR}/inc_store_{n}"
+    done = f"{base}.done"
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        p = SpatialPipeline(spark, base, generate_regions())
+        p.full_build(spark.read.parquet(images_path).drop("bytes"))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    run_dir = f"{CACHE_DIR}/inc_run"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    shutil.copytree(base, run_dir)
+    p = SpatialPipeline(spark, run_dir, generate_regions())
+
+    pk = sorted(p.store.manifest("images_indexed").partitions)[0]
+    changed = (
+        p.store.read("images_indexed", keys=[pk])
+        .orderBy("image_id")
+        .limit(100)
+        .drop("pk")
+        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(0x5A5A)))
+    ).localCheckpoint()
+
+    t0 = time.perf_counter()
+    p.update(changed)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -163,6 +203,10 @@ def main() -> None:
         _noop(Q[name](spark, sf_dir))
         timings[name] = time.perf_counter() - t0
 
+    # separate key (NOT in `value`) so the headline total stays
+    # round-over-round comparable; scenario size fixed at 20k images
+    inc_s = incremental_update_scenario(spark)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -175,6 +219,7 @@ def main() -> None:
                 "images_per_sec": round(n_images / pipe_sec, 1),
                 "n_images": n_images,
                 "cpus": cpus,
+                "incremental_update_s": round(inc_s, 3),
             }
         )
     )

@@ -92,3 +92,71 @@ def test_orphan_ranking_deterministic(images_df, edges):
     for a, b in zip(top, top[1:]):
         if a["n_reachable"] == b["n_reachable"]:
             assert a["image_id"] < b["image_id"]
+
+
+def test_list_orphans_excludes_framework_and_holdout(spark, images_df, edges, edge_list):
+    """P4/P5 exclusion filters against the python oracle: same orphan
+    set minus rows matching the holdout-caption / round-id predicates."""
+    from ariadne_spark.functions import filters
+
+    rows = images_df.select("image_id", "caption", "fmt").collect()
+    dsts = {d for _, d in edge_list}
+    base_orphans = {r["image_id"] for r in rows} - dsts
+    markers = filters.HOLDOUT_CAPTION_MARKERS
+
+    def holdout(r):
+        m = markers.get(r["fmt"])
+        return m is not None and m in r["caption"]
+
+    def framework(r):
+        return int(r["image_id"].split("_")[-1]) % filters.FRAMEWORK_ID_MOD == 0
+
+    by_id = {r["image_id"]: r for r in rows}
+    want = {
+        i for i in base_orphans
+        if not holdout(by_id[i]) and not framework(by_id[i])
+    }
+    got = {
+        r["image_id"]
+        for r in list_orphans(
+            images_df, edges, with_reach=False,
+            exclude_holdout=True, exclude_framework=True,
+        ).collect()
+    }
+    assert got == want
+    # both filters must actually bite on the fixture
+    assert any(holdout(by_id[i]) or framework(by_id[i]) for i in base_orphans)
+
+
+def test_query_stats_counts_recorded_calls(spark, tmp_path):
+    from ariadne_spark.api import query_stats, record_query
+    from ariadne_spark.store import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "qs"))
+    assert query_stats(store).collect() == []
+    for tool in ["list_orphans", "stats", "list_orphans", "neighborhood"]:
+        record_query(store, tool)
+    rows = [(r["tool"], r["n_calls"]) for r in query_stats(store).collect()]
+    assert rows == [("list_orphans", 2), ("neighborhood", 1), ("stats", 1)]
+
+
+def test_filter_entry_points_documents(spark):
+    """The documents-table composite (q39's engine side) against a
+    pure-python re-implementation."""
+    from ariadne_spark.functions import filters
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r["doc_id"]
+        for r in filters.filter_entry_points(
+            d.select("doc_id", "text", "lang")
+        ).collect()
+    }
+    want = set()
+    for r in d.select("doc_id", "text", "lang").collect():
+        m = filters.HOLDOUT_TEXT_MARKERS.get(r["lang"])
+        hold = m is not None and m in r["text"]
+        fw = r["doc_id"] % filters.FRAMEWORK_ID_MOD == 0
+        if not hold and not fw:
+            want.add(r["doc_id"])
+    assert got == want and 0 < len(want) < d.count()

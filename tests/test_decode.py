@@ -26,3 +26,92 @@ def test_features_shapes_and_ranges(spark, images_df):
         assert 0.0 <= r["mean_r"] <= 255.0
         assert 0 <= r["luma_p50"] <= 255
         assert r["edge_energy"] >= 0.0
+
+
+def test_bmp_codec_roundtrip_exact():
+    """BMP (registry format #3) is lossless: encode∘decode == identity,
+    including non-multiple-of-4 widths (row padding)."""
+    import numpy as np
+
+    from ariadne_spark.functions.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w, h in [(16, 16), (17, 9), (1, 1), (33, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert blob[:2] == b"BM"
+        out = decode_bmp(blob)
+        assert out.shape == px.shape and (out == px).all()
+
+
+def test_codec_registry_dispatch_and_extension():
+    """encode/decode dispatch through the fmt-keyed registry; a new
+    format plugs in without touching dispatch; unknown fmt raises."""
+    import numpy as np
+    import pytest
+
+    from ariadne_spark.functions import codecs
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    assert (codecs.decode_image(codecs.encode_image(px, "bmp"), "bmp") == px).all()
+    with pytest.raises(NotImplementedError):
+        codecs.encode_image(px, "webp")
+    codecs.register_codec(
+        "rawrgb",
+        lambda p: p.shape[0].to_bytes(2, "big")
+        + p.shape[1].to_bytes(2, "big")
+        + p.tobytes(),
+        lambda b: np.frombuffer(b[4:], np.uint8).reshape(
+            int.from_bytes(b[:2], "big"), int.from_bytes(b[2:4], "big"), 3
+        ),
+    )
+    try:
+        assert (
+            codecs.decode_image(codecs.encode_image(px, "rawrgb"), "rawrgb") == px
+        ).all()
+    finally:
+        del codecs.CODECS["rawrgb"]
+
+
+def test_decode_features_handles_bmp_rows(spark):
+    """The Spark decode stage accepts registry formats end-to-end: a
+    frame of BMP rows flows through decode_features with correct phash
+    (lossless ⇒ phash equals the pixel hash exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    from ariadne_spark.functions.codecs import encode_bmp
+    from ariadne_spark.functions.phash import np_phash_from_pixels
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(8):
+        px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        rows.append(
+            {
+                "image_id": f"bmp_{i:04d}",
+                "bytes": encode_bmp(px),
+                "w": 16,
+                "h": 16,
+                "fmt": "bmp",
+                "caption": f"bmp row {i}",
+                "phash": np_phash_from_pixels(px),
+                "lon_u": 0,
+                "lat_u": 0,
+            }
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, lon_u long, lat_u long",
+    )
+    feats = decode_features(df).collect()
+    assert len(feats) == 8
+    assert all(0.0 <= f["mean_r"] <= 255.0 for f in feats)
+    # and the Spark-side phash UDF dispatches bmp through the registry:
+    # lossless codec ⇒ recomputed phash equals the stored pixel hash
+    from ariadne_spark.functions.phash import phash_udf
+
+    want = {r["image_id"]: r["phash"] for r in rows}
+    for r in df.select("image_id", phash_udf("bytes", "fmt").alias("ph")).collect():
+        assert r["ph"] == want[r["image_id"]]

@@ -88,6 +88,7 @@ def test_entry_smoke(spark):
         "x09_video_frame_sample",
         "x10_tile_roundtrip",
         "x11_adaptive_split",
+        "x12_query_stats",
     ],
 )
 def test_engine_only_queries_run(spark, name):

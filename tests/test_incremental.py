@@ -73,7 +73,9 @@ def built(spark, tmp_path_factory):
 def test_incremental_equals_full_build(built):
     inc, ref = built
     a, b = inc.table_fingerprints(), ref.table_fingerprints()
-    assert set(a) == set(b) == {"images_indexed", "pip", "knn", "tiles_fine", "tiles_coarse"}
+    assert set(a) == set(b) == {
+        "images_indexed", "pip", "knn", "tiles_fine", "tiles_coarse", "id_index",
+    }
     for table in a:
         assert a[table] == b[table], f"{table}: incremental != full rebuild"
 
@@ -271,3 +273,44 @@ def test_prefix_ring_wraps_and_clamps():
     assert key in ring and len(ring) == 6
     xs = [((int(k) >> 28) & ((1 << 28) - 1)) for k in ring]
     assert (n - 1) in xs  # wrapped across the antimeridian
+
+
+def test_update_id_lookup_is_partition_pruned(spark, tmp_path_factory):
+    """The deleted/changed-id -> pk lookup must read only the ids' hash
+    buckets of the id_index sidecar — never a full images_indexed scan
+    (≅ the reference's O(changed) git-blob-hash invalidation,
+    `persistence/git_change_detection.ts:47-74`)."""
+    from ariadne_spark.operators.incremental import IDX_BUCKETS, _idx_bucket
+
+    tmp = tmp_path_factory.mktemp("idxprune")
+    p = _pipeline(spark, tmp, "p")
+    p.full_build(_images(spark, np.arange(900)))
+
+    reads = []
+    real_read = p.store.read
+
+    def spy(table, snapshot_id=None, keys=None):
+        reads.append((table, None if keys is None else sorted(keys)))
+        return real_read(table, snapshot_id, keys)
+
+    p.store.read = spy
+    del_ids = [f"img_{i:08d}" for i in (3, 77, 410)]
+    p.update(_images(spark, np.arange(0)), deleted_ids=del_ids)
+    p.store.read = real_read
+
+    # every images_indexed read during the update was key-pruned
+    full_reads = [t for t, k in reads if t == "images_indexed" and k is None]
+    assert full_reads == [], f"unpruned reads: {reads}"
+    # and the id_index was read with exactly the dead ids' buckets
+    want_buckets = sorted({_idx_bucket(i) for i in del_ids})
+    idx_reads = [k for t, k in reads if t == "id_index"]
+    assert want_buckets in idx_reads
+    assert len(want_buckets) < IDX_BUCKETS
+
+    # correctness: result equals a cold build of the survivors
+    survivors = np.array(
+        [i for i in range(900) if f"img_{i:08d}" not in set(del_ids)]
+    )
+    ref = _pipeline(spark, tmp, "ref")
+    ref.full_build(_images(spark, survivors))
+    assert p.table_fingerprints() == ref.table_fingerprints()
