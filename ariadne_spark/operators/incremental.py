@@ -253,9 +253,22 @@ class SpatialPipeline:
                                else ["all"], t0)
 
     def _run_stages(self, in_sid: int, keys: list[str] | None) -> None:
-        self._stage_pip(in_sid, keys)
-        self._stage_knn(in_sid, keys)
-        self._stage_tiles(in_sid, keys)
+        # pip / knn / tiles are independent given images_indexed (each
+        # writes its own table + lineage marker), so submit them from
+        # three threads: Spark schedules the jobs concurrently and the
+        # per-job fixed overhead overlaps — in incremental updates the
+        # work per stage is tiny and scheduling latency dominates.
+        # Outputs are deterministic regardless of completion order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futures = [
+                ex.submit(self._stage_pip, in_sid, keys),
+                ex.submit(self._stage_knn, in_sid, keys),
+                ex.submit(self._stage_tiles, in_sid, keys),
+            ]
+            for f in futures:
+                f.result()
 
     # -- entry points ------------------------------------------------------
 
@@ -351,10 +364,18 @@ class SpatialPipeline:
         in_sid = self.store.overwrite_partitions(
             merged, "images_indexed", "pk", keys=touched_keys
         )
-        self._sync_id_index(in_sid, buckets, dead_ids, changed_meta)
         changed_keys = self.store.diff("images_indexed", prev_sid, in_sid)
-        if changed_keys:
-            self._run_stages(in_sid, changed_keys)
+        # id_index sync and the derived stages are independent once
+        # images_indexed is committed — overlap them (the sync MUST stay
+        # after the commit: a crash in between leaves no in_sid marker,
+        # so the next update detects staleness and rebuilds)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            f = ex.submit(self._sync_id_index, in_sid, buckets, dead_ids, changed_meta)
+            if changed_keys:
+                self._run_stages(in_sid, changed_keys)
+            f.result()
         return in_sid
 
     def resume(self) -> int:

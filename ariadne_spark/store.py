@@ -189,6 +189,17 @@ class SnapshotStore:
         )
         return vdir
 
+    def _summarize_written(self, vdir: str, key: str) -> dict[str, dict]:
+        """Partition summary computed from the parquet just written —
+        NOT from the input plan. Summarizing the input DataFrame would
+        execute its full lineage a second time (the stage join/agg plan
+        runs once for the summary collect and once for the write);
+        re-reading the written files costs only a small scan and
+        fingerprints what is actually stored."""
+        if not any(e.startswith("__pk=") for e in os.listdir(vdir)):
+            return {}  # zero-row write: partitionBy emits no dirs
+        return partition_summary(self.spark.read.parquet(vdir).drop("__pk"), key)
+
     def write_table(self, df: DataFrame, table: str, key: str) -> int:
         """Full write -> snapshot 0 (or next id if the table exists).
         Re-snapshots of an existing table are cast to its committed
@@ -198,8 +209,8 @@ class SnapshotStore:
         if prev is not None:
             prev_m = self.manifest(table, prev)
             df = self._conform(df, prev_m.schema_json if prev_m else None)
-        summary = partition_summary(df, key)
         vdir = self._write_partition_data(df, table, key, sid)
+        summary = self._summarize_written(vdir, key)
         m = Manifest(table, sid, prev, schema_json=df.schema.json())
         for k, s in summary.items():
             m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
@@ -219,8 +230,8 @@ class SnapshotStore:
         assert prev_m is not None, f"table {table} has no snapshot yet"
         df = self._conform(df, prev_m.schema_json)
         sid = prev_m.snapshot_id + 1
-        summary = partition_summary(df, key)
         vdir = self._write_partition_data(df, table, key, sid)
+        summary = self._summarize_written(vdir, key)
         m = Manifest(
             table, sid, prev_m.snapshot_id, dict(prev_m.partitions),
             schema_json=prev_m.schema_json or df.schema.json(),
