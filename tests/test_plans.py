@@ -91,3 +91,54 @@ def test_knn_salted_and_plain_same_plan_family(spark, images_df):
     assert "Window" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_sim_plan_no_cartesian_no_collect(spark):
+    """Block-matmul exact similarity: grouped-map over (pb, cb) block
+    pairs — no CartesianProduct, no broadcast nested loop, compute in
+    FlatMapGroupsInPandas (one matmul per block pair)."""
+    from ariadne_spark.operators.exact_sim import exact_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(exact_topk(emb, k=3))
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # final merge is the deterministic top-k window
+    assert "Window" in p
+
+
+def test_dedup_banded_plan_shape(spark):
+    """Banded Jaccard: candidate generation joins band-exploded DISTINCT
+    masks (HashAggregate before the self-join), never a per-doc
+    cartesian; expansion is plain equi-joins."""
+    from ariadne_spark.operators.dedup import jaccard_neardup_banded
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    masked = d.select("doc_id", "lang", entrymod._letter_mask_col().alias("mask"))
+    p = plan(jaccard_neardup_banded(masked))
+    assert "HashAggregate" in p  # distinct-mask representatives
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_candidate_join_ships_no_vectors(spark):
+    """The ANN bucket self-join must not carry the int64 query vectors;
+    they join back only after pair dedup."""
+    from ariadne_spark.operators.ann import ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(ann_topk(emb, k=3), mode="extended")
+    # in the optimized logical plan, the pair-dedup Aggregate groups on
+    # (src, dst) and outputs ONLY (src, dst) — the quantized vectors
+    # (transform(embedding,...)) enter the plan strictly above it
+    import re
+
+    opt = p.split("== Optimized Logical Plan ==")[1]
+    assert re.search(
+        r"Aggregate \[src#\d+L, dst#\d+L\], \[src#\d+L, dst#\d+L\]", opt
+    ), opt
+    # and the candidate (bucket) join keys no vectors: its condition
+    # mentions table_id/bucket, never qa/qb
+    bucket_join = [ln for ln in opt.splitlines() if "Join Inner, ((NOT" in ln]
+    assert bucket_join and all("qa" not in ln and "qb" not in ln for ln in bucket_join)
