@@ -1035,6 +1035,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x12_query_stats"] = x12
 
+    # similarity ANN, IVF-flat variant — second scale path next to the
+    # hyperplane LSH of x07 (deterministic sampled+k-means centroids,
+    # integer-quantized order-independent cluster sums)
+    def x13(spark, sf):
+        from ariadne_spark.operators.ann import ann_ivf
+
+        return ann_ivf(_t(spark, sf, "embeddings"), k=3)
+
+    Q["x13_ann_ivf"] = x13
+
     return Q
 
 

@@ -136,3 +136,155 @@ def brute_force_topk(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
     w = Window.partitionBy("src").orderBy(F.desc("dot_q"), F.col("dst"))
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _centroids(embeddings: DataFrame, n_centroids: int) -> np.ndarray:
+    """Deterministic data-derived centroid sample: the n_centroids rows
+    with smallest (xxhash64(vec_id), vec_id) — a seedless pseudo-random
+    sample that is identical at any parallelism. Bounded driver
+    transfer: n_centroids × dim floats (IVF coarse quantizers are
+    small by construction; this is NOT an unbounded corpus collect)."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def _ivf_assign_udf(cents: np.ndarray, n_probe: int):
+    """One Arrow pass -> (own_cell, probe_cells): nearest centroid for
+    the corpus role, top-n_probe centroids for the query role.
+    Deterministic tie-break on centroid index."""
+    from pyspark.sql.types import StructField, StructType
+
+    n_c = len(cents)
+    idx = np.arange(n_c)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("own_cell", LongType()),
+                StructField("probe_cells", ArrayType(LongType())),
+            ]
+        )
+    )
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        dots = mat @ cents.T  # (batch, n_c)
+        # lexsort: primary -dots desc, secondary centroid index asc
+        order = np.lexsort((np.broadcast_to(idx, dots.shape), -dots), axis=1)
+        return pd.DataFrame(
+            {
+                "own_cell": order[:, 0].astype(np.int64),
+                "probe_cells": list(order[:, :n_probe].astype(np.int64)),
+            }
+        )
+
+    return assign
+
+
+def _kmeans_refine(
+    embeddings: DataFrame, cents: np.ndarray, iters: int
+) -> np.ndarray:
+    """Spherical k-means refinement of the sampled centroids. Cluster
+    sums use per-component integer quantization (round(x*1e6) summed as
+    int64) so the aggregation is ORDER-INDEPENDENT — float summation
+    order varies with partitioning and would break the cross-cluster-
+    size determinism contract. Each new centroid is the normalized
+    cluster mean; empty clusters keep their previous centroid."""
+    QSCALE = 1_000_000
+    for _ in range(iters):
+        assign = _ivf_assign_udf(cents, 1)
+        qcomp = F.transform(
+            F.col("embedding"), lambda x: F.round(x * QSCALE).cast("long")
+        )
+        assigned = embeddings.select(
+            assign(F.col("embedding")).alias("a"), qcomp.alias("q")
+        ).select(F.col("a.own_cell").alias("cell"), "q")
+        dim = cents.shape[1]
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(F.col("q")).alias("i", "v")
+            )
+            .groupBy("cell", "i")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((len(cents), dim))
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for r in sums:
+            acc[r["cell"], r["i"]] = r["s"] / QSCALE
+            cnt[r["cell"]] = r["n"]
+        for c in range(len(cents)):
+            if cnt[c] > 0:
+                norm = np.linalg.norm(acc[c])
+                if norm > 0:
+                    new[c] = acc[c] / norm
+        cents = new
+    return cents
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """-> (src, dst, dot_q, rank): IVF-flat approximate top-k — the
+    second scale path next to `ann_topk`'s hyperplane LSH.
+
+    Corpus rows land in ONE coarse cell (nearest centroid); queries
+    probe their n_probe nearest cells; candidates join on cell and
+    exact int64 re-rank picks top-k. Candidate volume ≈
+    n² · n_probe / n_centroids (tunable subquadratic. At 10^12 rows:
+    n_centroids ~ 10^5-10^6 keeps cells ~10^6-10^7 rows and the probe
+    join shuffles ids only). A (src,dst) pair occurs at most once —
+    dst lives in exactly one cell — so no dedup shuffle exists at all;
+    the vectors join back only for surviving candidates, as in
+    `ann_topk`."""
+    cents = _centroids(embeddings, n_centroids)
+    if kmeans_iters:
+        cents = _kmeans_refine(embeddings, cents, kmeans_iters)
+    assign = _ivf_assign_udf(cents, n_probe)
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+
+    assigned = embeddings.select(
+        "vec_id", assign(F.col("embedding")).alias("a")
+    ).select("vec_id", F.col("a.own_cell").alias("own_cell"),
+             F.col("a.probe_cells").alias("probe_cells"))
+    queries = assigned.select(
+        F.col("vec_id").alias("src"), F.explode("probe_cells").alias("cell")
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("dst"), F.col("own_cell").alias("cell")
+    )
+    cand = (
+        queries.join(corpus, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+    vecs = embeddings.select("vec_id", qv.alias("q"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    ranked = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("src"), F.col("q").alias("qa")), "src"
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb")), "dst"
+        )
+        .select("src", "dst", dot.alias("dot_q"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("dot_q"), F.col("dst"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -112,3 +112,52 @@ def test_exact_neardup_pairs_once_each(spark, emb):
         ).collect()
     }
     assert set(got) == want
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    from ariadne_spark.operators.ann import ann_ivf
+
+    exact = {(r["src"], r["dst"]) for r in brute_force_topk(emb, k=K).collect()}
+    approx = {(r["src"], r["dst"]) for r in ann_ivf(emb, k=K).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_ivf_scores_exact_and_deterministic(spark, emb):
+    from ariadne_spark.operators.ann import ann_ivf
+
+    exact = {
+        (r["src"], r["dst"]): r["dot_q"] for r in brute_force_topk(emb, k=K).collect()
+    }
+    a = sorted(map(tuple, ann_ivf(emb, k=K).collect()))
+    b = sorted(map(tuple, ann_ivf(emb, k=K).collect()))
+    assert a == b  # deterministic end-to-end (sampled centroids + int sums)
+    for src, dst, dot_q, _ in a:
+        if (src, dst) in exact:
+            assert dot_q == exact[(src, dst)]
+
+
+def test_ivf_candidate_volume_is_subquadratic(spark, emb):
+    """n_probe/n_centroids bounds the candidate fraction of n^2."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.ann import (
+        _centroids,
+        _ivf_assign_udf,
+        _kmeans_refine,
+    )
+
+    n = emb.count()
+    cents = _kmeans_refine(emb, _centroids(emb, 16), 2)
+    assign = _ivf_assign_udf(cents, 6)
+    assigned = emb.select("vec_id", assign(F.col("embedding")).alias("a"))
+    q = assigned.select(F.explode("a.probe_cells").alias("cell"))
+    c = assigned.select(F.col("a.own_cell").alias("cell"))
+    per_cell_q = q.groupBy("cell").count().withColumnRenamed("count", "nq")
+    per_cell_c = c.groupBy("cell").count().withColumnRenamed("count", "nc")
+    cand = (
+        per_cell_q.join(per_cell_c, "cell")
+        .agg(F.sum(F.col("nq") * F.col("nc")))
+        .first()[0]
+    )
+    assert cand < 0.5 * n * n, f"{cand} of {n*n}"

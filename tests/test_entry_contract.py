@@ -89,6 +89,7 @@ def test_entry_smoke(spark):
         "x10_tile_roundtrip",
         "x11_adaptive_split",
         "x12_query_stats",
+        "x13_ann_ivf",
     ],
 )
 def test_engine_only_queries_run(spark, name):
