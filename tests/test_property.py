@@ -87,3 +87,52 @@ def test_fvid_seek_equals_sequential(seed, n_frames):
     blob = media.encode_fvid(frames)
     for i in range(n_frames):
         np.testing.assert_array_equal(media.decode_fvid_frame(blob, i), frames[i])
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_lossless(w, h, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
+_mask = st.integers(0, (1 << 26) - 1)
+_flips = st.lists(st.integers(0, 25), min_size=0, max_size=4, unique=True)
+
+
+def _bands_of(m):
+    from ariadne_spark.operators.dedup import BANDS
+
+    return [(m >> s) & ((1 << w) - 1) for s, w in BANDS]
+
+
+@settings(max_examples=300, deadline=None)
+@given(ma=_mask, flips=_flips)
+def test_band_pigeonhole_recall_law(ma, flips):
+    """For ALL mask pairs: if floor(1000*|A∩B|/|A∪B|) >= 900 then the
+    pair shares at least one of the 3 disjoint bands — the exactness
+    guarantee of operators/dedup.py, independent of any fixture."""
+    mb = ma
+    for b in flips:
+        mb ^= 1 << b
+    union = bin(ma | mb).count("1")
+    if union == 0:
+        return
+    j1000 = (bin(ma & mb).count("1") * 1000) // union
+    if j1000 >= 900:
+        assert any(x == y for x, y in zip(_bands_of(ma), _bands_of(mb)))
+
+
+@settings(max_examples=300, deadline=None)
+@given(ma=_mask, flips=_flips)
+def test_first_match_band_counts_pair_once(ma, flips):
+    """The first-match-band dedup predicate admits a colliding pair at
+    EXACTLY one band (the earliest equal one)."""
+    mb = ma
+    for b in flips:
+        mb ^= 1 << b
+    eq = [x == y for x, y in zip(_bands_of(ma), _bands_of(mb))]
+    admitted = sum(
+        1 for i, e in enumerate(eq) if e and all(not eq[j] for j in range(i))
+    )
+    assert admitted == (1 if any(eq) else 0)
