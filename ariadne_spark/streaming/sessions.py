@@ -82,3 +82,30 @@ def sessionize_stateful(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFr
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_event_counts(
+    events: DataFrame, window_s: int = 3600, late_s: int = SESSION_GAP_S
+) -> DataFrame:
+    """Tumbling-window event counts with a watermark: once the
+    watermark (max observed event time minus `late_s`) passes a
+    window's end, the window is finalized + emitted (append mode emits
+    each window exactly once) and subsequent arrivals for it are
+    dropped. Note Spark's exact contract: the filter uses the
+    start-of-batch watermark, so a late row landing in the same
+    micro-batch that finalizes its window still merges; from the next
+    batch on it is dropped (asserted via numRowsDroppedByWatermark in
+    tests). The batch engine's analog is the snapshot watermark fast
+    path (`store.diff` == "nothing changed")."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", f"{late_s} seconds")
+        .groupBy(F.window("ts", f"{window_s} seconds").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )

@@ -120,3 +120,73 @@ def test_stateful_sessionize_equals_batch(spark, tmp_path):
         for r in entrymod.queries()["q32_sessionize"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Windowed counts under a watermark: an event arriving later than
+    the allowed lateness (behind the max seen event time) is dropped;
+    on-time windows match a batch groupBy over the on-time rows."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.streaming.sessions import windowed_event_counts
+
+    drop = tmp_path / "wdrop"
+    drop.mkdir()
+    # batch 0: the on-time 10:00-window events; batch 1: an event far
+    # ahead (advances the watermark past the window end); batch 2:
+    # another on-time event (the batch whose start-of-batch watermark
+    # finalizes + emits the 10:00 window); batch 3: the late arrival —
+    # its window is already finalized, so the watermark drops it.
+    # (Spark merges a late row that lands in the SAME batch the window
+    # finalizes — the filter uses the start-of-batch watermark — hence
+    # the one-batch spacer.)
+    chunks_rows = [
+        [(i, f"2024-01-01 10:{m:02d}:00", 1) for i, m in enumerate([0, 5, 40, 59])],
+        [(9, "2024-01-01 12:00:00", 1)],
+        [(12, "2024-01-01 12:02:00", 1)],
+        [(10, "2024-01-01 10:10:00", 1), (11, "2024-01-01 12:05:00", 1)],
+    ]
+    for i, rows in enumerate(chunks_rows):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long")
+        df = df.select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+        p = str(drop / f"chunk_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    schema = "event_id long, ts timestamp, user_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "chunk_*"))
+    )
+    query = (
+        windowed_event_counts(stream, window_s=3600, late_s=600)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = {
+        str(r["win_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    # the 10:00 window counts ONLY the 4 on-time events — the late
+    # arrival (event 10) was dropped by the watermark
+    assert got.get("2024-01-01 10:00:00") == 4, got
+    # and the drop is visible in the stream metrics
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in query.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
