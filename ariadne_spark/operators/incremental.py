@@ -66,6 +66,19 @@ def _idx_bucket(image_id: str) -> str:
     return str(zlib.crc32(image_id.encode()) % IDX_BUCKETS)
 
 
+ZORDER_RES = 8  # intra-partition clustering resolution
+
+
+def _zorder_cols() -> list[F.Column]:
+    """Morton key at a fine resolution — the Iceberg Z-ORDER analog for
+    images_indexed file layout: spatially adjacent rows share row
+    groups, so parquet min/max stats prune range scans within a
+    partition (row ORDER never affects results — fingerprints are
+    order-independent)."""
+    cell = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), ZORDER_RES)
+    return [cells.morton_key(cell, ZORDER_RES)]
+
+
 def prefix_ring(keys: list[str], k: int = 1) -> list[str]:
     """k-ring of prefix-cell partition keys (driver-side arithmetic —
     the `get_dependents` analog, `project/import_graph.ts:178-185`)."""
@@ -276,7 +289,9 @@ class SpatialPipeline:
         """Cold build: index every partition (≅ `load_project` cold path,
         `packages/core/src/project/load_project.ts:67-150`)."""
         meta = images.select(*META_COLS).withColumn("pk", _pk_col())
-        in_sid = self.store.write_table(meta, "images_indexed", "pk")
+        in_sid = self.store.write_table(
+            meta, "images_indexed", "pk", sort_cols=_zorder_cols()
+        )
         self._sync_id_index(in_sid, buckets=None, dead_ids=None, changed_meta=None)
         self._run_stages(in_sid, None)
         return in_sid
@@ -362,7 +377,8 @@ class SpatialPipeline:
             .unionByName(changed_meta)
         )
         in_sid = self.store.overwrite_partitions(
-            merged, "images_indexed", "pk", keys=touched_keys
+            merged, "images_indexed", "pk", keys=touched_keys,
+            sort_cols=_zorder_cols(),
         )
         changed_keys = self.store.diff("images_indexed", prev_sid, in_sid)
         # id_index sync and the derived stages are independent once

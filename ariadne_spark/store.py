@@ -173,17 +173,26 @@ class SnapshotStore:
         )
         return df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
 
-    def _write_partition_data(self, df: DataFrame, table: str, key: str, sid: int) -> str:
+    def _write_partition_data(
+        self, df: DataFrame, table: str, key: str, sid: int, sort_cols=None
+    ) -> str:
         """Write df (all partitions it contains) under a fresh version dir;
         returns the version dir. Data includes the key column (plain
         parquet dirs keyed by `key=<v>` subdirs via partitionBy, but the
-        column is also kept in the data for hive-free reads)."""
+        column is also kept in the data for hive-free reads).
+
+        `sort_cols` (Column expressions) cluster rows within each
+        partition's files — the Z-ORDER analog of Iceberg table layout
+        (`ALTER TABLE ... WRITE ORDERED BY`): spatially adjacent rows
+        land in adjacent row groups, so parquet min/max statistics
+        prune range predicates inside a partition."""
         vdir = f"{self.root}/data/{table}/v{sid}"
         # duplicate the key so partitionBy doesn't strip it from the data
+        out = df.withColumn("__pk", F.col(key)).repartition(F.col("__pk"))
+        if sort_cols:
+            out = out.sortWithinPartitions(F.col("__pk"), *sort_cols)
         (
-            df.withColumn("__pk", F.col(key))
-            .repartition(F.col("__pk"))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("__pk")
             .parquet(vdir)
         )
@@ -200,7 +209,9 @@ class SnapshotStore:
             return {}  # zero-row write: partitionBy emits no dirs
         return partition_summary(self.spark.read.parquet(vdir).drop("__pk"), key)
 
-    def write_table(self, df: DataFrame, table: str, key: str) -> int:
+    def write_table(
+        self, df: DataFrame, table: str, key: str, sort_cols=None
+    ) -> int:
         """Full write -> snapshot 0 (or next id if the table exists).
         Re-snapshots of an existing table are cast to its committed
         schema so physical types never drift across snapshots."""
@@ -209,7 +220,7 @@ class SnapshotStore:
         if prev is not None:
             prev_m = self.manifest(table, prev)
             df = self._conform(df, prev_m.schema_json if prev_m else None)
-        vdir = self._write_partition_data(df, table, key, sid)
+        vdir = self._write_partition_data(df, table, key, sid, sort_cols)
         summary = self._summarize_written(vdir, key)
         m = Manifest(table, sid, prev, schema_json=df.schema.json())
         for k, s in summary.items():
@@ -218,7 +229,12 @@ class SnapshotStore:
         return sid
 
     def overwrite_partitions(
-        self, df: DataFrame, table: str, key: str, keys: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        keys: list[str] | None = None,
+        sort_cols=None,
     ) -> int:
         """Partition-granular overwrite: df holds the NEW full content of
         the partitions it touches (delete-then-insert idempotency, the
@@ -230,7 +246,7 @@ class SnapshotStore:
         assert prev_m is not None, f"table {table} has no snapshot yet"
         df = self._conform(df, prev_m.schema_json)
         sid = prev_m.snapshot_id + 1
-        vdir = self._write_partition_data(df, table, key, sid)
+        vdir = self._write_partition_data(df, table, key, sid, sort_cols)
         summary = self._summarize_written(vdir, key)
         m = Manifest(
             table, sid, prev_m.snapshot_id, dict(prev_m.partitions),

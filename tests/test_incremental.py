@@ -314,3 +314,40 @@ def test_update_id_lookup_is_partition_pruned(spark, tmp_path_factory):
     ref = _pipeline(spark, tmp, "ref")
     ref.full_build(_images(spark, survivors))
     assert p.table_fingerprints() == ref.table_fingerprints()
+
+
+def test_images_indexed_files_are_zorder_clustered(spark, tmp_path_factory):
+    """The Z-ORDER layout analog: within every written images_indexed
+    parquet file, rows are sorted by the fine-res morton key (so
+    parquet min/max stats prune spatial range scans). Fingerprints are
+    order-independent, so this never affects results."""
+    import glob
+
+    import pyarrow.parquet as apq
+
+    from ariadne_spark.functions import cells as C
+    from ariadne_spark.operators.incremental import ZORDER_RES
+
+    tmp = tmp_path_factory.mktemp("zorder")
+    p = _pipeline(spark, tmp, "p")
+    p.full_build(_images(spark, np.arange(700)))
+
+    m = p.store.manifest("images_indexed")
+    files = []
+    for part in m.partitions.values():
+        files += glob.glob(f"{part['path']}/*.parquet")
+    assert files
+    checked = 0
+    for f in files:
+        t = apq.read_table(f, columns=["lon_u", "lat_u"])
+        lon = t["lon_u"].to_numpy()
+        lat = t["lat_u"].to_numpy()
+        if len(lon) < 2:
+            continue
+        cell = C.np_cell_encode(lon, lat, ZORDER_RES)
+        x = (cell >> C.X_SHIFT) & C.XY_MASK
+        y = cell & C.XY_MASK
+        morton = C.np_morton(x, y, ZORDER_RES)
+        assert (np.diff(morton) >= 0).all(), f
+        checked += 1
+    assert checked > 0
