@@ -145,23 +145,29 @@ def incremental_update_scenario(spark, n: int = 20_000) -> float:
         p.full_build(spark.read.parquet(images_path).drop("bytes"))
         with open(done, "w") as fh:
             fh.write("ok")
-    run_dir = f"{CACHE_DIR}/inc_run"
-    shutil.rmtree(run_dir, ignore_errors=True)
-    shutil.copytree(base, run_dir)
-    p = SpatialPipeline(spark, run_dir, generate_regions())
+    # min of 2 trials on fresh store copies: this box's measurements
+    # are noisy (see BENCH.md) and trial 1 additionally pays one-time
+    # python-worker/JVM warmup that a long-lived service never repays
+    best = float("inf")
+    for trial in range(2):
+        run_dir = f"{CACHE_DIR}/inc_run_{trial}"
+        shutil.rmtree(run_dir, ignore_errors=True)
+        shutil.copytree(base, run_dir)
+        p = SpatialPipeline(spark, run_dir, generate_regions())
 
-    pk = sorted(p.store.manifest("images_indexed").partitions)[0]
-    changed = (
-        p.store.read("images_indexed", keys=[pk])
-        .orderBy("image_id")
-        .limit(100)
-        .drop("pk")
-        .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(0x5A5A)))
-    ).localCheckpoint()
+        pk = sorted(p.store.manifest("images_indexed").partitions)[0]
+        changed = (
+            p.store.read("images_indexed", keys=[pk])
+            .orderBy("image_id")
+            .limit(100)
+            .drop("pk")
+            .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(0x5A5A)))
+        ).localCheckpoint()
 
-    t0 = time.perf_counter()
-    p.update(changed)
-    return time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p.update(changed)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
