@@ -1045,6 +1045,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x13_ann_ivf"] = x13
 
+    # multimodal resize/thumbnail stage: decode -> aspect-preserving
+    # nearest-neighbor downscale -> re-encode (registry dispatch), one
+    # mapInPandas pass; byte-exact numpy oracle in tests/test_decode.py
+    def x14(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.decode import resize_images
+        from ariadne_spark.synth.images import write_images
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 500)
+        images = spark.read.parquet(f"{d}/images.parquet")
+        return resize_images(images, max_side=24).drop("bytes")
+
+    Q["x14_resize_images"] = x14
+
     return Q
 
 

@@ -139,3 +139,57 @@ def invariant_summary(images: DataFrame) -> DataFrame:
         F.sum(F.when(~F.col("phash_ok"), 1).otherwise(0)).alias("n_phash_violations"),
         F.min("psnr").alias("min_psnr"),
     )
+
+
+RESIZED_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string"
+)
+
+
+def np_resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure integer index math — deterministic
+    across platforms, no float filter kernels)."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ys][:, xs]
+
+
+def resize_images(images: DataFrame, max_side: int) -> DataFrame:
+    """Thumbnail stage: decode -> aspect-preserving nearest-neighbor
+    downscale to `max_side` -> re-encode in the row's own format
+    (registry dispatch). Rows already within bounds pass through
+    re-encoded, so the output column is uniformly derived. One
+    mapInPandas pass, zero shuffles — the bulk-preprocessing shape a
+    training-data pipeline needs (the reference's analog is the
+    per-language preprocess hook, `packages/core/src/resolve_references/
+    preprocess_references.ts:31-57`: a payload-rewrite stage between
+    parse and resolution)."""
+    from ..functions.codecs import encode_image
+
+    def run(iterator):
+        for pdf in iterator:
+            ids, blobs, ws, hs, fmts = [], [], [], [], []
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                h, w, _ = px.shape
+                if max(w, h) > max_side:
+                    if w >= h:
+                        ow = max_side
+                        oh = max(1, (h * max_side) // w)
+                    else:
+                        oh = max_side
+                        ow = max(1, (w * max_side) // h)
+                    px = np_resize_nearest(px, ow, oh)
+                ids.append(img_id)
+                blobs.append(encode_image(px, fmt))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "w": ws, "h": hs, "fmt": fmts}
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, RESIZED_SCHEMA
+    )

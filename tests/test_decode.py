@@ -115,3 +115,51 @@ def test_decode_features_handles_bmp_rows(spark):
     want = {r["image_id"]: r["phash"] for r in rows}
     for r in df.select("image_id", phash_udf("bytes", "fmt").alias("ph")).collect():
         assert r["ph"] == want[r["image_id"]]
+
+
+def test_resize_images_matches_numpy_oracle(spark, images_df):
+    """Spark resize stage == pure-python decode→resize→encode oracle,
+    byte-exact, and dims respect the max-side bound + aspect ratio."""
+    import numpy as np
+
+    from ariadne_spark.functions.codecs import decode_image, encode_image
+    from ariadne_spark.operators.decode import np_resize_nearest, resize_images
+
+    MAX_SIDE = 24
+    sample = images_df.limit(40)
+    got = {
+        r["image_id"]: (bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        for r in resize_images(sample, MAX_SIDE).collect()
+    }
+    src = sample.select("image_id", "bytes", "fmt").collect()
+    assert len(got) == len(src)
+    for r in src:
+        px = decode_image(bytes(r["bytes"]), r["fmt"])
+        h, w, _ = px.shape
+        if max(w, h) > MAX_SIDE:
+            if w >= h:
+                ow, oh = MAX_SIDE, max(1, (h * MAX_SIDE) // w)
+            else:
+                oh, ow = MAX_SIDE, max(1, (w * MAX_SIDE) // h)
+            px = np_resize_nearest(px, ow, oh)
+        blob, gw, gh, gfmt = got[r["image_id"]]
+        assert (gw, gh) == (px.shape[1], px.shape[0])
+        assert max(gw, gh) <= MAX_SIDE
+        assert gfmt == r["fmt"]
+        assert blob == encode_image(px, gfmt)
+        # and the resized payload decodes back through the registry
+        out = decode_image(blob, gfmt)
+        assert out.shape == (gh, gw, 3)
+
+
+def test_resize_nearest_identity_and_downscale():
+    import numpy as np
+
+    from ariadne_spark.operators.decode import np_resize_nearest
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    same = np_resize_nearest(px, 6, 4)
+    assert (same == px).all()
+    half = np_resize_nearest(px, 3, 2)
+    assert half.shape == (2, 3, 3)
+    assert (half == px[::2][:, ::2]).all()

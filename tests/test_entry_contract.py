@@ -90,6 +90,7 @@ def test_entry_smoke(spark):
         "x11_adaptive_split",
         "x12_query_stats",
         "x13_ann_ivf",
+        "x14_resize_images",
     ],
 )
 def test_engine_only_queries_run(spark, name):
