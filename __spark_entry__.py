@@ -30,6 +30,10 @@ from ariadne_spark.functions import cells
 from ariadne_spark.functions import filters as _filters
 from ariadne_spark.synth import derive
 
+# GPT-2-style pre-tokenizer (lookaround-free subset): shared verbatim
+# between Spark (Java regex) and the DuckDB oracle (RE2)
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
 # ---------------------------------------------------------------------------
 # shared constants / helpers (both engines)
 # ---------------------------------------------------------------------------
@@ -1001,6 +1005,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q39_entrypoint_filter"] = q39
 
+    # text — BPE-ish tokenizer: GPT-2-style pre-tokenizer regex
+    # (contraction suffixes, letter runs, digit runs, punct runs) next
+    # to plain whitespace tokens; pattern has no lookarounds so Java
+    # regex (Spark) and RE2 (DuckDB) agree exactly
+    def q40(spark, sf):
+        d = _t(spark, sf, "documents")
+        ws = (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long")
+        bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long")
+        return d.select(
+            "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
+        )
+
+    Q["q40_bpe_tokens"] = q40
+
     # A6 — query-stats analytics: per-tool call counts recorded through
     # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
     # registry dispatch). Engine-only: the call history is runtime state.
@@ -1245,6 +1267,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM orph
             WHERE NOT ({_filters.holdout_sql('text', 'lang')})
               AND NOT ({_filters.framework_entry_sql('doc_id')})
+        """,
+        "q40_bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,
