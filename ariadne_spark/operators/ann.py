@@ -153,14 +153,27 @@ def _centroids(embeddings: DataFrame, n_centroids: int) -> np.ndarray:
     return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
 
 
+EMB_QSCALE = 1_000  # matches the exact-score quantization (q21)
+CENT_QSCALE = 1_000_000
+
+
 def _ivf_assign_udf(cents: np.ndarray, n_probe: int):
     """One Arrow pass -> (own_cell, probe_cells): nearest centroid for
     the corpus role, top-n_probe centroids for the query role.
-    Deterministic tie-break on centroid index."""
+    Deterministic tie-break on centroid index.
+
+    Assignment scores are INTEGER dot products (embeddings quantized
+    x1e3, centroids x1e6, both int64): float BLAS matmuls change
+    summation order with batch/partition shape and can flip near-tied
+    centroid ranks between cluster sizes — integer arithmetic is exact,
+    so the candidate set is identical at any parallelism (the repo's
+    cross-cluster-size determinism contract). Headroom: dim * 1e3 *
+    1e6 << 2^63."""
     from pyspark.sql.types import StructField, StructType
 
     n_c = len(cents)
     idx = np.arange(n_c)
+    cents_q = np.round(cents * CENT_QSCALE).astype(np.int64)
 
     @F.pandas_udf(
         StructType(
@@ -171,8 +184,9 @@ def _ivf_assign_udf(cents: np.ndarray, n_probe: int):
         )
     )
     def assign(emb: pd.Series) -> pd.DataFrame:
-        mat = np.stack(emb.to_numpy())  # (batch, dim)
-        dots = mat @ cents.T  # (batch, n_c)
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat_q = np.round(mat * EMB_QSCALE).astype(np.int64)
+        dots = mat_q @ cents_q.T  # exact int64, no BLAS float paths
         # lexsort: primary -dots desc, secondary centroid index asc
         order = np.lexsort((np.broadcast_to(idx, dots.shape), -dots), axis=1)
         return pd.DataFrame(
@@ -252,10 +266,13 @@ def ann_ivf(
     assign = _ivf_assign_udf(cents, n_probe)
     qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
 
+    # persist: both sides of the cell self-join read `assigned`, and the
+    # centroid-assignment UDF pass over the full corpus is the expensive
+    # stage — without this it executes twice per run
     assigned = embeddings.select(
         "vec_id", assign(F.col("embedding")).alias("a")
     ).select("vec_id", F.col("a.own_cell").alias("own_cell"),
-             F.col("a.probe_cells").alias("probe_cells"))
+             F.col("a.probe_cells").alias("probe_cells")).persist()
     queries = assigned.select(
         F.col("vec_id").alias("src"), F.explode("probe_cells").alias("cell")
     )

@@ -346,7 +346,13 @@ class SpatialPipeline:
         delete-then-insert (`registries/definition.ts:99-103`)."""
         prev_sid = self.store.current_snapshot_id("images_indexed")
         assert prev_sid is not None, "full_build first"
-        changed_meta = changed.select(*META_COLS).withColumn("pk", _pk_col())
+        # materialize the delta ONCE: it is read three times below (id
+        # collect, images_indexed merge, id_index sync) and the caller's
+        # plan may be expensive or not stable across evaluations — a
+        # drifting plan would desynchronize all_dead from the merged rows
+        changed_meta = (
+            changed.select(*META_COLS).withColumn("pk", _pk_col()).localCheckpoint()
+        )
 
         # the delta is small by contract — collecting its ids lets the
         # old-pk lookup prune to exactly the ids' index buckets

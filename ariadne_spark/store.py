@@ -112,8 +112,14 @@ class SnapshotStore:
     """Versioned partitioned tables + lineage log under one root dir."""
 
     def __init__(self, spark: SparkSession, root: str):
+        import threading
+
         self.spark = spark
         self.root = root
+        # stages may log/read lineage from concurrent threads (see
+        # incremental._run_stages); appends and full-file parses must
+        # not interleave or a reader can see a torn trailing line
+        self._lineage_lock = threading.Lock()
         os.makedirs(f"{root}/manifests", exist_ok=True)
         os.makedirs(f"{root}/data", exist_ok=True)
 
@@ -224,9 +230,16 @@ class SnapshotStore:
         summary = self._summarize_written(vdir, key)
         m = Manifest(table, sid, prev, schema_json=df.schema.json())
         for k, s in summary.items():
-            m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
+            m.partitions[k] = {"path": f"data/{table}/v{sid}/__pk={k}", **s}
         self._commit(m)
         return sid
+
+    def _abs_path(self, p: str) -> str:
+        """Manifests record store-root-RELATIVE data paths, so a store
+        directory is relocatable (copy/move and read — required by e.g.
+        bench trial isolation). Absolute paths from pre-migration
+        manifests still resolve as-is."""
+        return p if os.path.isabs(p) else f"{self.root}/{p}"
 
     def overwrite_partitions(
         self,
@@ -255,7 +268,7 @@ class SnapshotStore:
         for k in set(keys or []) | set(summary):
             m.partitions.pop(k, None)
         for k, s in summary.items():
-            m.partitions[k] = {"path": f"{vdir}/__pk={k}", **s}
+            m.partitions[k] = {"path": f"data/{table}/v{sid}/__pk={k}", **s}
         self._commit(m)
         return sid
 
@@ -273,7 +286,7 @@ class SnapshotStore:
         m = self.manifest(table, snapshot_id)
         assert m is not None, f"table {table} has no snapshot"
         sel = m.partitions if keys is None else {k: m.partitions[k] for k in keys if k in m.partitions}
-        paths = [p["path"] for p in sel.values()]
+        paths = [self._abs_path(p["path"]) for p in sel.values()]
         if not paths:
             # every selected partition was deleted: empty frame, real schema
             from pyspark.sql.types import StructType
@@ -322,14 +335,16 @@ class SnapshotStore:
             "status": status,
             "ts": time.time(),
         }
-        with open(self._lineage_path, "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
+        with self._lineage_lock:
+            with open(self._lineage_path, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
 
     def lineage(self) -> list[dict]:
         if not os.path.exists(self._lineage_path):
             return []
-        with open(self._lineage_path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+        with self._lineage_lock:
+            with open(self._lineage_path) as fh:
+                return [json.loads(line) for line in fh if line.strip()]
 
     def completed(self, stage: str, snapshot_id: int) -> set[str]:
         """Partitions already `done` for (stage, snapshot) — the resume

@@ -59,8 +59,16 @@ def sessionize_stateful(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFr
             last_ts_us, n_sessions, n_events = state.get
         else:
             last_ts_us, n_sessions, n_events = None, 0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a micro-batch delivers a group as MULTIPLE Arrow chunks (batch
+        # size caps, shuffle order) — sessionization is order-sensitive,
+        # so concatenate and sort the whole batch ONCE; sorting chunks
+        # independently would count phantom/negative gaps and corrupt
+        # the carried last_ts state
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             # normalize to int64 microseconds regardless of the pandas
             # datetime unit Arrow hands us (ns in pandas<2, us possible)
             ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")

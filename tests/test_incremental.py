@@ -335,7 +335,7 @@ def test_images_indexed_files_are_zorder_clustered(spark, tmp_path_factory):
     m = p.store.manifest("images_indexed")
     files = []
     for part in m.partitions.values():
-        files += glob.glob(f"{part['path']}/*.parquet")
+        files += glob.glob(f"{p.store._abs_path(part['path'])}/*.parquet")
     assert files
     checked = 0
     for f in files:
@@ -351,3 +351,22 @@ def test_images_indexed_files_are_zorder_clustered(spark, tmp_path_factory):
         assert (np.diff(morton) >= 0).all(), f
         checked += 1
     assert checked > 0
+
+
+def test_store_is_relocatable(spark, tmp_path_factory):
+    """Manifests record root-relative data paths: a copied/moved store
+    directory reads correctly even after the original is deleted."""
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("reloc")
+    src = SnapshotStore(spark, str(tmp / "orig"))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, pk int")
+    src.write_table(df, "t", "pk")
+    src.overwrite_partitions(
+        spark.createDataFrame([("c", 1)], "id string, pk int"), "t", "pk"
+    )
+    shutil.copytree(str(tmp / "orig"), str(tmp / "copy"))
+    shutil.rmtree(str(tmp / "orig"))
+    dst = SnapshotStore(spark, str(tmp / "copy"))
+    assert {r["id"] for r in dst.read("t").collect()} == {"b", "c"}
+    assert {r["id"] for r in dst.read("t", snapshot_id=0).collect()} == {"a", "b"}
