@@ -157,6 +157,59 @@ class SnapshotStore:
         with open(self._manifest_path(table, sid)) as fh:
             return Manifest.from_json(fh.read())
 
+    def snapshot_ids(self, table: str) -> list[int]:
+        """All snapshot ids with a manifest on disk (ascending),
+        including uncommitted orphans above HEAD."""
+        return sorted(
+            int(f.rsplit(".", 2)[-2])
+            for f in os.listdir(f"{self.root}/manifests")
+            if f.startswith(f"{table}.") and f.endswith(".json")
+        )
+
+    def rollback(self, table: str, snapshot_id: int) -> None:
+        """Re-point HEAD at an earlier snapshot (Iceberg
+        `rollback_to_snapshot` analog). Data is immutable, so this is a
+        single atomic pointer move; the abandoned snapshots become
+        orphans that the next write overwrites and `expire_snapshots`
+        garbage-collects."""
+        assert os.path.exists(self._manifest_path(table, snapshot_id)), (
+            f"no snapshot {snapshot_id} for {table}"
+        )
+        _atomic_write(self._head_path(table), str(snapshot_id))
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest `keep_last` committed snapshots
+        (HEAD is always kept) and delete version dirs no kept manifest
+        references — the Iceberg `expire_snapshots` + orphan-file
+        cleanup analog. Returns the removed version dirs. Bounds
+        storage growth: without it every overwrite accrues data
+        forever. Time travel to an expired snapshot then fails, like
+        Iceberg."""
+        import shutil
+
+        head = self.current_snapshot_id(table)
+        assert head is not None, f"table {table} has no snapshot"
+        sids = self.snapshot_ids(table)
+        committed = [s for s in sids if s <= head]
+        keep = set(committed[-keep_last:]) | {head}
+        referenced = set()
+        for s in keep:
+            m = self.manifest(table, s)
+            for p in m.partitions.values():
+                referenced.add(os.path.dirname(self._abs_path(p["path"])))
+        removed = []
+        data_dir = f"{self.root}/data/{table}"
+        if os.path.isdir(data_dir):
+            for entry in sorted(os.listdir(data_dir)):
+                vdir = f"{data_dir}/{entry}"
+                if vdir not in referenced:
+                    shutil.rmtree(vdir)
+                    removed.append(vdir)
+        for s in sids:
+            if s not in keep:
+                os.remove(self._manifest_path(table, s))
+        return removed
+
     # -- writes ------------------------------------------------------------
 
     def _conform(self, df: DataFrame, schema_json: str | None) -> DataFrame:

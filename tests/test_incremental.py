@@ -370,3 +370,33 @@ def test_store_is_relocatable(spark, tmp_path_factory):
     dst = SnapshotStore(spark, str(tmp / "copy"))
     assert {r["id"] for r in dst.read("t").collect()} == {"b", "c"}
     assert {r["id"] for r in dst.read("t", snapshot_id=0).collect()} == {"a", "b"}
+
+
+def test_rollback_and_expire_snapshots(spark, tmp_path_factory):
+    """rollback re-points HEAD atomically; expire_snapshots drops
+    unreferenced version dirs + old manifests while the kept snapshots
+    stay fully readable (Iceberg rollback/expire analogs)."""
+    import os
+
+    tmp = tmp_path_factory.mktemp("lifecycle")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    mk = lambda ids: spark.createDataFrame([(i, 1) for i in ids], "id int, pk int")
+    store.write_table(mk([1, 2]), "t", "pk")          # sid 0
+    store.overwrite_partitions(mk([3]), "t", "pk")    # sid 1
+    store.overwrite_partitions(mk([4]), "t", "pk")    # sid 2
+
+    store.rollback("t", 1)
+    assert store.current_snapshot_id("t") == 1
+    assert {r["id"] for r in store.read("t").collect()} == {3}
+    # next write builds on the rolled-back snapshot, overwriting orphan sid 2
+    store.overwrite_partitions(mk([5]), "t", "pk")    # sid 2 (new lineage)
+    assert {r["id"] for r in store.read("t").collect()} == {5}
+
+    removed = store.expire_snapshots("t", keep_last=2)
+    assert removed  # sid-0's version dir was unreferenced
+    # kept snapshots still read, expired ones are gone
+    assert {r["id"] for r in store.read("t").collect()} == {5}
+    assert {r["id"] for r in store.read("t", snapshot_id=1).collect()} == {3}
+    assert not os.path.exists(store._manifest_path("t", 0))
+    # expire is idempotent
+    assert store.expire_snapshots("t", keep_last=2) == []
