@@ -105,6 +105,7 @@ def main() -> None:
 
     speedup = res_n["total_sec"] / res_4n["total_sec"]
     eff = speedup / 4
+    identical = res_n.get("fingerprints") == res_4n.get("fingerprints")
     summary = {
         "metric": "spatial pipeline scaling efficiency N->4N cores",
         "n_images": args.n_images,
@@ -114,10 +115,16 @@ def main() -> None:
         "throughput_4N": res_4n["images_per_sec"],
         "speedup": round(speedup, 3),
         "efficiency": round(eff, 3),
+        "results_identical": identical,
         "stages_N": res_n["stages"],
         "stages_4N": res_4n["stages"],
     }
     print(json.dumps(summary))
+    assert identical, (
+        "N vs 4N result fingerprints differ — cross-cluster-size "
+        f"equality violated: {res_n.get('fingerprints')} vs "
+        f"{res_4n.get('fingerprints')}"
+    )
 
     header = [
         "# BENCH — scaling-efficiency evidence (N vs 4N parallelism)",
@@ -139,6 +146,13 @@ def main() -> None:
         f"| {big_cores} (4N) | {res_4n['total_sec']} | {res_4n['images_per_sec']} |",
         "",
         f"**Speedup {summary['speedup']}x -> scaling efficiency {summary['efficiency']}**",
+        "",
+        "Result equality across cluster sizes: per-stage order-independent",
+        "output fingerprints (rows + content hash of pip/knn/pyramid/"
+        "rasterize)",
+        f"at N and 4N are **{'IDENTICAL' if identical else 'DIFFERENT'}** — "
+        "the exact join-row / tile-assignment",
+        "match the north rule requires, not just matching throughput.",
         "",
         "Per-stage seconds:",
         "",

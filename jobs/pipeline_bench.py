@@ -110,6 +110,28 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = best
 
+    def fingerprint(df):
+        """Order-independent (n_rows, content hash) of a result — the
+        cross-cluster-size EQUALITY evidence: the north rule requires
+        identical join rows / tile assignments at N and 4N, not just
+        matching throughput. Same construction as store.partition_summary
+        (sum of per-row xxhash64 mod 2^64, split in 32-bit halves)."""
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        row = df.agg(
+            F.sum(F.shiftrightunsigned(h, 32)).alias("hi"),
+            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+            F.count("*").alias("n"),
+        ).first()
+        fp = ((int(row["hi"] or 0) << 32) + int(row["lo"] or 0)) % (1 << 64)
+        return [int(row["n"]), fp]
+
+    fingerprints = {
+        "pip_join": fingerprint(pip_join(meta, generate_regions(), deepest_only=True)),
+        "knn": fingerprint(knn_edges(meta, k=5, max_hamming=16)),
+        "tile_pyramid": fingerprint(build_pyramid(meta, max_z=args.max_z)),
+        "rasterize": fingerprint(rasterize_tiles(meta, z=5, fmt="png")),
+    }
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -119,6 +141,7 @@ def main() -> None:
                 "stages": {k: round(v, 3) for k, v in timings.items()},
                 "total_sec": round(total, 3),
                 "images_per_sec": round(n_images / total, 1),
+                "fingerprints": fingerprints,
             }
         )
     )
