@@ -1023,6 +1023,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q40_bpe_tokens"] = q40
 
+    # capstone — end-to-end training-data curation over `documents`:
+    # exact dedup (md5 hash groupBy, keep min doc_id) -> prefix-
+    # fingerprint near-dup dedup (q25's rolling hash of the first 16
+    # chars; canonical per fingerprint — the boilerplate/mirror-dup
+    # removal a crawl pipeline runs) -> quality + language-id gates.
+    # Every stage is a hash groupBy or pure column expression — NO
+    # pairwise join anywhere, so the plan is linear in corpus size at
+    # any scale; the oracle replays identical semantics in SQL, so the
+    # driver cross-checks the whole curation pipeline end to end.
+    # (Similarity-based near-dup is deliberately a separate operator
+    # family — q18/q37/q38 and operators/dedup.py — because on this
+    # synthetic corpus set-level signals saturate: letter-mask Jaccard
+    # >= 0.9 marks 472/500 docs. Prefix fingerprints drop 27/500.)
+    def q41(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "text", "n_chars")
+        # exact dedup: canonical (min) doc per md5(text) — md5 hex is
+        # engine-identical (lowercase UTF-8 digest in Spark and DuckDB)
+        mins = d.groupBy(F.md5("text").alias("k")).agg(F.min("doc_id").alias("doc_id"))
+        uniq = (
+            d.withColumn("k", F.md5("text")).join(mins, ["k", "doc_id"], "left_semi").drop("k")
+        )
+
+        # prefix-fingerprint dedup: q25's 16-char rolling polynomial hash
+        fp = F.lit(0).cast("long")
+        for k in range(1, 17):
+            fp = (fp * F.lit(31) + F.ascii(F.substring(F.col("text"), k, 1))) % F.lit(
+                derive.M31
+            )
+        withfp = uniq.withColumn("fp", fp)
+        fmins = withfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        kept = withfp.join(fmins, ["fp", "doc_id"], "left_semi")
+
+        text = F.col("text")
+        words = (
+            F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+        ).cast("long")
+        the_count = cells.idiv(
+            (F.length(text) - F.length(F.replace(text, F.lit("the"), F.lit("")))).cast(
+                "long"
+            ),
+            3,
+        )
+        quality = (
+            F.when(words >= 20, F.lit(40)).otherwise(F.lit(0))
+            + F.when((the_count * 100) <= words * 20, F.lit(30)).otherwise(F.lit(0))
+            + F.when(F.col("n_chars") >= 200, F.lit(30)).otherwise(F.lit(0))
+        ).cast("long")
+        the_tok = cells.idiv(
+            (
+                F.length(text) - F.length(F.replace(text, F.lit(" the "), F.lit("")))
+            ).cast("long"),
+            5,
+        )
+        return (
+            kept.where(the_tok >= 1)
+            .select("doc_id", "lang", words.alias("words"), quality.alias("quality"))
+            .where(F.col("quality") >= 70)
+        )
+
+    Q["q41_curate_corpus"] = q41
+
     # A6 — query-stats analytics: per-tool call counts recorded through
     # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
     # registry dispatch). Engine-only: the call history is runtime state.
@@ -1276,6 +1337,36 @@ def oracle_sql() -> dict[str, str]:
                         '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "q41_curate_corpus": f"""
+            WITH uniq AS (
+              SELECT d.doc_id, d.lang, d.text, d.n_chars
+              FROM documents d
+              JOIN (SELECT md5(text) AS k, min(doc_id) AS doc_id
+                    FROM documents GROUP BY 1) m
+                ON md5(d.text) = m.k AND d.doc_id = m.doc_id),
+            f AS (SELECT u.*, {fp} AS fp FROM uniq u),
+            canon AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1),
+            kept AS (
+              SELECT f.* FROM f
+              JOIN canon ON f.fp = canon.fp AND f.doc_id = canon.doc_id),
+            scored AS (
+              SELECT doc_id, lang,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1
+                          AS BIGINT) AS words,
+                     CAST(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                                    >= 20 THEN 40 ELSE 0 END
+                      + CASE WHEN ((length(text) - length(replace(text, 'the', ''))) // 3)
+                                  * 100
+                                  <= (length(text) - length(replace(text, ' ', '')) + 1)
+                                     * 20 THEN 30 ELSE 0 END
+                      + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END AS BIGINT)
+                         AS quality,
+                     (length(text) - length(replace(text, ' the ', ''))) // 5
+                         AS the_tok
+              FROM kept)
+            SELECT doc_id, lang, words, quality FROM scored
+            WHERE quality >= 70 AND the_tok >= 1
         """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,
