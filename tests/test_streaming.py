@@ -190,3 +190,88 @@ def test_watermark_drops_late_events(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_stateful_dedup_equals_batch(spark, tmp_path):
+    """applyInPandasWithState exact dedup over arbitrary chunks == the
+    batch groupBy(key).agg(min(id), count(*)) — canonical is a running
+    min (arrival-order independent) and n_seen is monotone, so the last
+    emission per key is the batch aggregate."""
+    import os
+    import sys
+    import time
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from ariadne_spark.streaming.dedup_stream import dedup_stateful
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    # synthesize re-crawl duplicates: every third doc appears again
+    # under a larger id (same text -> same dup_key), and one doc three
+    # times, so groups of size 1, 2 and 3 all occur
+    dupes = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    tripled = docs.where(F.col("doc_id") == 6).withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    )
+    full = docs.unionByName(dupes).unionByName(tripled)
+    keyed = full.select("doc_id", F.md5("text").alias("dup_key"))
+
+    # three chunk files split so duplicates land in DIFFERENT
+    # micro-batches than their originals (state must carry across), one
+    # duplicate pair inside the SAME batch (within-batch path), and the
+    # smaller id of one group arriving LAST (running-min path)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    chunks = [
+        keyed.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 10_000)),
+        keyed.where(F.col("doc_id") >= 10_000),
+        keyed.where(F.col("doc_id") < 100),
+    ]
+    for i, c in enumerate(chunks):
+        p = str(drop / f"chunk_{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(p, (t, t))
+
+    stream = (
+        spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "chunk_*"))
+    )
+    out = dedup_stateful(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = {
+        r["dup_key"]: (r["canonical_id"], r["n_seen"])
+        for r in spark.sql(
+            "SELECT dup_key, min(canonical_id) AS canonical_id, "
+            "max(n_seen) AS n_seen FROM dedup_out GROUP BY dup_key"
+        ).collect()
+    }
+    want = {
+        r["dup_key"]: (r["canonical_id"], r["n_seen"])
+        for r in keyed.groupBy("dup_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_seen")
+        )
+        .collect()
+    }
+    assert got == want
+    # sanity: group sizes 2 and 3 actually occurred
+    sizes = {n for _, n in want.values()}
+    assert {1, 2, 3} <= sizes
