@@ -142,3 +142,15 @@ def test_ann_candidate_join_ships_no_vectors(spark):
     # mentions table_id/bucket, never qa/qb
     bucket_join = [ln for ln in opt.splitlines() if "Join Inner, ((NOT" in ln]
     assert bucket_join and all("qa" not in ln and "qb" not in ln for ln in bucket_join)
+
+
+def test_curate_corpus_plan_no_pairwise_join(spark, Q):
+    """q41 curation: every stage is a hash groupBy (partial agg) or a
+    semi/anti join on a key — no pairwise similarity join, no cartesian,
+    and the documents scan prunes to the four needed columns."""
+    p = plan(Q["q41_curate_corpus"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p  # canonical-per-key selection
+    # scan pruned: bytes-free documents projection only
+    assert "text" in p and "phash" not in p
