@@ -1144,6 +1144,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x14_resize_images"] = x14
 
+    # streaming exact dedup (applyInPandasWithState): documents + synth
+    # re-crawl duplicates fed as three micro-batches; final per-key
+    # state must equal the batch groupBy(md5).agg(min(id), count(*)) —
+    # asserted here (not just in pytest) so a driver run exercises the
+    # streaming path end to end. Engine-only: streaming state has no
+    # single-SQL oracle; the equality below IS the batch oracle.
+    def x15(spark, sf):
+        import os
+        import tempfile
+        import time
+
+        from ariadne_spark.streaming.dedup_stream import dedup_stateful
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        dupes = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        )
+        keyed = (
+            docs.unionByName(dupes)
+            .select("doc_id", F.md5("text").alias("dup_key"))
+        )
+
+        d = tempfile.mkdtemp()
+        chunks = [
+            keyed.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 10_000)),
+            keyed.where(F.col("doc_id") >= 10_000),
+            keyed.where(F.col("doc_id") < 100),
+        ]
+        for i, c in enumerate(chunks):
+            p = f"{d}/chunk_{i}"
+            c.coalesce(1).write.mode("overwrite").parquet(p)
+            t = time.time() + i * 10
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    os.utime(os.path.join(root, f), (t, t))
+            os.utime(p, (t, t))
+
+        stream = (
+            spark.readStream.schema(keyed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/chunk_*")
+        )
+        name = f"x15_dedup_{os.path.basename(d)}"
+        query = (
+            dedup_stateful(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+
+        final = spark.sql(
+            f"SELECT dup_key, min(canonical_id) AS canonical_id, "
+            f"max(n_seen) AS n_seen FROM {name}"
+            " GROUP BY dup_key"
+        )
+        want = keyed.groupBy("dup_key").agg(
+            F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_seen")
+        )
+        assert final.join(want, ["dup_key", "canonical_id", "n_seen"]).count() == want.count() == final.count(), (
+            "streaming dedup state diverged from batch aggregate"
+        )
+        return final
+
+    Q["x15_streaming_dedup"] = x15
+
     return Q
 
 

@@ -91,6 +91,7 @@ def test_entry_smoke(spark):
         "x12_query_stats",
         "x13_ann_ivf",
         "x14_resize_images",
+        "x15_streaming_dedup",
     ],
 )
 def test_engine_only_queries_run(spark, name):
