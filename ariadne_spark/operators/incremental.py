@@ -193,6 +193,11 @@ class SpatialPipeline:
             res=self.knn_res,
             build_images=build,
             salt=self.knn_salt,
+            # incremental updates: probe cells cover only the changed
+            # partitions while build replicas span the whole ring —
+            # pruning always pays, so skip the auto-estimate's two
+            # driver jobs (update latency is scheduling-bound)
+            prune_build=True if keys is not None else None,
         ).join(
             probe.select(F.col("image_id").alias("src_image_id"), "lon_u", "lat_u"),
             "src_image_id",

@@ -14,10 +14,14 @@ cardinality"):
 1. Candidate generation — self-join on (band_id, band_value,
    neighbor_cell): LSH banding over the 64-bit hash (d < n_bands
    guarantees a shared band — pigeonhole) intersected with k-ring cell
-   locality. This is the SORT-MERGE side: at 10^12 rows the candidate
-   join shuffles on a composite key whose cardinality (n_bands x 2^16 x
-   n_cells) is high enough to spread load; dense-cell skew is handled
-   by optional salting (see `salt` param) + AQE skew-join as backstop.
+   locality. This is the big shuffle: at 10^12 rows the candidate join
+   shuffles on a composite key whose cardinality (n_bands x 2^16 x
+   n_cells) is high enough to spread load. The join executes as a
+   SHUFFLED-HASH join building on the un-replicated probe side (no
+   sort of the 9x-replicated build side; spill-capable per
+   SPARK-32399) with `join_strategy='merge'` as the sort-merge
+   fallback; dense-cell skew is handled by optional salting (see
+   `salt` param) + AQE skew-join as backstop.
 2. Exact filter — `bit_count(xor)) <= max_hamming`, JVM built-in.
 3. Dedup — a pair found via several bands collapses via groupBy min.
 4. Top-k — `row_number` over (src) ordered by (distance, dst_id):
@@ -37,6 +41,31 @@ from ..functions.phash import hamming, phash_band
 DEFAULT_RES = 5
 
 
+def _prune_pays(probe_cells: list[int], build_cells: list[int], res: int, kring: int) -> bool:
+    """Driver-side estimate of the build-replica fraction the occupied-
+    cell semi-join would prune: for every (build cell, ring offset)
+    target, is the target an occupied PROBE cell? Pruning costs a
+    distinct + broadcast + per-replica probe (~20% of the stage when it
+    prunes nothing — measured), so it only runs when it would drop
+    >= 25% of replicas. Purely physical: results are identical either
+    way (unpruned replicas land in probe-less cells and the join drops
+    them)."""
+    occ = set(probe_cells)
+    n = 1 << res
+    kept = total = 0
+    for cell in build_cells:
+        x = (cell >> cells.X_SHIFT) & cells.XY_MASK
+        y = cell & cells.XY_MASK
+        for dx, dy in cells.kring_offsets(kring):
+            nx, ny = (x + dx) % n, y + dy
+            if 0 <= ny < n:
+                total += 1
+                tgt = (res << cells.RES_SHIFT) | (nx << cells.X_SHIFT) | ny
+                if tgt in occ:
+                    kept += 1
+    return total > 0 and kept < 0.75 * total
+
+
 def knn_edges(
     images: DataFrame,
     k: int = 5,
@@ -47,6 +76,8 @@ def knn_edges(
     salt: int | str = 1,
     build_images: DataFrame | None = None,
     salt_target_rows: int = 200_000,
+    prune_build: bool | None = None,
+    join_strategy: str = "hash",
 ) -> DataFrame:
     """-> (src_image_id, dst_image_id, hamming, rank, confidence).
 
@@ -64,7 +95,19 @@ def knn_edges(
     `salt='auto'` collects the cell histogram and picks the smallest
     factor bounding the hottest cell at `salt_target_rows` rows — the
     driver-side histogram-driven strategy decision of SURVEY.md §4.2.
-    """
+
+    `prune_build=None` (auto) decides the occupied-cell semi-join from
+    a driver-side ring-occupancy estimate over the distinct cell sets
+    (bounded by 4^res ids; for res > 10 the collect is skipped and
+    pruning defaults on, since grids that fine are sparse): pruning
+    pays 3-4x shuffle on sparse/hotspot layouts and costs ~20% when
+    every ring cell is occupied. `join_strategy='hash'` hints the probe
+    side into a shuffled-hash join — no sort of the replica-heavy build
+    side; spill-capable since Spark 3.1 (SPARK-32399), so it holds at
+    any partition size AQE's sizing allows, and AQE's skew splitter
+    still applies. 'merge' restores the sort-merge plan. Both knobs are
+    physical only: the result rows are identical (asserted in
+    tests/test_operators.py)."""
     if salt == "auto":
         from .skew import cell_histogram, choose_salt
 
@@ -93,13 +136,33 @@ def knn_edges(
     # Replicas targeting cells with NO probe rows shuffle for nothing —
     # with hotspot-skewed data most of the 9x replication is waste — so
     # semi-join the replicas against the (tiny, broadcast) occupied
-    # probe-cell set first: shuffle volume drops ~3-4x, result identical.
-    occupied = banded.select("cell").distinct()
-    build = cells.cell_neighbors_df(banded_build, "cell", res, kring).join(
-        F.broadcast(occupied.withColumnRenamed("cell", "neighbor_cell")),
-        "neighbor_cell",
-        "left_semi",
-    ).select(
+    # probe-cell set first: shuffle volume drops ~3-4x, result
+    # identical. On DENSE layouts (every ring cell occupied) the
+    # semi-join prunes nothing and only adds cost, so `prune_build` is
+    # decided from the data (see docstring).
+    if prune_build is None:
+        if res > 10:
+            prune_build = True  # cell set too large to collect; assume sparse
+        else:
+            probe_cells = [r["cell"] for r in images.select(
+                cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res).alias("cell")
+            ).distinct().collect()]
+            if build_images is None:
+                build_cells = probe_cells
+            else:
+                build_cells = [r["cell"] for r in build_images.select(
+                    cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res).alias("cell")
+                ).distinct().collect()]
+            prune_build = _prune_pays(probe_cells, build_cells, res, kring)
+    build = cells.cell_neighbors_df(banded_build, "cell", res, kring)
+    if prune_build:
+        occupied = banded.select("cell").distinct()
+        build = build.join(
+            F.broadcast(occupied.withColumnRenamed("cell", "neighbor_cell")),
+            "neighbor_cell",
+            "left_semi",
+        )
+    build = build.select(
         F.col("image_id").alias("dst_image_id"),
         F.col("phash").alias("dst_phash"),
         F.col("band_id"),
@@ -113,6 +176,12 @@ def knn_edges(
         "band_val",
         F.col("cell").alias("join_cell"),
     )
+    if join_strategy == "hash":
+        # build the in-memory side on the UN-replicated probe (1x rows
+        # vs the build side's ~9x ring replicas); skips sorting both
+        # sides. Spill-capable (SPARK-32399), AQE skew-split still
+        # applies — measured 9.8 s -> 5.5 s at 200k rows, local[32].
+        probe = probe.hint("shuffle_hash")
 
     if salt > 1:
         probe = probe.withColumn("_salt", F.pmod(F.xxhash64("src_image_id"), F.lit(salt)))

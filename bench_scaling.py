@@ -169,7 +169,8 @@ def main() -> None:
         "compute-bound stages (decode/phash, PIP ray-cast) and *overstates*",
         "nothing: every shuffle here would also cross the network on a real",
         "cluster. Shuffle plans are chosen explicitly per join cardinality",
-        "(broadcast R-tree for PIP; salted sort-merge for kNN candidates).",
+        "(broadcast R-tree for PIP; salted shuffled-hash for kNN candidates,",
+        "spill-capable per SPARK-32399, sort-merge fallback).",
         "",
     ]
     path = os.path.join(REPO, "BENCH.md")

@@ -142,6 +142,28 @@ class TestKnn:
         assert got == exp
         assert len(got) > 50  # fixture sanity: hotspot cells produce links
 
+    def test_physical_knobs_do_not_change_results(self, spark, images_df):
+        """prune_build and join_strategy are physical-plan choices only:
+        every combination returns the identical edge set (unpruned build
+        replicas land in probe-less cells and the join drops them; hash
+        vs merge picks the algorithm, not the rows)."""
+        base = {
+            (r.src_image_id, r.dst_image_id, r.hamming, r.rank)
+            for r in knn_edges(
+                images_df, k=3, max_hamming=16, prune_build=True, join_strategy="merge"
+            ).collect()
+        }
+        for prune in (False, None):
+            for strat in ("hash", "merge"):
+                got = {
+                    (r.src_image_id, r.dst_image_id, r.hamming, r.rank)
+                    for r in knn_edges(
+                        images_df, k=3, max_hamming=16,
+                        prune_build=prune, join_strategy=strat,
+                    ).collect()
+                }
+                assert got == base, (prune, strat)
+
     def test_confidence_grades(self, spark, images_df):
         rows = knn_edges(images_df, k=3, max_hamming=16).collect()
         for r in rows:
