@@ -34,27 +34,49 @@ def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
 
 
 _DCT = _dct_matrix()
+_GRID_CACHE: dict = {}  # (h, w) -> np.ix_ subsample grid (images repeat sizes)
+
+
+def _coef_block(px: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 -> the 64 low-frequency DCT coefficients (float64).
+
+    Subsample BEFORE the luma arithmetic (pointwise integer ops commute
+    with sampling — bit-identical, 4x+ less work for >32px images); the
+    two 32x32 matmuls stay per-image 2-D `@` so the float operation
+    order is exactly the original's."""
+    h, w = px.shape[:2]
+    key = (h, w)
+    grid = _GRID_CACHE.get(key)
+    if grid is None:
+        yi = (np.arange(_DCT_N) * h) // _DCT_N
+        xi = (np.arange(_DCT_N) * w) // _DCT_N
+        grid = _GRID_CACHE[key] = np.ix_(yi, xi)
+    s = px[grid]
+    # int32 is exact here (max 255*(299+587+114) = 255000 < 2^31) and
+    # halves the integer bandwidth vs int64
+    luma = (
+        299 * s[:, :, 0].astype(np.int32)
+        + 587 * s[:, :, 1].astype(np.int32)
+        + 114 * s[:, :, 2].astype(np.int32)
+    ) // 1000
+    coef = _DCT @ luma.astype(np.float64) @ _DCT.T
+    return coef[:8, :8].ravel()
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(n, 64) bool, first bit = MSB -> (n,) signed int64 (same wrap as
+    uint64.astype(int64)); pure integer ops, vectorized packbits
+    replacing the former 64-iteration python loop (was 2/3 of phash
+    CPU)."""
+    packed = np.packbits(bits, axis=1)  # big bitorder: bit 0 -> MSB
+    return packed.view(">u8").ravel().astype(np.uint64).view(np.int64)
 
 
 def np_phash_from_pixels(px: np.ndarray) -> int:
     """HxWx3 uint8 -> 64-bit perceptual hash (signed int64)."""
-    luma = (
-        299 * px[:, :, 0].astype(np.int64)
-        + 587 * px[:, :, 1].astype(np.int64)
-        + 114 * px[:, :, 2].astype(np.int64)
-    ) // 1000
-    h, w = luma.shape
-    yi = (np.arange(_DCT_N) * h) // _DCT_N
-    xi = (np.arange(_DCT_N) * w) // _DCT_N
-    small = luma[np.ix_(yi, xi)].astype(np.float64)
-    coef = _DCT @ small @ _DCT.T
-    block = coef[:8, :8].ravel()
-    med = np.median(block)
-    bits = block > med
-    out = np.uint64(0)
-    for b in bits:  # 64 iterations per image, inside an Arrow batch
-        out = (out << np.uint64(1)) | np.uint64(bool(b))
-    return int(out.astype(np.int64))
+    block = _coef_block(px)
+    bits = (block > np.median(block)).reshape(1, 64)
+    return int(_pack_bits(bits)[0])
 
 
 def np_phash_from_bytes(data: bytes, fmt: str) -> int:
@@ -63,10 +85,19 @@ def np_phash_from_bytes(data: bytes, fmt: str) -> int:
 
 @pandas_udf(LongType())
 def phash_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
-    """Arrow-batched phash: Series[binary], Series[string] -> Series[long]."""
-    return pd.Series(
-        [np_phash_from_bytes(d, f) for d, f in zip(data, fmt)], dtype="int64"
+    """Arrow-batched phash: Series[binary], Series[string] -> Series[long].
+
+    Decode + DCT run per image (the float path must stay bit-identical
+    to the single-image form); the median threshold and bit packing are
+    vectorized across the whole Arrow batch (np.median over axis=1
+    performs the identical per-row computation)."""
+    if len(data) == 0:
+        return pd.Series([], dtype="int64")
+    blocks = np.stack(
+        [_coef_block(decode_image(d, f)) for d, f in zip(data, fmt)]
     )
+    med = np.median(blocks, axis=1, keepdims=True)
+    return pd.Series(_pack_bits(blocks > med), dtype="int64")
 
 
 def hamming(a: Column, b: Column) -> Column:
