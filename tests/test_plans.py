@@ -91,6 +91,16 @@ def test_knn_salted_and_plain_same_plan_family(spark, images_df):
     assert "Window" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the candidate join executes as a shuffled-hash join (no sort of
+    # the 9x-replicated build side; spill-capable per SPARK-32399) —
+    # measured 9.8 s -> 5.1 s at 200k rows, local[32]
+    assert "ShuffledHashJoin" in p
+    # fallback: without the hint the planner is free again (at fixture
+    # size it broadcasts; at scale it sort-merges) — the pin is only
+    # that 'merge' removes the forced hash strategy
+    pm = plan(knn_edges(meta, k=3, max_hamming=16, join_strategy="merge"))
+    assert "ShuffledHashJoin" not in pm
+    assert "CartesianProduct" not in pm
 
 
 def test_exact_sim_plan_no_cartesian_no_collect(spark):
