@@ -10,6 +10,11 @@ snapshot metadata on a real cluster):
 - partition data is written ONCE and never mutated — an overwrite
   writes new partition dirs and re-points the manifest (old snapshots
   stay readable: time travel / rollback for free);
+- commits are OPTIMISTICALLY CONCURRENT: the commit point is atomic
+  creation of the next manifest file (hard-link CAS, `_atomic_create`),
+  so any number of writers race safely — losers rebase (disjoint
+  partition sets) or get `CommitConflict` (overlapping/schema), the
+  Iceberg catalog's validate-and-rebase protocol;
 - `diff(a, b)` is metadata-only: compare manifests, return changed
   keys — the analog of ariadne's git-accelerated change detection
   (`packages/core/src/persistence/git_change_detection.ts:47-74`:
@@ -35,11 +40,17 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
+from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FINGERPRINT_MOD = 1 << 64
+
+# bound on lost-CAS retries before a commit surfaces CommitConflict;
+# each retry re-reads the current manifest and re-validates, so this
+# only trips under sustained write contention on one table
+COMMIT_RETRIES = 10
 
 
 @dataclass
@@ -96,16 +107,47 @@ def partition_summary(df: DataFrame, key: str) -> dict[str, dict]:
 
 def _atomic_write(path: str, content: str) -> None:
     """Write-to-temp + rename: atomic on POSIX, so a crash mid-write can
-    never leave a truncated file at `path` (the commit point is the
-    rename). Single-writer store: concurrent writers are NOT supported
-    (no catalog-level CAS here; a real deployment swaps this layer for
-    Iceberg's optimistic-commit catalog)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    never leave a truncated file at `path`. Last-writer-wins — used only
+    for advisory files (the HEAD cache, sync markers), never for the
+    commit point itself (see `_atomic_create`)."""
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         fh.write(content)
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, path)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the snapshot id this writer raced for.
+
+    The write's data files are orphaned (never referenced) and the
+    table is untouched — safe to retry from the new current snapshot.
+    `overwrite_partitions` retries automatically when the competing
+    commit touched a disjoint partition set (Iceberg's
+    validate-and-rebase optimistic concurrency); overlapping writes and
+    schema changes surface this error to the caller."""
+
+
+def _atomic_create(path: str, content: str) -> bool:
+    """Create-if-absent, atomically: write-to-temp + hard `link(2)`,
+    which fails with EEXIST if `path` already exists — so of any number
+    of concurrent writers racing to create `path`, EXACTLY one wins.
+    This is the store's commit CAS (the optimistic-commit primitive an
+    Iceberg catalog provides; same linearization point as Iceberg's
+    version-file swap). Returns True iff this caller created the file."""
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 class SnapshotStore:
@@ -132,23 +174,41 @@ class SnapshotStore:
         return f"{self.root}/manifests/{table}.HEAD"
 
     def current_snapshot_id(self, table: str) -> int | None:
-        """Resolve HEAD from the single pointer file (commit point). A
-        manifest file without a HEAD update is an uncommitted snapshot
-        and is ignored — so a crash between data/manifest write and the
-        HEAD rename leaves the previous snapshot fully readable."""
+        """Newest committed snapshot. The commit point is atomic
+        CREATION of the manifest file (`_commit`), so every manifest on
+        disk is committed and ids are dense — resolve by reading the
+        advisory HEAD cache and probing FORWARD past any commits whose
+        cache update was lost (crash between manifest create and cache
+        write, or two writers' cache writes landing out of order). With
+        no cache (fresh copy of an old store) fall back to a dir scan."""
         head = self._head_path(table)
+        sid: int | None = None
         if os.path.exists(head):
             with open(head) as fh:
-                return int(fh.read().strip())
-        return None
+                txt = fh.read().strip()
+            if txt:
+                sid = int(txt)
+        if sid is None:
+            ids = self.snapshot_ids(table)
+            return ids[-1] if ids else None
+        while os.path.exists(self._manifest_path(table, sid + 1)):
+            sid += 1
+        return sid
 
-    def _commit(self, m: Manifest) -> None:
-        """Two-step atomic commit: manifest json first, then the HEAD
-        pointer rename (the actual commit). Data files were already
-        written; partial data writes are harmless because nothing
-        references them until HEAD moves."""
-        _atomic_write(self._manifest_path(m.table, m.snapshot_id), m.to_json())
+    def _commit(self, m: Manifest) -> bool:
+        """CAS commit: atomically CREATE the manifest file for
+        `m.snapshot_id` — of any writers racing for that id, exactly
+        one `link(2)` succeeds, so commits are linearized without a
+        lock (the Iceberg catalog's optimistic version swap). Data
+        files were already written under a unique version dir; a loser
+        writer's files are unreferenced orphans. Returns True iff this
+        writer won the id; on a win the advisory HEAD cache is
+        refreshed (a crash before the cache write is harmless —
+        `current_snapshot_id` probes forward)."""
+        if not _atomic_create(self._manifest_path(m.table, m.snapshot_id), m.to_json()):
+            return False
         _atomic_write(self._head_path(m.table), str(m.snapshot_id))
+        return True
 
     def manifest(self, table: str, snapshot_id: int | None = None) -> Manifest | None:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
@@ -158,24 +218,34 @@ class SnapshotStore:
             return Manifest.from_json(fh.read())
 
     def snapshot_ids(self, table: str) -> list[int]:
-        """All snapshot ids with a manifest on disk (ascending),
-        including uncommitted orphans above HEAD."""
+        """All snapshot ids with a manifest on disk (ascending). Every
+        manifest is committed (creation IS the commit), so the max is
+        always the current snapshot."""
         return sorted(
             int(f.rsplit(".", 2)[-2])
             for f in os.listdir(f"{self.root}/manifests")
             if f.startswith(f"{table}.") and f.endswith(".json")
         )
 
-    def rollback(self, table: str, snapshot_id: int) -> None:
-        """Re-point HEAD at an earlier snapshot (Iceberg
-        `rollback_to_snapshot` analog). Data is immutable, so this is a
-        single atomic pointer move; the abandoned snapshots become
-        orphans that the next write overwrites and `expire_snapshots`
-        garbage-collects."""
-        assert os.path.exists(self._manifest_path(table, snapshot_id)), (
-            f"no snapshot {snapshot_id} for {table}"
-        )
-        _atomic_write(self._head_path(table), str(snapshot_id))
+    def rollback(self, table: str, snapshot_id: int) -> int:
+        """Roll back by committing a NEW snapshot whose partition set
+        is the target's (Iceberg `rollback_to_snapshot`: history is
+        append-only, ids stay monotonic, so the commit CAS stays
+        valid — re-pointing HEAD backwards would collide the next
+        writer's id with an existing manifest). Data is immutable so
+        this re-references the target's files; no data is copied.
+        Returns the new snapshot id."""
+        target = self.manifest(table, snapshot_id)
+        assert target is not None, f"no snapshot {snapshot_id} for {table}"
+        for _ in range(COMMIT_RETRIES):
+            cur = self.manifest(table)
+            m = Manifest(
+                table, cur.snapshot_id + 1, cur.snapshot_id,
+                dict(target.partitions), schema_json=target.schema_json,
+            )
+            if self._commit(m):
+                return m.snapshot_id
+        raise CommitConflict(f"rollback of {table} lost {COMMIT_RETRIES} commit races")
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Drop all but the newest `keep_last` committed snapshots
@@ -190,8 +260,7 @@ class SnapshotStore:
         head = self.current_snapshot_id(table)
         assert head is not None, f"table {table} has no snapshot"
         sids = self.snapshot_ids(table)
-        committed = [s for s in sids if s <= head]
-        keep = set(committed[-keep_last:]) | {head}
+        keep = set(sids[-keep_last:]) | {head}
         referenced = set()
         for s in keep:
             m = self.manifest(table, s)
@@ -208,6 +277,9 @@ class SnapshotStore:
         for s in sids:
             if s not in keep:
                 os.remove(self._manifest_path(table, s))
+        # refresh the advisory cache: a stale cache pointing below the
+        # kept tail would break the forward probe across expired ids
+        _atomic_write(self._head_path(table), str(head))
         return removed
 
     # -- writes ------------------------------------------------------------
@@ -244,8 +316,15 @@ class SnapshotStore:
         partition's files — the Z-ORDER analog of Iceberg table layout
         (`ALTER TABLE ... WRITE ORDERED BY`): spatially adjacent rows
         land in adjacent row groups, so parquet min/max statistics
-        prune range predicates inside a partition."""
-        vdir = f"{self.root}/data/{table}/v{sid}"
+        prune range predicates inside a partition.
+
+        The dir name carries a uuid suffix so two writers racing for
+        the same snapshot id can never clobber each other's files —
+        the loser's dir becomes an unreferenced orphan that
+        `expire_snapshots` collects (the sid in the name is the
+        attempted id, for debuggability only; manifests record the
+        actual path)."""
+        vdir = f"{self.root}/data/{table}/v{sid}-{uuid4().hex[:8]}"
         # duplicate the key so partitionBy doesn't strip it from the data
         out = df.withColumn("__pk", F.col(key)).repartition(F.col("__pk"))
         if sort_cols:
@@ -273,19 +352,39 @@ class SnapshotStore:
     ) -> int:
         """Full write -> snapshot 0 (or next id if the table exists).
         Re-snapshots of an existing table are cast to its committed
-        schema so physical types never drift across snapshots."""
-        prev = self.current_snapshot_id(table)
-        sid = 0 if prev is None else prev + 1
-        if prev is not None:
-            prev_m = self.manifest(table, prev)
-            df = self._conform(df, prev_m.schema_json if prev_m else None)
+        schema so physical types never drift across snapshots.
+
+        Concurrency: data is written ONCE; on a lost commit race the
+        manifest is re-pointed at the new current (a full write
+        replaces every partition, so it composes with any competing
+        commit) and retried — unless the competing commit changed the
+        table schema, which surfaces `CommitConflict`."""
+        prev_m = self.manifest(table)
+        base_schema = prev_m.schema_json if prev_m else None
+        df = self._conform(df, base_schema)
+        schema_json = df.schema.json()
+        sid = 0 if prev_m is None else prev_m.snapshot_id + 1
         vdir = self._write_partition_data(df, table, key, sid, sort_cols)
         summary = self._summarize_written(vdir, key)
-        m = Manifest(table, sid, prev, schema_json=df.schema.json())
-        for k, s in summary.items():
-            m.partitions[k] = {"path": f"data/{table}/v{sid}/__pk={k}", **s}
-        self._commit(m)
-        return sid
+        rel = os.path.relpath(vdir, self.root)
+        for _ in range(COMMIT_RETRIES):
+            cur = self.manifest(table)
+            if cur is not None:
+                cur_schema = cur.schema_json
+                if (base_schema or schema_json) != (cur_schema or schema_json):
+                    raise CommitConflict(
+                        f"schema of {table} changed underneath this write"
+                    )
+            sid = 0 if cur is None else cur.snapshot_id + 1
+            m = Manifest(
+                table, sid, None if cur is None else cur.snapshot_id,
+                schema_json=schema_json,
+            )
+            for k, s in summary.items():
+                m.partitions[k] = {"path": f"{rel}/__pk={k}", **s}
+            if self._commit(m):
+                return sid
+        raise CommitConflict(f"write of {table} lost {COMMIT_RETRIES} commit races")
 
     def _abs_path(self, p: str) -> str:
         """Manifests record store-root-RELATIVE data paths, so a store
@@ -307,23 +406,49 @@ class SnapshotStore:
         analog of `registries/definition.ts:99-103`). Unchanged
         partitions keep pointing at their old data files. `keys`
         additionally lists partitions to DELETE even if df has no rows
-        for them (the `remove_file` path, `project.ts:402-467`)."""
-        prev_m = self.manifest(table)
-        assert prev_m is not None, f"table {table} has no snapshot yet"
-        df = self._conform(df, prev_m.schema_json)
-        sid = prev_m.snapshot_id + 1
-        vdir = self._write_partition_data(df, table, key, sid, sort_cols)
-        summary = self._summarize_written(vdir, key)
-        m = Manifest(
-            table, sid, prev_m.snapshot_id, dict(prev_m.partitions),
-            schema_json=prev_m.schema_json or df.schema.json(),
+        for them (the `remove_file` path, `project.ts:402-467`).
+
+        Concurrency (Iceberg validate-and-rebase): data is written
+        ONCE; on a lost commit race the write REBASES onto the new
+        current snapshot — valid iff the competing commits touched a
+        DISJOINT partition set (checked via the metadata-only `diff`
+        against the base this write conformed to) and left the schema
+        unchanged; otherwise `CommitConflict` (the write's files are
+        unreferenced orphans, the table is untouched, safe to retry
+        from the new current)."""
+        base = self.manifest(table)
+        assert base is not None, f"table {table} has no snapshot yet"
+        df = self._conform(df, base.schema_json)
+        vdir = self._write_partition_data(
+            df, table, key, base.snapshot_id + 1, sort_cols
         )
-        for k in set(keys or []) | set(summary):
-            m.partitions.pop(k, None)
-        for k, s in summary.items():
-            m.partitions[k] = {"path": f"data/{table}/v{sid}/__pk={k}", **s}
-        self._commit(m)
-        return sid
+        summary = self._summarize_written(vdir, key)
+        rel = os.path.relpath(vdir, self.root)
+        touched = set(keys or []) | set(summary)
+        for _ in range(COMMIT_RETRIES):
+            cur = self.manifest(table)
+            if cur.snapshot_id != base.snapshot_id:
+                if cur.schema_json != base.schema_json:
+                    raise CommitConflict(
+                        f"schema of {table} changed underneath this write"
+                    )
+                overlap = set(self.diff(table, base.snapshot_id, cur.snapshot_id)) & touched
+                if overlap:
+                    raise CommitConflict(
+                        f"concurrent commit to {table} touched overlapping "
+                        f"partitions {sorted(overlap)[:5]}"
+                    )
+            m = Manifest(
+                table, cur.snapshot_id + 1, cur.snapshot_id, dict(cur.partitions),
+                schema_json=cur.schema_json or df.schema.json(),
+            )
+            for k in touched:
+                m.partitions.pop(k, None)
+            for k, s in summary.items():
+                m.partitions[k] = {"path": f"{rel}/__pk={k}", **s}
+            if self._commit(m):
+                return m.snapshot_id
+        raise CommitConflict(f"overwrite of {table} lost {COMMIT_RETRIES} commit races")
 
     # -- reads -------------------------------------------------------------
 

@@ -228,15 +228,54 @@ def test_store_enforces_committed_schema(spark, tmp_path_factory):
     assert dict(store.read("t").dtypes)["w"] == "int"
 
 
-def test_crash_before_head_commit_leaves_old_snapshot_readable(
+def test_crash_before_manifest_cas_leaves_old_snapshot_readable(
     spark, tmp_path_factory, monkeypatch
 ):
-    """Kill between the data/manifest write and the HEAD pointer rename:
-    the table must still resolve to the previous snapshot and read
-    cleanly (manifests commit last; HEAD move is the commit point)."""
+    """Kill after the data write but before the manifest CAS (the
+    commit point): the table must still resolve to the previous
+    snapshot and read cleanly — the attempt's data files are
+    unreferenced orphans, never a torn table."""
     import ariadne_spark.store as store_mod
 
     tmp = tmp_path_factory.mktemp("crash")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, pk int")
+    store.write_table(df, "t", "pk")
+
+    real = store_mod._atomic_create
+
+    def crash_on_commit(path, content):
+        if path.endswith("t.1.json"):
+            raise RuntimeError("injected crash before commit")
+        return real(path, content)
+
+    monkeypatch.setattr(store_mod, "_atomic_create", crash_on_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.overwrite_partitions(
+            spark.createDataFrame([("c", 1)], "id string, pk int"), "t", "pk"
+        )
+    monkeypatch.setattr(store_mod, "_atomic_create", real)
+
+    assert store.current_snapshot_id("t") == 0
+    assert {r["id"] for r in store.read("t").collect()} == {"a", "b"}
+    # and the next write commits cleanly alongside the orphaned attempt
+    store.overwrite_partitions(
+        spark.createDataFrame([("d", 1)], "id string, pk int"), "t", "pk"
+    )
+    assert store.current_snapshot_id("t") == 1
+    assert {r["id"] for r in store.read("t").collect()} == {"b", "d"}
+
+
+def test_crash_after_manifest_cas_is_committed(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Kill between the manifest CAS and the advisory HEAD-cache
+    write: the commit is already durable — `current_snapshot_id`
+    probes forward past the stale cache and resolves the new
+    snapshot (HEAD is a cache, not the commit point)."""
+    import ariadne_spark.store as store_mod
+
+    tmp = tmp_path_factory.mktemp("crash2")
     store = SnapshotStore(spark, str(tmp / "s"))
     df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, pk int")
     store.write_table(df, "t", "pk")
@@ -245,7 +284,7 @@ def test_crash_before_head_commit_leaves_old_snapshot_readable(
 
     def crash_on_head(path, content):
         if path.endswith(".HEAD") and content == "1":
-            raise RuntimeError("injected crash before commit")
+            raise RuntimeError("injected crash after commit")
         real(path, content)
 
     monkeypatch.setattr(store_mod, "_atomic_write", crash_on_head)
@@ -255,14 +294,85 @@ def test_crash_before_head_commit_leaves_old_snapshot_readable(
         )
     monkeypatch.setattr(store_mod, "_atomic_write", real)
 
-    assert store.current_snapshot_id("t") == 0
-    assert {r["id"] for r in store.read("t").collect()} == {"a", "b"}
-    # and the next write commits cleanly over the orphaned attempt
-    store.overwrite_partitions(
-        spark.createDataFrame([("d", 1)], "id string, pk int"), "t", "pk"
-    )
     assert store.current_snapshot_id("t") == 1
-    assert {r["id"] for r in store.read("t").collect()} == {"b", "d"}
+    assert {r["id"] for r in store.read("t").collect()} == {"b", "c"}
+    # the next write proceeds from the recovered snapshot
+    store.overwrite_partitions(
+        spark.createDataFrame([("d", 2)], "id string, pk int"), "t", "pk"
+    )
+    assert store.current_snapshot_id("t") == 2
+    assert {r["id"] for r in store.read("t").collect()} == {"c", "d"}
+
+
+def test_concurrent_disjoint_writers_both_commit(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Two writers race; the competing commit touches a DISJOINT
+    partition set — the loser of the manifest CAS rebases onto the
+    winner's snapshot and commits, so BOTH changes land (Iceberg
+    validate-and-rebase). Interleaving is forced deterministically:
+    writer B commits in full just before writer A's first CAS."""
+    import ariadne_spark.store as store_mod
+
+    tmp = tmp_path_factory.mktemp("cas-disjoint")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    other = SnapshotStore(spark, str(tmp / "s"))
+    mk = lambda rows: spark.createDataFrame(rows, "id string, pk int")
+    store.write_table(mk([("a", 1), ("b", 2)]), "t", "pk")  # sid 0
+
+    real = store_mod._atomic_create
+    fired = []
+
+    def inject(path, content):
+        if not fired and path.endswith("t.1.json"):
+            fired.append(1)
+            # B wins sid 1 while A is mid-commit (touches pk=2 only)
+            other.overwrite_partitions(mk([("B", 2)]), "t", "pk")
+        return real(path, content)
+
+    monkeypatch.setattr(store_mod, "_atomic_create", inject)
+    # A touches pk=1 only — disjoint from B -> rebases to sid 2
+    sid = store.overwrite_partitions(mk([("A", 1)]), "t", "pk")
+    monkeypatch.setattr(store_mod, "_atomic_create", real)
+
+    assert sid == 2
+    assert {r["id"] for r in store.read("t").collect()} == {"A", "B"}
+    m = store.manifest("t")
+    assert m.parent_id == 1 and set(m.partitions) == {"1", "2"}
+
+
+def test_concurrent_overlapping_writer_conflicts(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Same race, but the competing commit touches the SAME partition:
+    the loser must surface CommitConflict and leave the winner's
+    commit untouched (its own files stay unreferenced orphans)."""
+    import ariadne_spark.store as store_mod
+    from ariadne_spark.store import CommitConflict
+
+    tmp = tmp_path_factory.mktemp("cas-overlap")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    other = SnapshotStore(spark, str(tmp / "s"))
+    mk = lambda rows: spark.createDataFrame(rows, "id string, pk int")
+    store.write_table(mk([("a", 1), ("b", 2)]), "t", "pk")  # sid 0
+
+    real = store_mod._atomic_create
+    fired = []
+
+    def inject(path, content):
+        if not fired and path.endswith("t.1.json"):
+            fired.append(1)
+            other.overwrite_partitions(mk([("B", 1)]), "t", "pk")
+        return real(path, content)
+
+    monkeypatch.setattr(store_mod, "_atomic_create", inject)
+    with pytest.raises(CommitConflict, match="overlapping"):
+        store.overwrite_partitions(mk([("A", 1)]), "t", "pk")
+    monkeypatch.setattr(store_mod, "_atomic_create", real)
+
+    # winner's commit is intact; loser changed nothing
+    assert store.current_snapshot_id("t") == 1
+    assert {r["id"] for r in store.read("t").collect()} == {"B", "b"}
 
 
 def test_prefix_ring_wraps_and_clamps():
@@ -373,9 +483,11 @@ def test_store_is_relocatable(spark, tmp_path_factory):
 
 
 def test_rollback_and_expire_snapshots(spark, tmp_path_factory):
-    """rollback re-points HEAD atomically; expire_snapshots drops
-    unreferenced version dirs + old manifests while the kept snapshots
-    stay fully readable (Iceberg rollback/expire analogs)."""
+    """rollback commits a NEW snapshot re-referencing the target's
+    files (append-only history — ids stay monotonic so the commit CAS
+    stays valid); expire_snapshots drops unreferenced version dirs +
+    old manifests while kept snapshots stay fully readable (Iceberg
+    rollback/expire analogs)."""
     import os
 
     tmp = tmp_path_factory.mktemp("lifecycle")
@@ -385,18 +497,20 @@ def test_rollback_and_expire_snapshots(spark, tmp_path_factory):
     store.overwrite_partitions(mk([3]), "t", "pk")    # sid 1
     store.overwrite_partitions(mk([4]), "t", "pk")    # sid 2
 
-    store.rollback("t", 1)
-    assert store.current_snapshot_id("t") == 1
+    rb = store.rollback("t", 1)
+    assert rb == 3  # append-only: rollback is a new snapshot, no data copied
+    assert store.current_snapshot_id("t") == 3
     assert {r["id"] for r in store.read("t").collect()} == {3}
-    # next write builds on the rolled-back snapshot, overwriting orphan sid 2
-    store.overwrite_partitions(mk([5]), "t", "pk")    # sid 2 (new lineage)
+    # next write builds on the rolled-back snapshot
+    store.overwrite_partitions(mk([5]), "t", "pk")    # sid 4
     assert {r["id"] for r in store.read("t").collect()} == {5}
 
     removed = store.expire_snapshots("t", keep_last=2)
-    assert removed  # sid-0's version dir was unreferenced
-    # kept snapshots still read, expired ones are gone
+    assert removed  # sid-0's and sid-2's version dirs were unreferenced
+    # kept snapshots still read (sid 3 re-references sid 1's files,
+    # which must therefore survive), expired ones are gone
     assert {r["id"] for r in store.read("t").collect()} == {5}
-    assert {r["id"] for r in store.read("t", snapshot_id=1).collect()} == {3}
+    assert {r["id"] for r in store.read("t", snapshot_id=3).collect()} == {3}
     assert not os.path.exists(store._manifest_path("t", 0))
     # expire is idempotent
     assert store.expire_snapshots("t", keep_last=2) == []
