@@ -35,6 +35,7 @@ sequence of upserts/removes, every output table is bit-identical
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -420,6 +421,34 @@ class SpatialPipeline:
             keys = self.store.diff("images_indexed", m.parent_id, in_sid)
         self._run_stages(in_sid, keys)
         return in_sid
+
+    def maintain(self, keep_last: int = 1) -> dict[str, int]:
+        """Periodic table maintenance (Iceberg `rewrite_data_files` +
+        `expire_snapshots`): every incremental update leaves the
+        current snapshot referencing one more version dir, so after U
+        updates a full read lists files from U dirs — at 10^12 rows
+        the file listing itself becomes a bottleneck and small
+        per-update partition files defeat scan-split sizing. Compacts
+        each table's current snapshot into ONE version dir
+        (`images_indexed` keeps its Z-ORDER file clustering), then
+        expires old snapshots so the superseded dirs are reclaimed.
+        Safe concurrently with writers: `store.compact` skips any
+        partition overwritten underneath it. Returns
+        table -> current snapshot id after maintenance."""
+        out = {}
+        for t in ("images_indexed", "pip", "knn", "tiles_fine",
+                  "tiles_coarse", "id_index"):
+            sid = self.store.current_snapshot_id(t)
+            if sid is None:
+                continue
+            m = self.store.manifest(t)
+            vdirs = {os.path.dirname(p["path"]) for p in m.partitions.values()}
+            if len(vdirs) > 1:
+                sort_cols = _zorder_cols() if t == "images_indexed" else None
+                sid = self.store.compact(t, sort_cols=sort_cols)
+            self.store.expire_snapshots(t, keep_last=keep_last)
+            out[t] = sid
+        return out
 
     # -- verification ------------------------------------------------------
 

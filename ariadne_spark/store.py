@@ -61,6 +61,9 @@ class Manifest:
     # key(str) -> {"path": str, "n_rows": int, "fingerprint": int}
     partitions: dict[str, dict] = field(default_factory=dict)
     schema_json: str | None = None
+    # partition-key column name, recorded so maintenance operations
+    # (compact) need no out-of-band knowledge of the table layout
+    key: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -70,6 +73,7 @@ class Manifest:
                 "parent_id": self.parent_id,
                 "partitions": self.partitions,
                 "schema_json": self.schema_json,
+                "key": self.key,
             },
             sort_keys=True,
         )
@@ -79,7 +83,7 @@ class Manifest:
         d = json.loads(s)
         return Manifest(
             d["table"], d["snapshot_id"], d["parent_id"], d["partitions"],
-            d.get("schema_json"),
+            d.get("schema_json"), d.get("key"),
         )
 
 
@@ -242,6 +246,7 @@ class SnapshotStore:
             m = Manifest(
                 table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(target.partitions), schema_json=target.schema_json,
+                key=target.key or cur.key,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -282,6 +287,135 @@ class SnapshotStore:
         _atomic_write(self._head_path(table), str(head))
         return removed
 
+    def add_column(self, table: str, name: str, ddl_type: str) -> int:
+        """Schema evolution (Iceberg `ALTER TABLE ... ADD COLUMN`):
+        commit a METADATA-ONLY snapshot whose schema appends a nullable
+        column — no data file is touched. Reads serve the committed
+        schema (`read`), so pre-evolution files yield NULL for the new
+        column; `compact` materializes it physically. Every subsequent
+        write must include the column (`_conform` enforces the full
+        set). `ddl_type` is a Spark DDL type string ("bigint",
+        "string", "array<float>", ...)."""
+        from pyspark.sql.types import StructType
+
+        added = StructType.fromDDL(f"{name} {ddl_type}")
+        for _ in range(COMMIT_RETRIES):
+            cur = self.manifest(table)
+            assert cur is not None and cur.schema_json, (
+                f"table {table} has no committed schema to evolve"
+            )
+            target = StructType.fromJson(json.loads(cur.schema_json))
+            assert name not in target.fieldNames(), (
+                f"column {name} already exists on {table}"
+            )
+            evolved = StructType(target.fields + list(added.fields))
+            m = Manifest(
+                table, cur.snapshot_id + 1, cur.snapshot_id,
+                dict(cur.partitions), schema_json=evolved.json(), key=cur.key,
+            )
+            if self._commit(m):
+                return m.snapshot_id
+        raise CommitConflict(
+            f"add_column on {table} lost {COMMIT_RETRIES} commit races"
+        )
+
+    def _part_physical_columns(self, part: dict) -> set[str]:
+        """Columns physically present in a partition's data files, read
+        from one file's parquet footer (driver-side, metadata only)."""
+        import pyarrow.parquet as pq
+
+        d = self._abs_path(part["path"])
+        f = next(e for e in sorted(os.listdir(d)) if e.endswith(".parquet"))
+        return set(pq.ParquetFile(f"{d}/{f}").schema_arrow.names)
+
+    def compact(
+        self,
+        table: str,
+        keys: list[str] | None = None,
+        sort_cols=None,
+        max_records_per_file: int | None = None,
+    ) -> int:
+        """Iceberg `rewrite_data_files`: rewrite the current snapshot's
+        partitions (all, or `keys`) into ONE fresh version dir and
+        commit a snapshot re-pointing them. A long incremental-update
+        history leaves the current snapshot referencing files scattered
+        across one version dir per update — compaction collapses that
+        to a single dir (and, with `max_records_per_file`, re-packs
+        file sizes), after which `expire_snapshots` reclaims every old
+        dir. Rows pass through unchanged: per-partition row counts and
+        content fingerprints are asserted identical BEFORE the commit
+        (for partitions whose files predate an `add_column`, identity
+        is asserted over the physically-present columns and the rewrite
+        materializes the evolved schema). Concurrency-safe: a partition
+        overwritten underneath the rewrite is skipped at commit time —
+        compaction never clobbers newer data (Iceberg's
+        rewrite-vs-overwrite conflict rule); its rewritten files stay
+        unreferenced orphans."""
+        base = self.manifest(table)
+        assert base is not None, f"table {table} has no snapshot"
+        key = base.key
+        assert key, f"manifest of {table} predates key recording"
+        sel = sorted(base.partitions) if keys is None else sorted(
+            k for k in keys if k in base.partitions
+        )
+        if not sel:
+            return base.snapshot_id
+        df = self.read(table, base.snapshot_id, keys=sel)
+        vdir = self._write_partition_data(
+            df, table, key, base.snapshot_id + 1, sort_cols,
+            max_records_per_file,
+        )
+        summary = self._summarize_written(vdir, key)
+        rel = os.path.relpath(vdir, self.root)
+        # identity gate: the rewrite must not change any row of any
+        # partition. Pre-evolution partitions are fingerprinted over
+        # their own physical columns (committed-schema order) so the
+        # comparison is apples-to-apples with the recorded value.
+        full_cols = frozenset(df.columns)
+        phys = {
+            k: frozenset(self._part_physical_columns(base.partitions[k]))
+            for k in sel
+        }
+        subset_fp: dict[str, dict] = {}
+        written = None
+        for colset in {cs for cs in phys.values() if cs != full_cols}:
+            if written is None:
+                written = self.spark.read.parquet(vdir).drop("__pk")
+            cols = [c for c in df.columns if c in colset]
+            fps = partition_summary(written.select(cols), key)
+            subset_fp.update(
+                {k: fps[k] for k in sel if phys[k] == colset and k in fps}
+            )
+        for k in sel:
+            want, got = base.partitions[k], summary.get(k)
+            assert got is not None and got["n_rows"] == want["n_rows"], (
+                f"compaction changed row count of {table}/{k}"
+            )
+            got_fp = subset_fp[k]["fingerprint"] if k in subset_fp else got["fingerprint"]
+            assert got_fp == want["fingerprint"], (
+                f"compaction changed content of {table}/{k}"
+            )
+        for _ in range(COMMIT_RETRIES):
+            cur = self.manifest(table)
+            moved = (
+                set(self.diff(table, base.snapshot_id, cur.snapshot_id))
+                if cur.snapshot_id != base.snapshot_id else set()
+            )
+            m = Manifest(
+                table, cur.snapshot_id + 1, cur.snapshot_id,
+                dict(cur.partitions), schema_json=cur.schema_json,
+                key=cur.key,
+            )
+            for k in sel:
+                if k in moved or k not in cur.partitions:
+                    continue  # lost the race for this partition: keep newer data
+                m.partitions[k] = {"path": f"{rel}/__pk={k}", **summary[k]}
+            if self._commit(m):
+                return m.snapshot_id
+        raise CommitConflict(
+            f"compact of {table} lost {COMMIT_RETRIES} commit races"
+        )
+
     # -- writes ------------------------------------------------------------
 
     def _conform(self, df: DataFrame, schema_json: str | None) -> DataFrame:
@@ -305,7 +439,8 @@ class SnapshotStore:
         return df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
 
     def _write_partition_data(
-        self, df: DataFrame, table: str, key: str, sid: int, sort_cols=None
+        self, df: DataFrame, table: str, key: str, sid: int, sort_cols=None,
+        max_records_per_file: int | None = None,
     ) -> str:
         """Write df (all partitions it contains) under a fresh version dir;
         returns the version dir. Data includes the key column (plain
@@ -323,17 +458,23 @@ class SnapshotStore:
         the loser's dir becomes an unreferenced orphan that
         `expire_snapshots` collects (the sid in the name is the
         attempted id, for debuggability only; manifests record the
-        actual path)."""
+        actual path).
+
+        `max_records_per_file` bounds file sizes (Spark's
+        `maxRecordsPerFile` write option — split happens inside the
+        writing task, no extra shuffle): one hash task per partition
+        key would otherwise write ONE file per partition, which at
+        10^12 rows means multi-GB files no scan split can parallelize
+        past the row-group level."""
         vdir = f"{self.root}/data/{table}/v{sid}-{uuid4().hex[:8]}"
         # duplicate the key so partitionBy doesn't strip it from the data
         out = df.withColumn("__pk", F.col(key)).repartition(F.col("__pk"))
         if sort_cols:
             out = out.sortWithinPartitions(F.col("__pk"), *sort_cols)
-        (
-            out.write.mode("overwrite")
-            .partitionBy("__pk")
-            .parquet(vdir)
-        )
+        w = out.write.mode("overwrite")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        w.partitionBy("__pk").parquet(vdir)
         return vdir
 
     def _summarize_written(self, vdir: str, key: str) -> dict[str, dict]:
@@ -348,7 +489,8 @@ class SnapshotStore:
         return partition_summary(self.spark.read.parquet(vdir).drop("__pk"), key)
 
     def write_table(
-        self, df: DataFrame, table: str, key: str, sort_cols=None
+        self, df: DataFrame, table: str, key: str, sort_cols=None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Full write -> snapshot 0 (or next id if the table exists).
         Re-snapshots of an existing table are cast to its committed
@@ -364,7 +506,9 @@ class SnapshotStore:
         df = self._conform(df, base_schema)
         schema_json = df.schema.json()
         sid = 0 if prev_m is None else prev_m.snapshot_id + 1
-        vdir = self._write_partition_data(df, table, key, sid, sort_cols)
+        vdir = self._write_partition_data(
+            df, table, key, sid, sort_cols, max_records_per_file
+        )
         summary = self._summarize_written(vdir, key)
         rel = os.path.relpath(vdir, self.root)
         for _ in range(COMMIT_RETRIES):
@@ -378,7 +522,7 @@ class SnapshotStore:
             sid = 0 if cur is None else cur.snapshot_id + 1
             m = Manifest(
                 table, sid, None if cur is None else cur.snapshot_id,
-                schema_json=schema_json,
+                schema_json=schema_json, key=key,
             )
             for k, s in summary.items():
                 m.partitions[k] = {"path": f"{rel}/__pk={k}", **s}
@@ -400,6 +544,7 @@ class SnapshotStore:
         key: str,
         keys: list[str] | None = None,
         sort_cols=None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Partition-granular overwrite: df holds the NEW full content of
         the partitions it touches (delete-then-insert idempotency, the
@@ -420,7 +565,8 @@ class SnapshotStore:
         assert base is not None, f"table {table} has no snapshot yet"
         df = self._conform(df, base.schema_json)
         vdir = self._write_partition_data(
-            df, table, key, base.snapshot_id + 1, sort_cols
+            df, table, key, base.snapshot_id + 1, sort_cols,
+            max_records_per_file,
         )
         summary = self._summarize_written(vdir, key)
         rel = os.path.relpath(vdir, self.root)
@@ -441,6 +587,7 @@ class SnapshotStore:
             m = Manifest(
                 table, cur.snapshot_id + 1, cur.snapshot_id, dict(cur.partitions),
                 schema_json=cur.schema_json or df.schema.json(),
+                key=cur.key or key,
             )
             for k in touched:
                 m.partitions.pop(k, None)
@@ -465,14 +612,21 @@ class SnapshotStore:
         assert m is not None, f"table {table} has no snapshot"
         sel = m.partitions if keys is None else {k: m.partitions[k] for k in keys if k in m.partitions}
         paths = [self._abs_path(p["path"]) for p in sel.values()]
+        from pyspark.sql.types import StructType
+
         if not paths:
             # every selected partition was deleted: empty frame, real schema
-            from pyspark.sql.types import StructType
-
             assert m.schema_json, f"no partitions and no schema for {table}"
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(m.schema_json))
             )
+        if m.schema_json:
+            # serve the snapshot's COMMITTED schema, not a sampled file's
+            # (Iceberg read-time schema projection): column order/types are
+            # snapshot-stable, and files written before an `add_column`
+            # evolution yield NULL for the added column instead of failing
+            target = StructType.fromJson(json.loads(m.schema_json))
+            return self.spark.read.schema(target).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
     def diff(self, table: str, from_sid: int | None, to_sid: int) -> list[str]:

@@ -514,3 +514,190 @@ def test_rollback_and_expire_snapshots(spark, tmp_path_factory):
     assert not os.path.exists(store._manifest_path("t", 0))
     # expire is idempotent
     assert store.expire_snapshots("t", keep_last=2) == []
+
+
+def _vdirs(m):
+    """Distinct version-dir names the manifest's partitions reference."""
+    return {p["path"].split("/")[2] for p in m.partitions.values()}
+
+
+def _part_files(store, m, key):
+    d = store._abs_path(m.partitions[key]["path"])
+    import os as _os
+
+    return [f for f in _os.listdir(d) if f.endswith(".parquet")]
+
+
+def test_compaction_collapses_version_dirs(spark, tmp_path_factory):
+    """`compact` = Iceberg rewrite_data_files: after an update history,
+    the current snapshot references one version dir per update;
+    compaction rewrites everything into ONE dir with per-partition row
+    counts + content fingerprints asserted identical, old snapshots
+    still time-travel, and expire_snapshots then reclaims every
+    pre-compaction dir."""
+    tmp = tmp_path_factory.mktemp("compact")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    mk = lambda rows: spark.createDataFrame(rows, "id string, pk int, v long")
+    store.write_table(
+        mk([(f"a{i}", i % 4, i) for i in range(40)]), "t", "pk"
+    )
+    for r in range(3):  # each update fully replaces partition r%3
+        store.overwrite_partitions(
+            mk([(f"u{r}_{i}", r % 3, 100 * r + i) for i in range(5)]),
+            "t", "pk",
+        )
+    m0 = store.manifest("t")
+    assert len(_vdirs(m0)) > 1
+    before = {k: (p["n_rows"], p["fingerprint"]) for k, p in m0.partitions.items()}
+    rows_before = sorted(map(tuple, store.read("t").collect()))
+
+    sid = store.compact("t")
+    m1 = store.manifest("t")
+    assert sid == m0.snapshot_id + 1 and len(_vdirs(m1)) == 1
+    after = {k: (p["n_rows"], p["fingerprint"]) for k, p in m1.partitions.items()}
+    assert after == before
+    assert sorted(map(tuple, store.read("t").collect())) == rows_before
+    # pre-compaction snapshot still readable (append-only history) ...
+    assert sorted(map(tuple, store.read("t", m0.snapshot_id).collect())) == rows_before
+    # ... until expire reclaims the now-unreferenced dirs
+    removed = store.expire_snapshots("t", keep_last=1)
+    assert len(removed) >= len(_vdirs(m0))
+    assert sorted(map(tuple, store.read("t").collect())) == rows_before
+
+
+def test_max_records_per_file_bounds_files(spark, tmp_path_factory):
+    """`max_records_per_file` splits each partition's single writer
+    task into bounded files (no extra shuffle) — at 10^12 rows the
+    one-file-per-partition default would mean unsplittable multi-GB
+    files; compact without the option re-packs to one file."""
+    tmp = tmp_path_factory.mktemp("maxrec")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    mk = lambda rows: spark.createDataFrame(rows, "id string, pk int, v long")
+    rows = [(f"a{i}", i % 2, i) for i in range(400)]
+    store.write_table(mk(rows), "t", "pk", max_records_per_file=50)
+    m0 = store.manifest("t")
+    for k in m0.partitions:  # 200 rows / 50 per file -> 4 files each
+        assert len(_part_files(store, m0, k)) == 4
+    assert sorted(map(tuple, store.read("t").collect())) == sorted(rows)
+
+    store.compact("t")
+    m1 = store.manifest("t")
+    for k in m1.partitions:
+        assert len(_part_files(store, m1, k)) == 1
+    assert sorted(map(tuple, store.read("t").collect())) == sorted(rows)
+
+
+def test_schema_evolution_add_column(spark, tmp_path_factory):
+    """add_column commits a metadata-only snapshot; reads serve the
+    committed schema so pre-evolution files yield NULL (never a
+    parquet schema-convert error on mixed-generation reads); writes
+    missing the column are rejected; compact materializes the column
+    physically with the identity gate still green."""
+    tmp = tmp_path_factory.mktemp("evolve")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    mk = lambda rows: spark.createDataFrame(rows, "id string, pk int, v long")
+    store.write_table(mk([(f"a{i}", i % 2, i) for i in range(20)]), "t", "pk")
+    pre_sid = store.current_snapshot_id("t")
+
+    sid = store.add_column("t", "score", "bigint")
+    assert sid == pre_sid + 1
+    df = store.read("t")
+    assert df.columns == ["id", "pk", "v", "score"]
+    assert df.where("score is not null").count() == 0
+    # time travel to the pre-evolution snapshot serves the OLD schema
+    assert store.read("t", pre_sid).columns == ["id", "pk", "v"]
+
+    # a write carrying the new column lands; old+new generations co-read
+    mk2 = lambda rows: spark.createDataFrame(
+        rows, "id string, pk int, v long, score long"
+    )
+    store.overwrite_partitions(
+        mk2([(f"b{i}", 1, i, 10 * i) for i in range(7)]), "t", "pk"
+    )
+    got = store.read("t")
+    assert got.where("pk = 1 and score is null").count() == 0
+    assert got.where("pk = 0").count() == 10
+    assert got.where("pk = 0 and score is not null").count() == 0
+
+    # post-evolution writes MUST carry the full column set
+    with pytest.raises(AssertionError, match="schema drift"):
+        store.overwrite_partitions(mk([("c0", 0, 0)]), "t", "pk")
+
+    # compact rewrites pk=0's pre-evolution files under the evolved
+    # schema (subset-fingerprint identity check), materializing NULLs
+    before = sorted(map(tuple, store.read("t").collect()))
+    store.compact("t")
+    m = store.manifest("t")
+    assert store._part_physical_columns(m.partitions["0"]) >= {"score"}
+    assert sorted(map(tuple, store.read("t").collect())) == before
+
+
+def test_compact_skips_partition_overwritten_underneath(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Iceberg's rewrite-vs-overwrite conflict rule: a partition
+    committed by another writer while the rewrite was running keeps
+    the WRITER's data — compaction re-points only the untouched
+    partitions and never clobbers newer rows."""
+    import ariadne_spark.store as store_mod
+
+    tmp = tmp_path_factory.mktemp("compact-race")
+    store = SnapshotStore(spark, str(tmp / "s"))
+    other = SnapshotStore(spark, str(tmp / "s"))
+    mk = lambda rows: spark.createDataFrame(rows, "id string, pk int")
+    store.write_table(mk([("a", 0), ("b", 1)]), "t", "pk")  # sid 0
+    store.overwrite_partitions(mk([("c", 0)]), "t", "pk")   # sid 1
+
+    real = store_mod._atomic_create
+    fired = []
+
+    def inject(path, content):
+        if not fired and path.endswith("t.2.json"):
+            fired.append(1)
+            other.overwrite_partitions(mk([("NEW", 1)]), "t", "pk")
+        return real(path, content)
+
+    monkeypatch.setattr(store_mod, "_atomic_create", inject)
+    sid = store.compact("t")
+    monkeypatch.setattr(store_mod, "_atomic_create", real)
+
+    assert sid == 3  # rebased past the writer's sid 2
+    m = store.manifest("t")
+    assert {r["id"] for r in store.read("t").collect()} == {"c", "NEW"}
+    # pk=0 was re-pointed into the compaction dir; pk=1 kept the
+    # writer's path (the rewrite of its old content was discarded)
+    assert m.partitions["1"]["path"] == other.manifest("t", 2).partitions["1"]["path"]
+    assert m.partitions["0"]["path"] != store.manifest("t", 1).partitions["0"]["path"]
+
+
+def test_pipeline_maintain_compacts_all_tables(spark, tmp_path_factory):
+    """After an update history, `maintain()` leaves every table's
+    current snapshot referencing ONE version dir with all table
+    fingerprints (the incremental == cold-build evidence) unchanged,
+    and a subsequent incremental update still lands correctly."""
+    import os as _os
+
+    tmp = tmp_path_factory.mktemp("maintain")
+    p = _pipeline(spark, tmp, "m")
+    p.full_build(_images(spark, np.arange(400)))
+    p.update(_modified_images(spark, np.arange(40, 60)))
+    p.update(_images(spark, np.arange(400, 430)))
+    before = p.table_fingerprints()
+
+    sids = p.maintain()
+    assert set(sids) >= {"images_indexed", "pip", "knn"}
+    assert p.table_fingerprints() == before
+    for t in sids:
+        m = p.store.manifest(t)
+        vdirs = {_os.path.dirname(q["path"]) for q in m.partitions.values()}
+        assert len(vdirs) == 1, f"{t} spans {len(vdirs)} version dirs"
+        assert len(p.store.snapshot_ids(t)) == 1  # history expired
+
+    # the store keeps working: one more update equals a cold build
+    p.update(_images(spark, np.arange(430, 450)))
+    ref = _pipeline(spark, tmp, "ref")
+    # cold build over the final logical input: 0..450 with 40..59 modified
+    base = _images(spark, np.array([i for i in range(450) if not 40 <= i < 60]))
+    mod = _modified_images(spark, np.arange(40, 60))
+    ref.full_build(base.unionByName(mod))
+    assert p.table_fingerprints() == ref.table_fingerprints()
