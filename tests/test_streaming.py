@@ -275,3 +275,91 @@ def test_stateful_dedup_equals_batch(spark, tmp_path):
     # sanity: group sizes 2 and 3 actually occurred
     sizes = {n for _, n in want.values()}
     assert {1, 2, 3} <= sizes
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join (ingest x late caption
+    within max_delay_s): the SAME function run as a streaming query
+    over chunked file sources equals its batch execution over the
+    identical rows — including a caption outside the delay window
+    (never matches) and a pair split across micro-batches (the state
+    buffer must hold the ingest until its caption arrives)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.streaming.joins import ingest_caption_join
+
+    ing_rows = [
+        ("img_a", "2024-01-01 10:00:00"),
+        ("img_b", "2024-01-01 10:01:00"),
+        ("img_c", "2024-01-01 10:02:00"),
+        ("img_d", "2024-01-01 10:03:00"),
+    ]
+    cap_rows = [
+        # same-batch match, cross-batch match, outside-window (img_c:
+        # 700s > 600s delay), and a caption with no ingest at all
+        ("img_a", "2024-01-01 10:04:00", "cap a"),
+        ("img_b", "2024-01-01 10:09:00", "cap b"),
+        ("img_c", "2024-01-01 10:13:40", "cap c late"),
+        ("img_z", "2024-01-01 10:05:00", "cap orphan"),
+    ]
+
+    def mk(rows, ts_col, extra=()):
+        cols = ["image_id", "ts_s", *extra]
+        df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+        return df.select(
+            "image_id", F.to_timestamp("ts_s").alias(ts_col), *extra
+        )
+
+    ing_b = mk(ing_rows, "ingest_ts")
+    cap_b = mk(cap_rows, "caption_ts", ("caption",))
+    want = sorted(
+        map(tuple, ingest_caption_join(ing_b, cap_b).collect())
+    )
+    assert [r[0] for r in want] == ["img_a", "img_b"]  # c outside window
+
+    # chunked file sources: img_b's ingest arrives in chunk 0 but its
+    # caption only in chunk 1 — the join must buffer across batches
+    for side, chunks in (
+        ("ing", [ing_rows[:2], ing_rows[2:]]),
+        ("cap", [cap_rows[:1], cap_rows[1:]]),
+    ):
+        d = tmp_path / side
+        d.mkdir()
+        for i, rows in enumerate(chunks):
+            extra = ("caption",) if side == "cap" else ()
+            ts_col = "caption_ts" if side == "cap" else "ingest_ts"
+            p = str(d / f"chunk_{i}")
+            mk(rows, ts_col, extra).coalesce(1).write.mode("overwrite").parquet(p)
+            t = time.time() + i * 10
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    os.utime(os.path.join(root, f), (t, t))
+
+    ing_s = (
+        spark.readStream.schema("image_id string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ing" / "chunk_*"))
+    )
+    cap_s = (
+        spark.readStream.schema(
+            "image_id string, caption_ts timestamp, caption string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "cap" / "chunk_*"))
+    )
+    q = (
+        ingest_caption_join(ing_s, cap_s)
+        .writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ss_join_out").collect()))
+    assert got == want
