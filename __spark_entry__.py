@@ -251,7 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.desc("o_totalprice"), F.col("o_orderkey")
         )
         return (
-            o.withColumn("rank", F.row_number().over(w))
+            o.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 3)
             .select("o_custkey", "o_orderkey", "rank")
         )
@@ -317,7 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         box = derive.region_box_cols(F.col("n_nationkey"))
         regions = n.select(
             "n_nationkey",
-            box["depth"].alias("depth"),
+            box["depth"].cast("long").alias("depth"),
             box["xmin"].alias("xmin"),
             box["xmax"].alias("xmax"),
             box["ymin"].alias("ymin"),
@@ -360,13 +360,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 "src",
                 "dst",
-                F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))).alias("hamming"),
+                F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))).cast("long").alias("hamming"),
             )
             .where(F.col("hamming") <= 16)
         )
         w = Window.partitionBy("src").orderBy("hamming", "dst")
         return (
-            pairs.withColumn("rank", F.row_number().over(w))
+            pairs.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 3)
         )
 
@@ -696,7 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         box = derive.region_box_cols(F.col("n_nationkey"))
         regions = n.select(
             "n_nationkey",
-            box["depth"].alias("depth"),
+            box["depth"].cast("long").alias("depth"),
             box["xmin"].alias("xmin"),
             box["xmax"].alias("xmax"),
             box["ymin"].alias("ymin"),
@@ -1330,7 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q13_pip_bbox_deepest": f"""
             WITH g AS ({geo}),
-            r AS (SELECT n_nationkey, {box['depth']} AS depth,
+            r AS (SELECT n_nationkey, CAST({box['depth']} AS BIGINT) AS depth,
                          {box['xmin']} AS xmin, {box['xmax']} AS xmax,
                          {box['ymin']} AS ymin, {box['ymax']} AS ymax
                   FROM nation),
@@ -1347,7 +1347,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (SELECT doc_id, phash, phash >> 46 AS band FROM ({geo}) t),
             pairs AS (
               SELECT a.doc_id AS src, b.doc_id AS dst,
-                     bit_count(xor(a.phash, b.phash)) AS hamming
+                     CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
               FROM g a JOIN g b ON a.band = b.band AND a.doc_id <> b.doc_id),
             ranked AS (
               SELECT src, dst, hamming, row_number() OVER (
@@ -1484,12 +1484,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text) - length(replace(text, ' ', '')) + 1 AS words,
                    (length(text) - length(replace(text, 'the', ''))) // 3 AS the_count,
-                   (CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+                   CAST(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
                          THEN 40 ELSE 0 END
                     + CASE WHEN ((length(text) - length(replace(text, 'the', ''))) // 3) * 100
                                 <= (length(text) - length(replace(text, ' ', '')) + 1) * 20
                            THEN 30 ELSE 0 END
-                    + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END) AS quality
+                    + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END AS BIGINT) AS quality
             FROM documents
         """,
         "q24_langid_heuristic": """
@@ -1547,7 +1547,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q34_pip_chain": f"""
             WITH g AS ({geo}),
-            r AS (SELECT n_nationkey, {box['depth']} AS depth,
+            r AS (SELECT n_nationkey, CAST({box['depth']} AS BIGINT) AS depth,
                          {box['xmin']} AS xmin, {box['xmax']} AS xmax,
                          {box['ymin']} AS ymin, {box['ymax']} AS ymax
                   FROM nation)
