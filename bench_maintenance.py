@@ -1,0 +1,142 @@
+"""Measure what `SpatialPipeline.maintain()` (compaction + snapshot
+expiry) buys on a long incremental-update history, and that it is a
+pure metadata/storage operation: every table fingerprint is identical
+before and after.
+
+In this store an update rewrites whole partitions, so the CURRENT
+snapshot always references one file per partition — compaction's win
+is not read throughput but the table-metadata and storage lifecycle:
+after U updates the table root holds U+1 version dirs and every
+superseded file of every snapshot (unbounded growth; at 10^12 rows
+the file listing itself is a planning-time cost). maintain() collapses
+the live data to ONE version dir and reclaims all superseded bytes.
+
+Usage: python bench_maintenance.py [--n 20000 --updates 25 --append]
+Appends a section to BENCH.md with --append.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+
+def du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def nfiles(path: str) -> int:
+    return sum(len(fs) for _r, _d, fs in os.walk(path))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20_000)
+    ap.add_argument("--updates", type=int, default=25)
+    ap.add_argument("--append", action="store_true")
+    args = ap.parse_args()
+
+    from ariadne_spark.session import get_spark
+    from ariadne_spark.operators.incremental import SpatialPipeline
+    from ariadne_spark.synth.regions import generate_regions
+    from bench import ensure_images
+
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+                      app_name="bench_maintenance")
+    root = "/tmp/ariadne_bench_cache/maint_store"
+    shutil.rmtree(root, ignore_errors=True)
+    p = SpatialPipeline(spark, root, generate_regions())
+    images = spark.read.parquet(ensure_images(spark, args.n)).drop("bytes")
+    p.full_build(images)
+
+    # U scattered small updates: 100 images each, phash-perturbed so
+    # exactly the touched partitions (and their knn rings) recompute
+    for u in range(args.updates):
+        pks = sorted(p.store.manifest("images_indexed").partitions)
+        pk = pks[u % len(pks)]
+        changed = (
+            p.store.read("images_indexed", keys=[pk])
+            .orderBy("image_id").limit(100).drop("pk")
+            .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(1 + u)))
+        ).localCheckpoint()
+        p.update(changed)
+
+    fp_before = p.table_fingerprints()
+    stats = {}
+    for t in ("images_indexed", "pip", "knn", "tiles_fine", "tiles_coarse", "id_index"):
+        d = f"{root}/data/{t}"
+        stats[t] = {"vdirs": len(os.listdir(d)), "files": nfiles(d)}
+    bytes_before = du(root)
+    snapshots_before = len(os.listdir(f"{root}/manifests"))
+
+    t0 = time.perf_counter()
+    p.maintain()
+    maintain_s = time.perf_counter() - t0
+
+    assert p.table_fingerprints() == fp_before, "maintain changed data!"
+    for t in stats:
+        d = f"{root}/data/{t}"
+        stats[t]["vdirs_after"] = len(os.listdir(d))
+        stats[t]["files_after"] = nfiles(d)
+    bytes_after = du(root)
+    snapshots_after = len(os.listdir(f"{root}/manifests"))
+
+    out = {
+        "n_images": args.n,
+        "updates": args.updates,
+        "maintain_s": round(maintain_s, 2),
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "reclaimed_pct": round(100 * (1 - bytes_after / bytes_before), 1),
+        "manifest_files_before": snapshots_before,
+        "manifest_files_after": snapshots_after,
+        "tables": stats,
+        "fingerprints_identical": True,
+    }
+    print(json.dumps(out))
+
+    if args.append:
+        lines = [
+            "",
+            f"## Store maintenance (compaction + expiry), {args.n} images, "
+            f"{args.updates} incremental updates",
+            "",
+            "`SpatialPipeline.maintain()` after a long update history —",
+            "a metadata/storage lifecycle operation: per-table, per-partition",
+            "fingerprints asserted IDENTICAL before/after (it cannot change",
+            "query results), while the live data collapses to one version",
+            "dir per table and superseded snapshots are reclaimed:",
+            "",
+            "| table | version dirs | files | after |",
+            "|---|---|---|---|",
+        ]
+        for t, s in stats.items():
+            lines.append(
+                f"| {t} | {s['vdirs']} -> {s['vdirs_after']} | "
+                f"{s['files']} -> {s['files_after']} | one dir |"
+            )
+        lines += [
+            "",
+            f"Storage {bytes_before/1e6:.1f} MB -> {bytes_after/1e6:.1f} MB "
+            f"(**{out['reclaimed_pct']}% reclaimed**); manifest files "
+            f"{snapshots_before} -> {snapshots_after}; maintain() wall "
+            f"{out['maintain_s']} s. At 10^12 rows the same U-dir sprawl is a",
+            "planning-time file-listing cost on every read — maintenance",
+            "bounds it at one dir per table regardless of update count.",
+        ]
+        with open("BENCH.md", "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
