@@ -1084,6 +1084,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q41_curate_corpus"] = q41
 
+    # curation — deterministic hash-stratified sampling: rebalance an
+    # overrepresented stratum (en is ~44% of documents) by keeping a
+    # per-language permille of rows, decided by the document's content
+    # fingerprint (q25's rolling hash) — no RNG, so the sample is
+    # reproducible across runs, engines, and cluster sizes, and a
+    # re-crawl of the same text lands in the same bucket. Pure column
+    # expressions evaluated in the scan stage — no shuffle, no UDF; the
+    # scan reads only (doc_id, lang, text).
+    def q42(spark, sf):
+        d = _t(spark, sf, "documents")
+        fp = F.lit(0).cast("long")
+        for k in range(1, 17):
+            fp = (fp * F.lit(31) + F.ascii(F.substring(F.col("text"), k, 1))) % F.lit(
+                derive.M31
+            )
+        rate = (
+            F.when(F.col("lang") == "en", F.lit(300))
+            .when(F.col("lang") == "de", F.lit(500))
+            .otherwise(F.lit(1000))
+        )
+        return (
+            d.withColumn("fp_bucket", fp % F.lit(1000))
+            .where(F.col("fp_bucket") < rate)
+            .select("doc_id", "lang", "fp_bucket")
+        )
+
+    Q["q42_stratified_sample"] = q42
+
     # A6 — query-stats analytics: per-tool call counts recorded through
     # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
     # registry dispatch). Engine-only: the call history is runtime state.
@@ -1212,6 +1240,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return final
 
     Q["x15_streaming_dedup"] = x15
+
+    # watermarked stream-stream join (ingest x late caption): documents
+    # recast as an ingest stream + a caption stream with deterministic
+    # event times (ts = base + 7*doc_id; caption delay = doc_id % 900,
+    # matching iff <= 600s). The two sides are chunked at DIFFERENT
+    # doc_id boundaries so a band of captions arrives a micro-batch
+    # before its ingests — the symmetric join state must buffer across
+    # batches. Streaming result is asserted equal to the batch run of
+    # the SAME function (the batch execution is the oracle; watermarks
+    # are no-ops in batch mode). Engine-only: stateful stream-stream
+    # join has no single-SQL oracle.
+    def x16(spark, sf):
+        import os
+        import tempfile
+        import time
+
+        from ariadne_spark.streaming.joins import ingest_caption_join
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        t0 = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+        ing = docs.select(
+            F.concat(F.lit("img_"), F.col("doc_id")).alias("image_id"),
+            F.timestamp_seconds(t0 + F.col("doc_id") * 7).alias("ingest_ts"),
+        )
+        cap = docs.where(F.col("doc_id") % 2 == 0).select(
+            F.concat(F.lit("img_"), F.col("doc_id")).alias("image_id"),
+            F.timestamp_seconds(
+                t0 + F.col("doc_id") * 7 + F.col("doc_id") % 900
+            ).alias("caption_ts"),
+            F.concat(F.lit("cap "), F.col("doc_id")).alias("caption"),
+        )
+        want = ingest_caption_join(ing, cap)
+
+        # chunk boundaries: captions split 20 ids later than ingests,
+        # so captions for doc_id in (mid, mid+20] precede their ingests
+        mid = docs.agg(F.max("doc_id")).first()[0] // 2
+        d = tempfile.mkdtemp()
+        for side, df, key, bound in (
+            ("ing", ing, "ingest_ts", mid),
+            ("cap", cap, "caption_ts", mid + 20),
+        ):
+            cut = F.unix_timestamp(F.col(key)) - t0 < bound * 7
+            for i, chunk in enumerate((df.where(cut), df.where(~cut))):
+                p = f"{d}/{side}/chunk_{i}"
+                chunk.coalesce(1).write.mode("overwrite").parquet(p)
+                t = time.time() + i * 10
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        os.utime(os.path.join(root, f), (t, t))
+
+        ing_s = (
+            spark.readStream.schema(ing.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/ing/chunk_*")
+        )
+        cap_s = (
+            spark.readStream.schema(cap.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/cap/chunk_*")
+        )
+        name = f"x16_ssjoin_{os.path.basename(d)}"
+        query = (
+            ingest_caption_join(ing_s, cap_s)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+
+        got = spark.sql(f"SELECT * FROM {name}")
+        cols = got.columns
+        assert (
+            got.join(want, cols).count() == want.count() == got.count()
+        ), "streaming stream-stream join diverged from batch execution"
+        assert got.count() > 0, "stream-stream join produced no rows"
+        return got
+
+    Q["x16_streaming_join"] = x16
 
     return Q
 
@@ -1436,6 +1545,14 @@ def oracle_sql() -> dict[str, str]:
               FROM kept)
             SELECT doc_id, lang, words, quality FROM scored
             WHERE quality >= 70 AND the_tok >= 1
+        """,
+        "q42_stratified_sample": f"""
+            WITH b AS (SELECT doc_id, lang, ({fp}) % 1000 AS fp_bucket
+                       FROM documents)
+            SELECT doc_id, lang, fp_bucket FROM b
+            WHERE fp_bucket < CASE lang WHEN 'en' THEN 300
+                                        WHEN 'de' THEN 500
+                                        ELSE 1000 END
         """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,

@@ -92,6 +92,7 @@ def test_entry_smoke(spark):
         "x13_ann_ivf",
         "x14_resize_images",
         "x15_streaming_dedup",
+        "x16_streaming_join",
     ],
 )
 def test_engine_only_queries_run(spark, name):
