@@ -1322,6 +1322,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x16_streaming_join"] = x16
 
+    # S8/snapshot lifecycle driven end to end: time travel (read a
+    # pre-update snapshot after the table moved on), metadata-only
+    # snapshot diff (the ~ms git fast-path analog — no data read), and
+    # rollback (atomic HEAD re-point; both snapshots' data retained).
+    # A 100-image single-partition phash perturbation is applied, then
+    # each property is asserted in-entry. Engine-only: snapshot
+    # metadata is runtime state, not SQL-expressible.
+    def x17(spark, sf):
+        import tempfile
+
+        from ariadne_spark.operators.incremental import SpatialPipeline
+        from ariadne_spark.synth.images import write_images
+        from ariadne_spark.synth.regions import generate_regions
+
+        d = tempfile.mkdtemp()
+        write_images(f"{d}/images.parquet", 2000)
+        p = SpatialPipeline(spark, f"{d}/store", generate_regions())
+        p.full_build(spark.read.parquet(f"{d}/images.parquet").drop("bytes"))
+        st = p.store
+        sid0 = st.current_snapshot_id("images_indexed")
+        n0 = st.read("images_indexed").count()
+
+        parts = st.manifest("images_indexed").partitions
+        pk = max(sorted(parts), key=lambda k: parts[k]["n_rows"])
+        changed = (
+            st.read("images_indexed", keys=[pk])
+            .orderBy("image_id")
+            .limit(100)
+            .drop("pk")
+            .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(0x77)))
+        ).localCheckpoint()
+        n_upd = changed.count()
+        p.update(changed)
+        sid1 = st.current_snapshot_id("images_indexed")
+        assert sid1 != sid0, "update did not advance the snapshot"
+
+        # time travel: the pre-update snapshot is untouched by the update
+        old = st.read("images_indexed", sid0)
+        assert old.count() == n0, "time-travel read lost rows"
+
+        # metadata-only diff names exactly the perturbed partition
+        ch = st.diff("images_indexed", sid0, sid1)
+        assert ch == [pk], f"diff {ch} != [{pk}]"
+
+        # head serves exactly the 100 changed rows differently
+        new = st.read("images_indexed")
+        n_changed = new.join(old, ["image_id", "phash"], "left_anti").count()
+        assert n_changed == n_upd > 0, f"expected {n_upd} changed rows, got {n_changed}"
+
+        # rollback re-points HEAD; the current read serves the old rows
+        st.rollback("images_indexed", sid0)
+        back = st.read("images_indexed")
+        assert (
+            back.join(old, ["image_id", "phash"]).count() == n0 == back.count()
+        ), "rollback did not restore the pre-update rowset"
+
+        return spark.createDataFrame(
+            [(int(sid0), int(sid1), len(ch), int(n_changed))],
+            "from_sid long, to_sid long, n_changed_partitions long, n_changed_rows long",
+        )
+
+    Q["x17_time_travel"] = x17
+
     return Q
 
 

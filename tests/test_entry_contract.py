@@ -93,6 +93,7 @@ def test_entry_smoke(spark):
         "x14_resize_images",
         "x15_streaming_dedup",
         "x16_streaming_join",
+        "x17_time_travel",
     ],
 )
 def test_engine_only_queries_run(spark, name):

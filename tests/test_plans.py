@@ -164,3 +164,15 @@ def test_curate_corpus_plan_no_pairwise_join(spark, Q):
     assert "LeftSemi" in p  # canonical-per-key selection
     # scan pruned: bytes-free documents projection only
     assert "text" in p and "phash" not in p
+
+
+def test_stratified_sample_plan_is_scan_only(spark, Q):
+    """q42 sampling is a single scan stage: column expressions + filter,
+    no Exchange (no shuffle), no join, and the documents scan prunes to
+    exactly (doc_id, lang, text)."""
+    p = plan(Q["q42_stratified_sample"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" in read_schema
+    assert "n_chars" not in read_schema and "phash" not in read_schema
