@@ -1112,6 +1112,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q42_stratified_sample"] = q42
 
+    # sketch — approximate COUNT(DISTINCT) via bucketed harmonic
+    # minima (functions/sketch.py). The per-bucket `min` is algebraic,
+    # so the shuffle carries <= k rows per group per mapper regardless
+    # of row count — the sketch property expressed in built-in
+    # operators; exact countDistinct rides alongside so the result
+    # shows the estimator's error. Deterministic integer arithmetic
+    # end to end, so the *approximate* value is oracle-checkable
+    # exactly (same estimate on any engine, partitioning, or cluster
+    # size).
+    def q43(spark, sf):
+        from ariadne_spark.functions.sketch import distinct_sketch
+
+        li = _t(spark, sf, "lineitem")
+        est = distinct_sketch(li, ["l_returnflag"], F.col("l_orderkey"), k=256)
+        exact = li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("exact_distinct")
+        )
+        return est.join(exact, "l_returnflag")
+
+    Q["q43_distinct_sketch"] = q43
+
     # A6 — query-stats analytics: per-tool call counts recorded through
     # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
     # registry dispatch). Engine-only: the call history is runtime state.
@@ -1410,6 +1431,9 @@ def oracle_sql() -> dict[str, str]:
     fp = "CAST(0 AS BIGINT)"
     for k in range(1, 17):
         fp = f"((({fp}) * 31 + ascii(substring(text, {k}, 1))) % {derive.M31})"
+    from ariadne_spark.functions.sketch import distinct_sketch_sql
+
+    sketch = distinct_sketch_sql("lineitem", ["l_returnflag"], "l_orderkey", k=256)
 
     return {
         "q01_scan_prune": """
@@ -1616,6 +1640,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE fp_bucket < CASE lang WHEN 'en' THEN 300
                                         WHEN 'de' THEN 500
                                         ELSE 1000 END
+        """,
+        "q43_distinct_sketch": f"""
+            WITH est AS ({sketch}),
+            exact AS (
+              SELECT l_returnflag,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT est.l_returnflag, est.est_distinct, exact.exact_distinct
+            FROM est JOIN exact USING (l_returnflag)
         """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,

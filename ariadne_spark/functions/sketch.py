@@ -1,0 +1,137 @@
+"""Distinct-count sketch — bucketed harmonic minima, cross-engine exact.
+
+The 100 TB problem: `COUNT(DISTINCT x)` shuffles every distinct value
+to its group's reducer — at 10^12 rows the shuffle IS the job. The
+sketch answer: hash each value, split the hash space into k buckets,
+keep only the per-bucket MINIMUM hash, and estimate cardinality from
+the harmonic sum of the minima (KMV / stochastic-averaging family —
+same estimator family as HyperLogLog's, on minima instead of
+leading-zero ranks; relative error ~ 1/sqrt(k), ~6% at k=256).
+
+Why this shape for Spark: per-bucket `min` is an algebraic aggregate,
+so Catalyst plans it as partial_min (map-side, inside whole-stage
+codegen) -> Exchange carrying AT MOST k rows per group per mapper ->
+final_min. The shuffle is O(k · groups · mappers) regardless of row
+count — the sketch property expressed entirely in built-in operators
+(no UDF, no UDAF). A second tiny groupBy folds the k minima into the
+estimate. Plan shape pinned by tests/test_plans.py.
+
+Determinism: the hash is a fixed integer mix (4 multiply + xorshift
+rounds mod 2^31 — an LCG alone fails badly on sequential ids, measured
+52% error at n=30k; 4 mixed rounds bring the worst structured input
+to 9.1%, mean 3.4%, over dense/strided/random ids at n=5k..200k),
+`min`/`sum` are order-independent, and every step is
+exact int64 arithmetic (products < 2^62, so DuckDB BIGINT and Spark
+LongType agree bit-for-bit). The estimate is therefore identical
+across engines, partitionings, and cluster sizes — which is what lets
+the driver oracle-check an *approximate* operator exactly.
+
+Empty buckets contribute M31 to the harmonic sum (the expected minimum
+of zero draws); accuracy is best for n_distinct >= ~3k values per
+group — below that, exact countDistinct is cheap anyway.
+
+Reference parity: the reference keeps per-project aggregate counts
+(`packages/mcp/src/analytics/query_stats.ts`) by exact scan — viable
+in one Node process, not at cluster scale; this is the scale analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ariadne_spark.functions.cells import idiv
+
+M31 = 2_147_483_648  # 2^31 — all products stay < 2^62 (DuckDB-safe)
+
+# (multiplier, xorshift) rounds of the integer mix. Multipliers are
+# odd constants < M31 (Knuth LCG / Numerical Recipes); shifts feed the
+# well-mixed high bits back into the low bits that a multiply-mod
+# alone leaves structured.
+_MIX_ROUNDS = (
+    (1_103_515_245, 16),
+    (1_665_525_021, 15),
+    (1_013_904_223, 17),
+    (1_597_334_677, 14),
+)
+_V2_SALT = 999_331  # decorrelates the min-value stream from the bucket stream
+
+
+def mix_col(x: Column) -> Column:
+    """3-round multiply+xorshift hash of a non-negative long, in [0, 2^31)."""
+    v = x % F.lit(M31)
+    for a, sh in _MIX_ROUNDS:
+        v = (v * F.lit(a) + F.lit(12345)) % F.lit(M31)
+        v = v.bitwiseXOR(F.shiftright(v, sh))
+    return v
+
+
+def mix_sql(x: str) -> str:
+    """DuckDB twin of `mix_col` (byte-identical on the same input)."""
+    v = f"(({x}) % {M31})"
+    for a, sh in _MIX_ROUNDS:
+        v = f"((({v} * {a} + 12345) % {M31}))"
+        v = f"xor({v}, {v} >> {sh})"
+    return v
+
+
+def distinct_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    k: int = 256,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT value) via bucketed minima.
+
+    `value` must be a non-negative long expression (pre-hash strings
+    with a rolling fingerprint, e.g. q25's). Returns one row per group
+    with `out_col` (long). Shuffle volume is <= k rows per group per
+    mapper — independent of row count.
+    """
+    assert k & (k - 1) == 0, "k must be a power of two"
+    v1 = mix_col(value)
+    v2 = mix_col(v1 + F.lit(_V2_SALT))
+    sel = df.select(
+        *group_cols,
+        idiv(v1 * F.lit(k), M31).alias("__bucket"),
+        v2.alias("__hv"),
+    )
+    minima = sel.groupBy(*group_cols, "__bucket").agg(F.min("__hv").alias("__m"))
+    harm = minima.groupBy(*group_cols).agg(
+        F.sum("__m").alias("__s"), F.count(F.lit(1)).alias("__p")
+    )
+    # exact floor-division by a Column denominator (idiv's int-divisor
+    # trick, same invariant: numerator k*(k-1)*M31 ~ 1.4e14 < 2^53)
+    num = F.lit(k * (k - 1) * M31)
+    denom = F.col("__s") + (F.lit(k) - F.col("__p")) * F.lit(M31) + F.lit(1)
+    return harm.select(
+        *group_cols,
+        ((num - (num % denom)) / denom).cast("long").alias(out_col),
+    )
+
+
+def distinct_sketch_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_sql: str,
+    k: int = 256,
+    out_col: str = "est_distinct",
+) -> str:
+    """DuckDB twin of `distinct_sketch` (identical estimate, same input)."""
+    v1 = mix_sql(value_sql)
+    v2 = mix_sql(f"({v1}) + {_V2_SALT}")
+    g = ", ".join(group_cols)
+    num = k * (k - 1) * M31
+    return f"""
+        WITH hashed AS (
+          SELECT {g}, (({v1}) * {k}) // {M31} AS bucket, {v2} AS hv
+          FROM {table_sql}
+        ), minima AS (
+          SELECT {g}, bucket, min(hv) AS m FROM hashed GROUP BY {g}, bucket
+        )
+        SELECT {g},
+               CAST({num} // (sum(m) + ({k} - count(*)) * {M31} + 1) AS BIGINT)
+                 AS {out_col}
+        FROM minima GROUP BY {g}
+    """

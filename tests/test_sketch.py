@@ -1,0 +1,127 @@
+"""Distinct-count sketch (functions/sketch.py) — accuracy, invariance,
+cross-engine parity, and the bounded-shuffle plan shape.
+
+The sketch is deterministic integer arithmetic end to end, so every
+assertion here is exact (==), including the DuckDB comparison — the
+*approximate* estimate itself is reproducible bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.functions.sketch import (
+    M31,
+    distinct_sketch,
+    distinct_sketch_sql,
+    mix_col,
+    mix_sql,
+)
+
+K = 256
+
+
+def _mix_np(x: np.ndarray) -> np.ndarray:
+    v = np.asarray(x, dtype=np.int64) % M31
+    for a, sh in (
+        (1_103_515_245, 16),
+        (1_665_525_021, 15),
+        (1_013_904_223, 17),
+        (1_597_334_677, 14),
+    ):
+        v = (v * a + 12345) % M31
+        v = v ^ (v >> sh)
+    return v
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    """Three groups with adversarially structured value sets:
+    dense sequential ids, strided ids, and LCG-scattered ids."""
+    rng = np.random.default_rng(7)
+    rows = (
+        [("dense", int(i)) for i in range(20_000)]
+        + [("strided", int(i * 4)) for i in range(8_000)]
+        + [("random", int(v)) for v in rng.choice(50_000_000, 12_000, replace=False)]
+    )
+    return spark.createDataFrame(rows, "g string, x long"), {
+        "dense": 20_000,
+        "strided": 8_000,
+        "random": 12_000,
+    }
+
+
+def test_mix_matches_numpy_and_duckdb(spark):
+    vals = list(range(0, 3000, 7)) + [0, 1, M31 - 1, 123_456_789]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = [r[0] for r in df.select(mix_col(F.col("x")).alias("m")).orderBy("x").collect()]
+    want = _mix_np(np.array(sorted(vals))).tolist()
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    dk = [r[0] for r in con.execute(f"SELECT {mix_sql('x')} FROM t ORDER BY x").fetchall()]
+    assert dk == want
+
+
+def test_estimate_within_error_bound(spark, fixture_df):
+    df, truth = fixture_df
+    est = {r["g"]: r["est_distinct"] for r in distinct_sketch(df, ["g"], F.col("x"), k=K).collect()}
+    for g, n in truth.items():
+        err = abs(est[g] - n) / n
+        assert err < 0.10, f"{g}: est {est[g]} vs {n} ({err:.1%})"
+
+
+def test_duplicates_do_not_change_estimate(spark, fixture_df):
+    df, _ = fixture_df
+    base = distinct_sketch(df, ["g"], F.col("x"), k=K).collect()
+    doubled = distinct_sketch(df.unionAll(df), ["g"], F.col("x"), k=K).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, doubled))
+
+
+def test_estimate_invariant_across_parallelism(spark, fixture_df):
+    df, _ = fixture_df
+    narrow = distinct_sketch(df.repartition(2), ["g"], F.col("x"), k=K).collect()
+    wide = distinct_sketch(df.repartition(16), ["g"], F.col("x"), k=K).collect()
+    assert sorted(map(tuple, narrow)) == sorted(map(tuple, wide))
+
+
+def test_sql_twin_is_byte_identical(spark, fixture_df, tmp_path):
+    df, _ = fixture_df
+    path = str(tmp_path / "sketch_fixture.parquet")
+    df.write.mode("overwrite").parquet(path)
+    got = sorted(
+        map(tuple, distinct_sketch(spark.read.parquet(path), ["g"], F.col("x"), k=K).collect())
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW v AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = sorted(con.execute(distinct_sketch_sql("v", ["g"], "x", k=K)).fetchall())
+    assert got == want
+
+
+def test_plan_is_two_bounded_aggregations(spark, fixture_df):
+    """The scale contract: per-bucket min partial-aggregates map-side,
+    so the shuffle carries <= k rows per group per mapper. Plan must be
+    scan -> partial agg -> Exchange -> final agg (x2), no join, no
+    window, no UDF."""
+    import contextlib
+    import io
+
+    df, _ = fixture_df
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        distinct_sketch(df, ["g"], F.col("x"), k=K).explain("formatted")
+    p = buf.getvalue()
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges == 2, p
+    assert "Join" not in p
+    assert "Window" not in p
+    # no UDF — built-in operators only (the fixture's own scan node
+    # mentions applySchemaToPythonRDD, so match UDF operators, not
+    # the substring "Python")
+    assert "EvalPython" not in p and "InPandas" not in p
+    # partial aggregation actually planned (min has a partial_min pass)
+    assert p.count("HashAggregate") >= 4, p
