@@ -1406,6 +1406,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x17_time_travel"] = x17
 
+    # streaming distinct-count sketch (q43's estimator made continuous
+    # with BOUNDED state — one 2 KB bucket-minima vector per group):
+    # chunked micro-batches over the lineitem keys, duplicates
+    # re-arriving across batches; the final streaming estimate must be
+    # bit-identical to the batch distinct_sketch over the same rows
+    # (asserted in-entry). Engine-only: streaming state is runtime
+    # behavior DuckDB can't replay.
+    def x18(spark, sf):
+        import os
+        import tempfile
+        import time
+
+        from ariadne_spark.functions.sketch import distinct_sketch
+        from ariadne_spark.streaming.sketch_stream import distinct_sketch_stateful
+
+        keyed = _t(spark, sf, "lineitem").select(
+            F.col("l_returnflag").alias("g"), F.col("l_orderkey").alias("x")
+        )
+
+        d = tempfile.mkdtemp()
+        # split by orderkey range so every group spans all three
+        # micro-batches, and re-send an already-seen band as duplicates
+        chunks = [
+            keyed.where(F.col("x") % 5 <= 1),
+            keyed.where((F.col("x") % 5).isin(2, 3)).unionAll(
+                keyed.where(F.col("x") % 5 == 0)
+            ),
+            keyed.where(F.col("x") % 5 == 4),
+        ]
+        for i, c in enumerate(chunks):
+            p = f"{d}/chunk_{i}"
+            c.coalesce(1).write.mode("overwrite").parquet(p)
+            t = time.time() + i * 10
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    os.utime(os.path.join(root, f), (t, t))
+            os.utime(p, (t, t))
+
+        stream = (
+            spark.readStream.schema("g string, x long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/chunk_*")
+        )
+        name = f"x18_sketch_{os.path.basename(d)}"
+        query = (
+            distinct_sketch_stateful(stream, "g", "x", k=256)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+
+        # estimates are monotone non-decreasing (minima only fall), so
+        # max per group is the final state
+        final = spark.sql(
+            f"SELECT g, max(est_distinct) AS est_distinct FROM {name} GROUP BY g"
+        )
+        want = distinct_sketch(keyed, ["g"], F.col("x"), k=256)
+        assert (
+            final.join(want, ["g", "est_distinct"]).count()
+            == want.count()
+            == final.count()
+        ), "streaming sketch state diverged from the batch estimate"
+        return final
+
+    Q["x18_streaming_sketch"] = x18
+
     return Q
 
 

@@ -75,6 +75,25 @@ def mix_sql(x: str) -> str:
     return v
 
 
+def mix_np(x):
+    """numpy twin of `mix_col` (byte-identical; int64 in, int64 out).
+    Used by the streaming sketch's state update and by tests."""
+    import numpy as np
+
+    v = np.asarray(x, dtype=np.int64) % M31
+    for a, sh in _MIX_ROUNDS:
+        v = (v * a + 12345) % M31
+        v = v ^ (v >> sh)
+    return v
+
+
+def estimate_from_minima_sum(total: int, k: int) -> int:
+    """The harmonic estimate from the sum of all k bucket minima
+    (empty buckets counted as M31). Exact-int twin of the final
+    select in `distinct_sketch` / `distinct_sketch_sql`."""
+    return (k * (k - 1) * M31) // (total + 1)
+
+
 def distinct_sketch(
     df: DataFrame,
     group_cols: list[str],

@@ -363,3 +363,89 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
 
     got = sorted(map(tuple, spark.sql("SELECT * FROM ss_join_out").collect()))
     assert got == want
+
+
+def test_stateful_distinct_sketch_equals_batch(spark, tmp_path):
+    """Streaming distinct-count sketch (bounded 2 KB state per group):
+    after adversarial chunking — one group spanning all micro-batches,
+    duplicates re-arriving in later batches, one group confined to a
+    single batch — the final streaming estimate per group is
+    bit-identical to the batch `distinct_sketch` over the same rows.
+    The estimate is monotone non-decreasing (minima only fall), so the
+    final value is max(est) per group."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions.sketch import distinct_sketch
+    from ariadne_spark.streaming.sketch_stream import distinct_sketch_stateful
+
+    rows = (
+        [("vocab_en", i) for i in range(9_000)]
+        + [("vocab_de", i * 7 + 3) for i in range(4_000)]
+        + [("one_batch", i * 11) for i in range(6_000)]
+    )
+    batch_df = spark.createDataFrame(rows, "g string, x long")
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    chunks = [
+        # batch 0: first half of en, all of one_batch
+        batch_df.where(
+            ((F.col("g") == "vocab_en") & (F.col("x") < 4_500))
+            | (F.col("g") == "one_batch")
+        ),
+        # batch 1: second half of en, first half of de, PLUS exact
+        # duplicates of en rows already seen in batch 0
+        batch_df.where(
+            ((F.col("g") == "vocab_en") & (F.col("x") >= 4_500))
+            | ((F.col("g") == "vocab_de") & (F.col("x") < 14_000))
+        ).unionAll(
+            batch_df.where((F.col("g") == "vocab_en") & (F.col("x") < 1_000))
+        ),
+        # batch 2: rest of de + more duplicates
+        batch_df.where(
+            (F.col("g") == "vocab_de") & (F.col("x") >= 14_000)
+        ).unionAll(batch_df.where(F.col("g") == "one_batch")),
+    ]
+    for i, c in enumerate(chunks):
+        p = str(drop / f"chunk_{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(p, (t, t))
+
+    stream = (
+        spark.readStream.schema("g string, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "chunk_*"))
+    )
+    out = distinct_sketch_stateful(stream, "g", "x", k=256)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sketch_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sketch"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = {
+        r["g"]: r["est"]
+        for r in spark.sql(
+            "SELECT g, max(est_distinct) AS est FROM sketch_out GROUP BY g"
+        ).collect()
+    }
+    want = {
+        r["g"]: r["est_distinct"]
+        for r in distinct_sketch(batch_df, ["g"], F.col("x"), k=256).collect()
+    }
+    assert got == want
+    # the estimates are also sane (within the sketch's error band)
+    truth = {"vocab_en": 9_000, "vocab_de": 4_000, "one_batch": 6_000}
+    for g, n in truth.items():
+        assert abs(got[g] - n) / n < 0.10, (g, got[g], n)
