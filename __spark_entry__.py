@@ -1133,6 +1133,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q43_distinct_sketch"] = q43
 
+    # sketch — count-min frequency estimation: d=4 hash rows x w=4096
+    # counters (functions/sketch.py cm_build/cm_estimate). The CM
+    # table is <= d*w rows no matter how many rows it summarizes, so
+    # it broadcasts to the probe join; est_freq >= exact_freq always
+    # (counters only overcount via collisions), with the overcount
+    # visible against the exact count. Deterministic integer mix, so
+    # the approximate counters are oracle-checked exactly.
+    def q44(spark, sf):
+        from ariadne_spark.functions.sketch import cm_build, cm_estimate
+
+        li = _t(spark, sf, "lineitem")
+        cm = cm_build(li, F.col("l_partkey"), d=4, w=4096)
+        exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_freq"))
+        probe = exact.orderBy(F.desc("exact_freq"), F.asc("l_partkey")).limit(20)
+        return cm_estimate(cm, probe, F.col("l_partkey"), d=4, w=4096)
+
+    Q["q44_freq_sketch"] = q44
+
     # A6 — query-stats analytics: per-tool call counts recorded through
     # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
     # registry dispatch). Engine-only: the call history is runtime state.
@@ -1501,9 +1519,15 @@ def oracle_sql() -> dict[str, str]:
     fp = "CAST(0 AS BIGINT)"
     for k in range(1, 17):
         fp = f"((({fp}) * 31 + ascii(substring(text, {k}, 1))) % {derive.M31})"
-    from ariadne_spark.functions.sketch import distinct_sketch_sql
+    from ariadne_spark.functions.sketch import cm_sql, distinct_sketch_sql
 
     sketch = distinct_sketch_sql("lineitem", ["l_returnflag"], "l_orderkey", k=256)
+    cm_probe = """SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_freq
+                  FROM lineitem GROUP BY 1
+                  ORDER BY exact_freq DESC, l_partkey ASC LIMIT 20"""
+    freq = cm_sql(
+        "lineitem", "l_partkey", cm_probe, ["l_partkey", "exact_freq"], d=4, w=4096
+    )
 
     return {
         "q01_scan_prune": """
@@ -1720,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT est.l_returnflag, est.est_distinct, exact.exact_distinct
             FROM est JOIN exact USING (l_returnflag)
         """,
+        "q44_freq_sketch": freq,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,
                    min(doc_id) AS canonical_doc, count(*) AS group_size

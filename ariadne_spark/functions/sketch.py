@@ -1,4 +1,5 @@
-"""Distinct-count sketch — bucketed harmonic minima, cross-engine exact.
+"""Sketch family — cardinality and frequency estimation, cross-engine
+exact. Distinct-count: bucketed harmonic minima. Frequency: count-min.
 
 The 100 TB problem: `COUNT(DISTINCT x)` shuffles every distinct value
 to its group's reducer — at 10^12 rows the shuffle IS the job. The
@@ -58,7 +59,7 @@ _V2_SALT = 999_331  # decorrelates the min-value stream from the bucket stream
 
 
 def mix_col(x: Column) -> Column:
-    """3-round multiply+xorshift hash of a non-negative long, in [0, 2^31)."""
+    """4-round multiply+xorshift hash of a non-negative long, in [0, 2^31)."""
     v = x % F.lit(M31)
     for a, sh in _MIX_ROUNDS:
         v = (v * F.lit(a) + F.lit(12345)) % F.lit(M31)
@@ -153,4 +154,111 @@ def distinct_sketch_sql(
                CAST({num} // (sum(m) + ({k} - count(*)) * {M31} + 1) AS BIGINT)
                  AS {out_col}
         FROM minima GROUP BY {g}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch
+# ---------------------------------------------------------------------------
+#
+# The 100 TB problem this solves: "how often does each of these keys
+# occur?" asked of a probe set (hot domains, suspect URLs, watchlist
+# tokens) without a full groupBy over 10^12 rows per question. The
+# count-min table is d hash rows x w counters: each input row
+# increments one counter per hash row, a key's estimate is the MIN of
+# its d counters. Guarantees: est >= exact always (counters only
+# overcount via collisions); est <= exact + 2n/w with probability
+# 1 - 2^-d. Build cost in Spark: d partial-aggregated groupBys whose
+# shuffles carry at most w rows per mapper each — the table is
+# d*w longs (d=4, w=1024 -> 32 KB) no matter how many rows it summarizes,
+# so it broadcasts to the probe join for free.
+#
+# Same determinism story as the distinct sketch: fixed integer mix,
+# order-independent sums -> the approximate counts are bit-identical
+# across engines/partitionings, so the oracle checks them exactly.
+
+CM_SALTS = (0, 271_828_182, 141_421_356, 577_215_664)  # one per hash row
+
+
+def cm_build(df: DataFrame, value: Column, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min table over `value` (non-negative long expression):
+    one row per (j, bucket) with its counter. d partial-aggregated
+    groupBys; result is <= d*w rows total."""
+    assert d <= len(CM_SALTS), f"at most {len(CM_SALTS)} hash rows"
+    parts = []
+    for j in range(d):
+        b = idiv(mix_col(value + F.lit(CM_SALTS[j])) * F.lit(w), M31)
+        parts.append(
+            df.select(F.lit(j).alias("j"), b.alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def cm_estimate(
+    cm: DataFrame, probe: DataFrame, value: Column, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Frequency estimate for every probe row: min over the d counters
+    the probe key hashes to. `cm` is tiny (<= d*w rows), so Spark
+    broadcasts it; the probe side never shuffles."""
+    hashed = probe.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        idiv(
+                            mix_col(value + F.lit(CM_SALTS[j])) * F.lit(w), M31
+                        ).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("h"),
+    ).select("*", F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket")).drop("h")
+    probe_cols = [c for c in probe.columns]
+    return (
+        hashed.join(F.broadcast(cm), ["j", "bucket"])
+        .groupBy(*probe_cols)
+        .agg(F.min("cnt").alias("est_freq"))
+    )
+
+
+def cm_sql(
+    table_sql: str,
+    value_sql: str,
+    probe_sql: str,
+    probe_cols: list[str],
+    probe_value_sql: str | None = None,
+    d: int = 4,
+    w: int = 1024,
+) -> str:
+    """DuckDB twin of cm_build + cm_estimate: estimates `probe_sql`'s
+    keys against the count-min table of `table_sql`."""
+    pv = probe_value_sql or value_sql
+    rows = []
+    for j in range(d):
+        h = mix_sql(f"({value_sql}) + {CM_SALTS[j]}")
+        rows.append(
+            f"SELECT {j} AS j, (({h}) * {w}) // {M31} AS bucket, count(*) AS cnt"
+            f" FROM {table_sql} GROUP BY 2"
+        )
+    cm = " UNION ALL ".join(rows)
+    probes = " UNION ALL ".join(
+        f"SELECT {', '.join(probe_cols)}, {j} AS j,"
+        f" (({mix_sql(f'({pv}) + {CM_SALTS[j]}')}) * {w}) // {M31} AS bucket"
+        f" FROM ({probe_sql})"
+        for j in range(d)
+    )
+    g = ", ".join(probe_cols)
+    return f"""
+        WITH cm AS ({cm}), probes AS ({probes})
+        SELECT {g}, min(cnt) AS est_freq
+        FROM probes JOIN cm USING (j, bucket)
+        GROUP BY {g}
     """

@@ -1,5 +1,6 @@
-"""Distinct-count sketch (functions/sketch.py) — accuracy, invariance,
-cross-engine parity, and the bounded-shuffle plan shape.
+"""Sketch family (functions/sketch.py) — distinct-count and count-min:
+accuracy/guarantee laws, invariance, cross-engine parity, and the
+bounded-shuffle / broadcast plan shapes.
 
 The sketch is deterministic integer arithmetic end to end, so every
 assertion here is exact (==), including the DuckDB comparison — the
@@ -125,3 +126,82 @@ def test_plan_is_two_bounded_aggregations(spark, fixture_df):
     assert "EvalPython" not in p and "InPandas" not in p
     # partial aggregation actually planned (min has a partial_min pass)
     assert p.count("HashAggregate") >= 4, p
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch
+# ---------------------------------------------------------------------------
+
+from ariadne_spark.functions.sketch import cm_build, cm_estimate, cm_sql  # noqa: E402
+
+D, W = 4, 512  # narrow table so collisions actually occur in the fixture
+
+
+@pytest.fixture(scope="module")
+def freq_df(spark):
+    """Zipf-ish frequencies: key i repeated (2000 // (i + 1)) times for
+    i in [0, 400) — a few heavy hitters over a long tail."""
+    rows = [(int(i),) for i in range(400) for _ in range(2000 // (i + 1))]
+    return spark.createDataFrame(rows, "x long")
+
+
+def test_cm_overestimates_within_bound(spark, freq_df):
+    """The CM laws on every key: est >= exact always, and (for this
+    deterministic fixture) est <= exact + 2n/w."""
+    n = freq_df.count()
+    cm = cm_build(freq_df, F.col("x"), d=D, w=W)
+    exact = freq_df.groupBy("x").agg(F.count(F.lit(1)).alias("exact_freq"))
+    est = cm_estimate(cm, exact, F.col("x"), d=D, w=W)
+    rows = est.collect()
+    assert len(rows) == 400
+    bound = 2 * n // W
+    for r in rows:
+        assert r["est_freq"] >= r["exact_freq"], r
+        assert r["est_freq"] <= r["exact_freq"] + bound, (r, bound)
+    # collisions actually happened (the fixture exercises the min-of-d)
+    assert any(r["est_freq"] > r["exact_freq"] for r in rows)
+
+
+def test_cm_invariant_across_parallelism(spark, freq_df):
+    def run(parts):
+        df = freq_df.repartition(parts)
+        cm = cm_build(df, F.col("x"), d=D, w=W)
+        probe = df.select("x").distinct()
+        return sorted(map(tuple, cm_estimate(cm, probe, F.col("x"), d=D, w=W).collect()))
+
+    assert run(2) == run(16)
+
+
+def test_cm_sql_twin_is_byte_identical(spark, freq_df, tmp_path):
+    path = str(tmp_path / "freq_fixture.parquet")
+    freq_df.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    cm = cm_build(df, F.col("x"), d=D, w=W)
+    probe = df.groupBy("x").agg(F.count(F.lit(1)).alias("exact_freq"))
+    got = sorted(map(tuple, cm_estimate(cm, probe, F.col("x"), d=D, w=W).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW v AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    psql = "SELECT x, CAST(count(*) AS BIGINT) AS exact_freq FROM v GROUP BY 1"
+    want = sorted(
+        con.execute(cm_sql("v", "x", psql, ["x", "exact_freq"], d=D, w=W)).fetchall()
+    )
+    # column order differs (cm_sql selects probe cols then est); align by name
+    got_aligned = sorted((x, ef, est) for (x, ef, est) in got)
+    want_aligned = sorted((x, ef, est) for (x, ef, est) in want)
+    assert got_aligned == want_aligned
+
+
+def test_cm_probe_join_broadcasts(spark, freq_df):
+    """The CM table is <= d*w rows regardless of input size — the probe
+    join must broadcast it, never shuffle the probe side."""
+    import contextlib
+    import io
+
+    cm = cm_build(freq_df, F.col("x"), d=D, w=W)
+    probe = freq_df.select("x").distinct()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cm_estimate(cm, probe, F.col("x"), d=D, w=W).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
