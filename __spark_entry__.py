@@ -1151,6 +1151,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q44_freq_sketch"] = q44
 
+    # sketch — histogram quantiles: p50/p95 of revenue cents per
+    # returnflag without a total order (exact quantiles need a full
+    # range-shuffle + sort). Bin counts partial-aggregate map-side
+    # (shuffle <= n_bins rows per group per mapper); the estimate is
+    # the bin lower bound at rank ceil(n*p/1000), error <= bin_width
+    # by construction; integer end to end, so oracle-exact.
+    def q45(spark, sf):
+        from ariadne_spark.functions.sketch import quantile_sketch
+
+        li = _t(spark, sf, "lineitem").select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        return quantile_sketch(li, ["l_returnflag"], F.col("cents"), 10_000)
+
+    Q["q45_quantile_sketch"] = q45
+
     # A6 — query-stats analytics: per-tool call counts recorded through
     # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
     # registry dispatch). Engine-only: the call history is runtime state.
@@ -1528,6 +1545,15 @@ def oracle_sql() -> dict[str, str]:
     freq = cm_sql(
         "lineitem", "l_partkey", cm_probe, ["l_partkey", "exact_freq"], d=4, w=4096
     )
+    from ariadne_spark.functions.sketch import quantile_sketch_sql
+
+    qsk = quantile_sketch_sql(
+        "(SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT)"
+        " AS cents FROM lineitem)",
+        ["l_returnflag"],
+        "cents",
+        10_000,
+    )
 
     return {
         "q01_scan_prune": """
@@ -1745,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
             FROM est JOIN exact USING (l_returnflag)
         """,
         "q44_freq_sketch": freq,
+        "q45_quantile_sketch": qsk,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,
                    min(doc_id) AS canonical_doc, count(*) AS group_size

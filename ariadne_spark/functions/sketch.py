@@ -262,3 +262,89 @@ def cm_sql(
         FROM probes JOIN cm USING (j, bucket)
         GROUP BY {g}
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram-quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The third classic sketch: percentiles without sorting 10^12 rows.
+# Exact quantiles need a total order (a full range-shuffle + sort —
+# the most expensive plan Spark can run); the histogram answer bins
+# values at a fixed width, partial-aggregates bin counts map-side
+# (shuffle <= n_bins rows per group per mapper), and reads the p-th
+# quantile off the cumulative histogram. The estimate is the lower
+# bound of the bin containing rank ceil(n*p/1000) — error is bounded
+# by bin_width BY CONSTRUCTION, and the whole computation is integer,
+# so it is bit-identical across engines and cluster sizes (oracle-
+# checked exactly, like the other sketches). The window that scans the
+# cumulative histogram runs over n_bins aggregated rows per group, not
+# over the data.
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    bin_width: int,
+    permilles: tuple[int, ...] = (500, 950),
+) -> DataFrame:
+    """Per-group approximate permille-quantiles of a non-negative long
+    `value`: p -> lower bound of the histogram bin holding rank
+    ceil(n*p/1000). Output columns: n, then est_p{p} per requested p."""
+    from pyspark.sql import Window
+
+    binned = (
+        df.select(*group_cols, idiv(value, bin_width).alias("__bin"))
+        .groupBy(*group_cols, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        *group_cols,
+        "__bin",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy(*group_cols)).alias("__n"),
+    )
+    aggs = [F.max("__n").alias("n")]
+    for p in permilles:
+        # rank_p = ceil(n*p/1000), exact in integers
+        rank = ((F.col("__n") * F.lit(p) + F.lit(999)) - ((F.col("__n") * F.lit(p) + F.lit(999)) % F.lit(1000))) / F.lit(1000)
+        hit = F.when(F.col("__cum") >= rank.cast("long"), F.col("__bin"))
+        aggs.append((F.min(hit) * F.lit(bin_width)).alias(f"est_p{p}"))
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def quantile_sketch_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_sql: str,
+    bin_width: int,
+    permilles: tuple[int, ...] = (500, 950),
+) -> str:
+    """DuckDB twin of `quantile_sketch` (identical output, same input)."""
+    g = ", ".join(group_cols)
+    picks = ",\n               ".join(
+        f"min(CASE WHEN cum >= (n * {p} + 999) // 1000 THEN bin END)"
+        f" * {bin_width} AS est_p{p}"
+        for p in permilles
+    )
+    return f"""
+        WITH binned AS (
+          SELECT {g}, ({value_sql}) // {bin_width} AS bin, count(*) AS c
+          FROM {table_sql} GROUP BY {g}, bin
+        ), cum AS (
+          SELECT {g}, bin,
+                 sum(c) OVER (PARTITION BY {g} ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY {g}) AS n
+          FROM binned
+        )
+        SELECT {g}, CAST(max(n) AS BIGINT) AS n,
+               {picks}
+        FROM cum GROUP BY {g}
+    """

@@ -205,3 +205,84 @@ def test_cm_probe_join_broadcasts(spark, freq_df):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# Histogram-quantile sketch
+# ---------------------------------------------------------------------------
+
+from ariadne_spark.functions.sketch import (  # noqa: E402
+    quantile_sketch,
+    quantile_sketch_sql,
+)
+
+BIN = 100
+
+
+@pytest.fixture(scope="module")
+def qval_df(spark):
+    """Two groups with different shapes: uniform-ish ramp and a
+    heavy-tailed square ramp (quantiles far from the mean)."""
+    rows = [("ramp", int(i * 7 % 10_000)) for i in range(8_000)] + [
+        ("tail", int((i * i) % 50_000)) for i in range(6_000)
+    ]
+    return spark.createDataFrame(rows, "g string, x long")
+
+
+def test_quantile_within_bin_width(spark, qval_df):
+    """est_p is the lower bound of the bin holding the true rank value,
+    so true_p - est_p is in [0, BIN)."""
+    import numpy as np
+
+    got = {
+        r["g"]: (r["n"], r["est_p500"], r["est_p950"])
+        for r in quantile_sketch(qval_df, ["g"], F.col("x"), BIN).collect()
+    }
+    pdf = qval_df.toPandas()
+    for g, sub in pdf.groupby("g"):
+        xs = np.sort(sub["x"].to_numpy())
+        n, e50, e95 = got[g]
+        assert n == len(xs)
+        for p, est in ((500, e50), (950, e95)):
+            true = int(xs[(n * p + 999) // 1000 - 1])  # value at ceil rank
+            assert 0 <= true - est < BIN, (g, p, est, true)
+
+
+def test_quantile_invariant_across_parallelism(spark, qval_df):
+    a = sorted(map(tuple, quantile_sketch(qval_df.repartition(2), ["g"], F.col("x"), BIN).collect()))
+    b = sorted(map(tuple, quantile_sketch(qval_df.repartition(16), ["g"], F.col("x"), BIN).collect()))
+    assert a == b
+
+
+def test_quantile_sql_twin_is_byte_identical(spark, qval_df, tmp_path):
+    path = str(tmp_path / "qval_fixture.parquet")
+    qval_df.write.mode("overwrite").parquet(path)
+    sp = quantile_sketch(spark.read.parquet(path), ["g"], F.col("x"), BIN).toPandas()
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW v AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    od = con.execute(quantile_sketch_sql("v", ["g"], "x", BIN)).fetchdf()
+    od = od[cols].sort_values(cols).reset_index(drop=True)
+    assert sp.equals(od.astype(dict(sp.dtypes)))
+
+
+def test_quantile_plan_aggregates_before_window(spark, qval_df):
+    """The window must run over aggregated bins, not raw rows: plan is
+    scan -> partial agg -> Exchange -> final agg -> (tiny) window ->
+    final groupBy. No UDF, no sort of the raw data (the only Sort is
+    the window's, which sorts bins)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        quantile_sketch(qval_df, ["g"], F.col("x"), BIN).explain("formatted")
+    p = buf.getvalue()
+    assert "EvalPython" not in p and "InPandas" not in p
+    # the formatted tree prints top-down, so the Window (later stage)
+    # must appear ABOVE at least one HashAggregate feeding it — i.e.
+    # some bin-count aggregation exists below the Window node
+    assert "HashAggregate" in p.split("Window")[-1], p
+    # bin counts are partial-aggregated (>= 2 HashAggregates before window)
+    assert p.count("HashAggregate") >= 3, p
