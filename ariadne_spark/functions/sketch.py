@@ -182,21 +182,30 @@ CM_SALTS = (0, 271_828_182, 141_421_356, 577_215_664)  # one per hash row
 
 def cm_build(df: DataFrame, value: Column, d: int = 4, w: int = 1024) -> DataFrame:
     """Count-min table over `value` (non-negative long expression):
-    one row per (j, bucket) with its counter. d partial-aggregated
-    groupBys; result is <= d*w rows total."""
+    one row per (j, bucket) with its counter; <= d*w rows total.
+
+    ONE scan of the input: the d (j, bucket) pairs explode inline and
+    partial-aggregate in the same stage (a union of d groupBys would
+    scan the corpus d times — at 100 TB the scans, not the tiny
+    shuffle, are the cost)."""
     assert d <= len(CM_SALTS), f"at most {len(CM_SALTS)} hash rows"
-    parts = []
-    for j in range(d):
-        b = idiv(mix_col(value + F.lit(CM_SALTS[j])) * F.lit(w), M31)
-        parts.append(
-            df.select(F.lit(j).alias("j"), b.alias("bucket"))
-            .groupBy("j", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                idiv(mix_col(value + F.lit(CM_SALTS[j])) * F.lit(w), M31).alias(
+                    "bucket"
+                ),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("h"))
+        .select(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cm_estimate(

@@ -191,6 +191,24 @@ def test_cm_sql_twin_is_byte_identical(spark, freq_df, tmp_path):
     assert got_aligned == want_aligned
 
 
+def test_cm_build_scans_input_once(spark, freq_df, tmp_path):
+    """The d hash rows must come from ONE scan of the input (exploded
+    inline), not a union of d per-row groupBys — at 100 TB the corpus
+    scans, not the tiny counter shuffle, are the cost."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "cm_scan_fixture.parquet")
+    freq_df.write.mode("overwrite").parquet(path)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cm_build(spark.read.parquet(path), F.col("x"), d=D, w=W).explain("formatted")
+    p = buf.getvalue()
+    # count tree nodes only ("+- Scan parquet"); each node also echoes
+    # a "(N) Scan parquet" detail section below the tree
+    assert p.count("+- Scan parquet") == 1, p
+
+
 def test_cm_probe_join_broadcasts(spark, freq_df):
     """The CM table is <= d*w rows regardless of input size — the probe
     join must broadcast it, never shuffle the probe side."""
