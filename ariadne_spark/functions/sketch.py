@@ -357,3 +357,37 @@ def quantile_sketch_sql(
                {picks}
         FROM cum GROUP BY {g}
     """
+
+
+# ---------------------------------------------------------------------------
+# String keys for the sketches
+# ---------------------------------------------------------------------------
+
+
+def rolling_fp_col(col: Column, n_chars: int = 16) -> Column:
+    """Rolling polynomial fingerprint of a string's first `n_chars`
+    chars, its LAST `n_chars` chars (rolled over reverse(col)), and
+    its length, in [0, 2^31) — the string -> long bridge for the
+    sketches. A prefix-only fingerprint (q25's) collapses URL-like
+    keys that share a long prefix (measured: 5000 distinct URLs -> 4
+    distinct fps); the suffix window separates those, the prefix
+    window separates shared-suffix keys (file extensions), and the
+    length term splits the remainder. ascii('') == 0 pads short
+    strings identically in Spark and DuckDB."""
+    rev = F.reverse(col)
+    fp = F.lit(0).cast("long")
+    for i in range(1, n_chars + 1):
+        fp = (fp * F.lit(31) + F.ascii(F.substring(col, i, 1))) % F.lit(M31)
+    for i in range(1, n_chars + 1):
+        fp = (fp * F.lit(31) + F.ascii(F.substring(rev, i, 1))) % F.lit(M31)
+    return (fp * F.lit(31) + F.length(col)) % F.lit(M31)
+
+
+def rolling_fp_sql(col: str, n_chars: int = 16) -> str:
+    """DuckDB twin of `rolling_fp_col`."""
+    fp = "CAST(0 AS BIGINT)"
+    for i in range(1, n_chars + 1):
+        fp = f"((({fp}) * 31 + ascii(substring({col}, {i}, 1))) % {M31})"
+    for i in range(1, n_chars + 1):
+        fp = f"((({fp}) * 31 + ascii(substring(reverse({col}), {i}, 1))) % {M31})"
+    return f"((({fp}) * 31 + length({col})) % {M31})"

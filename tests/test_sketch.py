@@ -304,3 +304,68 @@ def test_quantile_plan_aggregates_before_window(spark, qval_df):
     assert "HashAggregate" in p.split("Window")[-1], p
     # bin counts are partial-aggregated (>= 2 HashAggregates before window)
     assert p.count("HashAggregate") >= 3, p
+
+
+# ---------------------------------------------------------------------------
+# String keys
+# ---------------------------------------------------------------------------
+
+from ariadne_spark.functions.sketch import rolling_fp_col, rolling_fp_sql  # noqa: E402
+
+
+def test_rolling_fp_parity_and_string_sketch(spark, tmp_path):
+    """The string->long bridge matches its SQL twin byte-for-byte
+    (short strings, shared prefixes/suffixes, empty string), keeps
+    long-shared-prefix keys distinct (the prefix-only trap: 5000 URLs
+    sharing 24+ chars collapse to 4 fps), and feeding it to
+    distinct_sketch estimates distinct STRINGS within the error band
+    on four adversarial shapes."""
+    fixtures = {
+        "tok": [f"token_{i}" for i in range(5_000)] + ["", "a", "ab", "abc"],
+        "url": [f"https://example.com/page/{i}" for i in range(5_000)],
+        "sfx": [f"{i}_README.multimodal.data.jsonl.zst" for i in range(5_000)],
+        "rnd": [f"w{i * i % 999_983}_{i}" for i in range(5_000)],
+    }
+    rows = [(g, w) for g, ws in fixtures.items() for w in ws]
+    rows += [("tok", w) for w in fixtures["tok"][:2_000]]  # duplicates
+    df = spark.createDataFrame(rows, "g string, s string")
+    path = str(tmp_path / "strs.parquet")
+    df.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+
+    got = [
+        r[0]
+        for r in df.select(rolling_fp_col(F.col("s")).alias("fp"))
+        .orderBy("g", "s")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW v AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {rolling_fp_sql('s')} FROM v ORDER BY g, s"
+        ).fetchall()
+    ]
+    assert got == want
+
+    # no fingerprint collapse on any fixture
+    n_fp = {
+        r["g"]: r["n"]
+        for r in df.select("g", rolling_fp_col(F.col("s")).alias("fp"))
+        .groupBy("g")
+        .agg(F.countDistinct("fp").alias("n"))
+        .collect()
+    }
+    for g, ws in fixtures.items():
+        assert n_fp[g] >= len(set(ws)) * 0.999, (g, n_fp[g])
+
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in distinct_sketch(
+            df, ["g"], rolling_fp_col(F.col("s")), k=1024
+        ).collect()
+    }
+    for g, ws in fixtures.items():
+        truth = len(set(ws))
+        assert abs(est[g] - truth) / truth < 0.10, (g, est[g], truth)
