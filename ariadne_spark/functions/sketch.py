@@ -213,7 +213,12 @@ def cm_estimate(
 ) -> DataFrame:
     """Frequency estimate for every probe row: min over the d counters
     the probe key hashes to. `cm` is tiny (<= d*w rows), so Spark
-    broadcasts it; the probe side never shuffles."""
+    broadcasts it; the probe side never shuffles.
+
+    Note: a probe key the corpus has never seen can hash to counters
+    that were never created — such a row is DROPPED (inner join), not
+    emitted with est 0. Callers probing keys that may be absent should
+    left-join the result back to the probe set and coalesce to 0."""
     hashed = probe.select(
         "*",
         F.explode(
