@@ -203,28 +203,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q04_multihop_chain"] = q04
 
-    # J14/U3 — left-anti entry points (customers with no orders)
+    # J10/J14/U2-U4 — the engine's set-operation family in one contract
+    # row: left-anti orphans (entry-point detection, trace_call_graph.ts
+    # :102-136), left-semi membership, and distinct-set difference —
+    # each tagged by kind so the driver hash-checks all three at once
     def q05(spark, sf):
         c = _t(spark, sf, "customer")
         o = _t(spark, sf, "orders")
-        return (
-            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-            .select("c_custkey", "c_mktsegment")
+        e = _t(spark, sf, "events")
+        orphans = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+            F.lit("orphan_customer").alias("kind"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.lit(0).cast("long").alias("n"),
         )
-
-    Q["q05_orphan_customers"] = q05
-
-    # J10 — semi join
-    def q06(spark, sf):
-        c = _t(spark, sf, "customer")
-        o = _t(spark, sf, "orders")
-        return (
+        semi = (
             c.join(o, c.c_custkey == o.o_custkey, "left_semi")
             .groupBy("c_mktsegment")
-            .agg(F.count("*").alias("n_active"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit("active_segment").alias("kind"),
+                F.col("c_mktsegment").alias("k"),
+                "n",
+            )
         )
+        err = e.where(F.col("event_type") == "error").select("user_id").distinct()
+        pur = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+        err_only = err.join(pur, "user_id", "left_anti").select(
+            F.lit("error_only_user").alias("kind"),
+            F.col("user_id").cast("string").alias("k"),
+            F.lit(0).cast("long").alias("n"),
+        )
+        return orphans.unionByName(semi).unionByName(err_only)
 
-    Q["q06_active_customers_semi"] = q06
+    Q["q05_set_ops"] = q05
 
     # W2/O2 — top-1 per group with deterministic tie-break
     def q07(spark, sf):
@@ -287,28 +298,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q10_asof_prev_event"] = q10
 
-    # F10/S4 — cell encode histogram at res 8
+    # F10/S4 + J2/A7 — cell-encode histogram at res 8 next to the
+    # closed-form parent rollup to res 4 (cells.cell_parent — the
+    # scope-tree parent_id as O(1) arithmetic), tagged by `res`
     def q11(spark, sf):
         g = _docs_geo(spark, sf)
-        return (
-            g.select(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8).alias("cell"))
+        c8 = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8)
+        h8 = (
+            g.select(c8.alias("cell"))
             .groupBy("cell")
             .agg(F.count("*").alias("n_points"))
+            .select(F.lit(8).cast("long").alias("res"), "cell", "n_points")
         )
-
-    Q["q11_cells_histogram"] = q11
-
-    # J2/A7 — closed-form parent rollup res8 -> res4
-    def q12(spark, sf):
-        g = _docs_geo(spark, sf)
-        c8 = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8)
-        return (
-            g.select(cells.cell_parent(c8, 4).alias("cell4"))
-            .groupBy("cell4")
+        h4 = (
+            g.select(cells.cell_parent(c8, 4).alias("cell"))
+            .groupBy("cell")
             .agg(F.count("*").alias("n_points"))
+            .select(F.lit(4).cast("long").alias("res"), "cell", "n_points")
         )
+        return h8.unionByName(h4)
 
-    Q["q12_cell_rollup"] = q12
+    Q["q11_cells_rollup"] = q11
 
     # J1/W3 — bbox PIP with deepest-region-wins
     def q13(spark, sf):
@@ -397,14 +407,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q15_tile_pyramid"] = q15
 
-    # J14 — orphans of the kNN graph (docs never linked as dst)
+    # J14 — orphans of the kNN graph (docs never linked as dst);
+    # driver-checked through q39_entrypoint_filter, which returns the
+    # full orphan set with the P4/P5 `kept` verdict per row
     def q16(spark, sf):
         edges = q14(spark, sf)
         docs = _t(spark, sf, "documents").select("doc_id")
         dsts = edges.select(F.col("dst").alias("doc_id")).distinct()
         return docs.join(dsts, "doc_id", "left_anti")
-
-    Q["q16_knn_orphans"] = q16
 
     # dedup (exact): canonical doc per (lang, size bucket)
     def q17(spark, sf):
@@ -436,20 +446,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q18_jaccard_neardup"] = q18
 
-    # dedup (MinHash): 4-hash signature over 3-gram polynomial hashes
+    # dedup signatures — MinHash (4-hash over 3-gram polynomial hashes)
+    # and 8-bit majority SimHash side by side, one scan of the corpus
     def q19(spark, sf):
         d = _t(spark, sf, "documents")
         sig = [
             F.array_min(_gram_hash_col(*p)).alias(f"mh{i}")
             for i, p in enumerate(MINHASH_PARAMS)
         ]
-        return d.select("doc_id", *sig)
-
-    Q["q19_minhash_signatures"] = q19
-
-    # dedup (SimHash): 8-bit majority simhash over 3-gram hashes
-    def q20(spark, sf):
-        d = _t(spark, sf, "documents")
         grams = _gram_hash_col(*MINHASH_PARAMS[0])
         bits = []
         for bpos in range(SIM_BITS):
@@ -464,9 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim = bits[0]
         for bb in bits[1:]:
             sim = sim + bb
-        return d.select("doc_id", sim.cast("long").alias("simhash"))
+        return d.select("doc_id", *sig, sim.cast("long").alias("simhash"))
 
-    Q["q20_simhash"] = q20
+    Q["q19_signatures"] = q19
 
     # similarity — exact top-3 by quantized dot product (cosine:
     # embeddings are unit-norm), deterministic tie-break on dst.
@@ -475,7 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # matmul per (pb, cb) group in applyInPandas, final window merges
     # per-block top-ks. Exact, and no driver-side collect of the corpus
     # (the round-1 plan broadcast a driver-collected matrix: hard driver
-    # memory ceiling). ann_topk (x07) remains the subquadratic path.
+    # memory ceiling). ann_topk/ann_ivf (x13) remain the subquadratic paths.
     def q21(spark, sf):
         from ariadne_spark.operators.exact_sim import exact_topk
 
@@ -549,7 +553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q24_langid_heuristic"] = q24
 
-    # text — rolling polynomial fingerprint of the first 16 chars
+    # scalar-function pair per doc: rolling polynomial fingerprint of
+    # the first 16 chars + Morton/Z-order key of the res-8 cell (F6/
+    # Morton — both engines evaluate identical integer formulas)
     def q25(spark, sf):
         d = _t(spark, sf, "documents")
         fp = F.lit(0).cast("long")
@@ -557,18 +563,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fp = (fp * F.lit(31) + F.ascii(F.substring(F.col("text"), k, 1))) % F.lit(
                 derive.M31
             )
-        return d.select("doc_id", fp.alias("fingerprint"))
+        did = F.col("doc_id")
+        c8 = cells.cell_encode(derive.lon_u_col(did), derive.lat_u_col(did), 8)
+        return d.select(
+            "doc_id",
+            fp.alias("fingerprint"),
+            cells.morton_key(c8, bits=8).alias("morton"),
+        )
 
-    Q["q25_fingerprint"] = q25
-
-    # U2/U4 — set difference over distinct key sets
-    def q26(spark, sf):
-        e = _t(spark, sf, "events")
-        err = e.where(F.col("event_type") == "error").select("user_id").distinct()
-        pur = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
-        return err.join(pur, "user_id", "left_anti")
-
-    Q["q26_error_only_users"] = q26
+    Q["q25_fingerprint_morton"] = q25
 
     # U1 — union of per-kind aggregates (unionByName)
     def q27(spark, sf):
@@ -738,14 +741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q35_kring_counts"] = q35
 
-    # F — Morton/Z-order key (bit interleave) of the res-8 cell
-    def q36(spark, sf):
-        g = _docs_geo(spark, sf)
-        c8 = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8)
-        return g.select("doc_id", cells.morton_key(c8, bits=8).alias("morton"))
-
-    Q["q36_morton_key"] = q36
-
     # dedup (MinHash LSH) — banded candidate pairs: 4-hash signatures in
     # 2 bands of 2; a pair is a candidate if ANY band matches, reported
     # once under its first matching band (the same first-match dedup
@@ -826,25 +821,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x02_real_phash_knn"] = x02
 
+    # rasterization + raster -> vector round-trip (north rule): render
+    # the z=4 tile layer, then decode each tile, re-extract the
+    # occupied-bin set and compare to the bin set computed from raw
+    # points — bins_match must be all-true (asserted in-entry; the
+    # call-graph <-> source fidelity analog)
     def x03(spark, sf):
         import tempfile
 
-        from ariadne_spark.operators.tiles import rasterize_tiles
+        from ariadne_spark.operators.tiles import rasterize_tiles, roundtrip_check
         from ariadne_spark.synth.images import write_images
 
         d = tempfile.mkdtemp()
         write_images(f"{d}/images.parquet", 2000)
         images = spark.read.parquet(f"{d}/images.parquet")
-        return rasterize_tiles(images, 4, fmt="png").select(
+        tiles = rasterize_tiles(images, 4, fmt="png").localCheckpoint()
+        rt = roundtrip_check(tiles, images, 4, fmt="png")
+        out = tiles.select(
             "z", "tx", "ty", "n_images", F.length("tile_img").alias("png_bytes")
+        ).join(rt.select("z", "tx", "ty", "bins_match"), ["z", "tx", "ty"])
+        assert out.where(~F.col("bins_match")).count() == 0, (
+            "raster->vector round-trip lost occupied bins"
         )
+        return out
 
-    Q["x03_rasterize_tiles"] = x03
+    Q["x03_rasterize_roundtrip"] = x03
 
-    # incremental re-tiling: full build on [0,600) then update (modify
-    # 20, add 10, delete 10) must equal a cold build on the final input —
-    # returns the per-table per-partition fingerprint comparison rows
-    # (all `equal` = true). Engine-only: snapshot stores + lineage have
+    # incremental re-tiling + snapshot lifecycle: full build on [0,600)
+    # then update (modify 20, add 10, delete 10) must equal a cold build
+    # on the final input — returns the per-table per-partition
+    # fingerprint comparison rows (all `equal` = true). The same store
+    # is then driven through the S8 snapshot lifecycle end to end: time
+    # travel (read a pre-update snapshot after the table moved on),
+    # metadata-only snapshot diff (the ~ms git fast-path analog — no
+    # data read), and rollback (atomic HEAD re-point; both snapshots'
+    # data retained), each asserted in-entry and reported as an extra
+    # `__lifecycle__` row. Engine-only: snapshot stores + lineage have
     # no single-SQL oracle; deep checks live in tests/test_incremental.py.
     def x04(spark, sf):
         import tempfile
@@ -894,9 +906,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 fa = a.get(table, {}).get(pk)
                 fb = b.get(table, {}).get(pk)
                 rows.append((table, pk, fa == fb))
+
+        # snapshot lifecycle on the incremental store (was x17): a
+        # 100-row single-partition phash perturbation, then time
+        # travel + metadata-only diff + rollback, all asserted
+        st = inc.store
+        sid0 = st.current_snapshot_id("images_indexed")
+        n0 = st.read("images_indexed").count()
+        parts = st.manifest("images_indexed").partitions
+        pk_big = max(sorted(parts), key=lambda k: parts[k]["n_rows"])
+        changed = (
+            st.read("images_indexed", keys=[pk_big])
+            .orderBy("image_id")
+            .limit(100)
+            .drop("pk")
+            .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(0x77)))
+        ).localCheckpoint()
+        n_upd = changed.count()
+        inc.update(changed)
+        sid1 = st.current_snapshot_id("images_indexed")
+        assert sid1 != sid0, "update did not advance the snapshot"
+        old = st.read("images_indexed", sid0)
+        assert old.count() == n0, "time-travel read lost rows"
+        ch = st.diff("images_indexed", sid0, sid1)
+        assert ch == [pk_big], f"diff {ch} != [{pk_big}]"
+        new = st.read("images_indexed")
+        n_changed = new.join(old, ["image_id", "phash"], "left_anti").count()
+        assert n_changed == n_upd > 0, f"expected {n_upd} changed rows, got {n_changed}"
+        st.rollback("images_indexed", sid0)
+        back = st.read("images_indexed")
+        assert (
+            back.join(old, ["image_id", "phash"]).count() == n0 == back.count()
+        ), "rollback did not restore the pre-update rowset"
+        rows.append(("__lifecycle__", f"sid{sid0}->sid{sid1}", True))
+
         return spark.createDataFrame(rows, "table string, pk string, equal boolean")
 
-    Q["x04_incremental_retile"] = x04
+    Q["x04_incremental_lifecycle"] = x04
 
     # query surface: orphan images (never a kNN destination) ranked by
     # transitive reach — the list_entrypoints analog
@@ -917,63 +963,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # decode-stage per-row invariants (BASELINE.json input_hint): exact
     # png decode, PSNR>=40dB lossy decode, caption equality, phash
-    # self-consistency — summarized per fmt, all violation counts zero
+    # self-consistency — summarized per fmt, all violation counts zero.
+    # The resize/thumbnail stage (decode -> aspect-preserving nearest-
+    # neighbor downscale -> re-encode, one mapInPandas pass) rides in
+    # the same entry as `resize` stage rows: n_pixel_violations counts
+    # thumbnails whose max side exceeds the bound (must be zero; the
+    # byte-exact numpy oracle lives in tests/test_decode.py)
     def x06(spark, sf):
         import tempfile
 
-        from ariadne_spark.operators.decode import invariant_summary
-        from ariadne_spark.synth.images import write_images
-
-        d = tempfile.mkdtemp()
-        write_images(f"{d}/images.parquet", 2000)
-        return invariant_summary(spark.read.parquet(f"{d}/images.parquet"))
-
-    Q["x06_decode_invariants"] = x06
-
-    # similarity scale path: LSH-bucketed approximate cosine top-k
-    # (engine-only: approximate results have no SQL oracle; recall vs
-    # the exact baseline is pytest-gated in tests/test_ann.py)
-    def x07(spark, sf):
-        from ariadne_spark.operators.ann import ann_topk
-
-        return ann_topk(_t(spark, sf, "embeddings"), k=3)
-
-    Q["x07_ann_lsh"] = x07
-
-    # multimodal plumbing: audio decode + DSP features; video frame
-    # sampling via container index seek (engine-only: binary payloads
-    # synthesized distributedly; oracles are pure-python in tests/)
-    def x08(spark, sf):
-        from ariadne_spark.operators.multimodal import audio_df, extract_audio_features
-
-        return extract_audio_features(audio_df(spark, 500))
-
-    Q["x08_audio_features"] = x08
-
-    def x09(spark, sf):
-        from ariadne_spark.operators.multimodal import sample_frames, video_df
-
-        return sample_frames(video_df(spark, 500), every_k=4)
-
-    Q["x09_video_frame_sample"] = x09
-
-    # raster -> vector round-trip (north rule): decode each rendered
-    # tile, re-extract the occupied-bin set, compare to the bin set
-    # computed from raw points; bins_match must be all-true and PSNR
-    # infinite (png) — the call-graph <-> source fidelity analog
-    def x10(spark, sf):
-        import tempfile
-
-        from ariadne_spark.operators.tiles import rasterize_tiles, roundtrip_check
+        from ariadne_spark.operators.decode import invariant_summary, resize_images
         from ariadne_spark.synth.images import write_images
 
         d = tempfile.mkdtemp()
         write_images(f"{d}/images.parquet", 2000)
         images = spark.read.parquet(f"{d}/images.parquet")
-        tiles = rasterize_tiles(images, 4, fmt="png")
-        return roundtrip_check(tiles, images, 4, fmt="png")
+        inv = invariant_summary(images).select(F.lit("decode").alias("stage"), "*")
+        rz = (
+            resize_images(images, max_side=24)
+            .groupBy("fmt")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(F.greatest("w", "h") > 24, 1).otherwise(0)
+                ).alias("n_pixel_violations"),
+                F.lit(0).cast("long").alias("n_caption_violations"),
+                F.lit(0).cast("long").alias("n_phash_violations"),
+                F.lit(None).cast("double").alias("min_psnr"),
+            )
+            .select(F.lit("resize").alias("stage"), "*")
+        )
+        out = inv.unionByName(rz)
+        bad = out.where(
+            (F.col("n_pixel_violations") > 0)
+            | (F.col("n_caption_violations") > 0)
+            | (F.col("n_phash_violations") > 0)
+        ).count()
+        assert bad == 0, "decode/resize invariant violations"
+        return out
 
-    Q["x10_tile_roundtrip"] = x10
+    Q["x06_decode_invariants"] = x06
+
+    # multimodal plumbing in one entry: audio decode + DSP features next
+    # to video frame sampling via container index seek, projected to a
+    # common (kind, item_id, idx, v1, v2, v3) shape (engine-only: binary
+    # payloads synthesized distributedly; oracles are pure-python in
+    # tests/test_multimodal.py)
+    def x08(spark, sf):
+        from ariadne_spark.operators.multimodal import (
+            audio_df,
+            extract_audio_features,
+            sample_frames,
+            video_df,
+        )
+
+        aud = extract_audio_features(audio_df(spark, 500)).select(
+            F.lit("audio").alias("kind"),
+            F.col("audio_id").alias("item_id"),
+            F.lit(0).cast("long").alias("idx"),
+            F.col("rms").alias("v1"),
+            F.col("zcr").alias("v2"),
+            F.col("spectral_centroid").alias("v3"),
+        )
+        vid = sample_frames(video_df(spark, 500), every_k=4).select(
+            F.lit("video").alias("kind"),
+            F.col("video_id").alias("item_id"),
+            F.col("frame_idx").cast("long").alias("idx"),
+            F.col("mean_r").alias("v1"),
+            F.col("mean_g").alias("v2"),
+            F.col("mean_b").alias("v3"),
+        )
+        return aud.unionByName(vid)
+
+    Q["x08_multimodal_features"] = x08
 
     # adaptive H3-resolution split (north rule skew handling): dense
     # cells refine to children until bounded; returns the (res, cell, n)
@@ -991,17 +1053,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x11_adaptive_split"] = x11
 
-    # P4/P5 — entry-point filtering: orphan docs minus holdout (per-lang
-    # marker registry ≅ detect_test_file.ts:21) minus framework ids
-    # (round-id ≅ dunder filter, filter_entry_points.ts:46-58)
+    # J14 + P4/P5 — the full kNN-orphan set (docs never linked as dst,
+    # left-anti ≅ trace_call_graph.ts:102-136) with the entry-point
+    # verdict per row: kept = NOT holdout (per-lang marker registry ≅
+    # detect_test_file.ts:21) AND NOT framework id (round-id ≅ dunder
+    # filter, filter_entry_points.ts:46-58)
     def q39(spark, sf):
         from ariadne_spark.functions import filters
 
         orphans = q16(spark, sf)
         docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
-        return filters.filter_entry_points(orphans.join(docs, "doc_id")).select(
-            "doc_id", "lang"
+        kept = ~filters.is_holdout(F.col("text"), F.col("lang")) & ~filters.is_framework_entry(
+            F.col("doc_id")
         )
+        return orphans.join(docs, "doc_id").select("doc_id", "lang", kept.alias("kept"))
 
     Q["q39_entrypoint_filter"] = q39
 
@@ -1202,31 +1267,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["x12_query_stats"] = x12
 
-    # similarity ANN, IVF-flat variant — second scale path next to the
-    # hyperplane LSH of x07 (deterministic sampled+k-means centroids,
-    # integer-quantized order-independent cluster sums)
+    # similarity ANN — both approximate paths in one entry, tagged by
+    # method: IVF-flat (THE 100 TB path: candidates bounded at
+    # n^2*n_probe/n_centroids with n_centroids ~ sqrt(n); deterministic
+    # sampled+k-means centroids, integer-quantized order-independent
+    # cluster sums) and random-hyperplane LSH (n_planes scales with
+    # log2(n) so bucket occupancy — and candidate volume — stays
+    # subquadratic; recall vs the exact baseline is pytest-gated in
+    # tests/test_ann.py)
     def x13(spark, sf):
-        from ariadne_spark.operators.ann import ann_ivf
+        from ariadne_spark.operators.ann import ann_ivf, ann_topk
 
-        return ann_ivf(_t(spark, sf, "embeddings"), k=3)
+        emb = _t(spark, sf, "embeddings")
+        ivf = ann_ivf(emb, k=3).select(F.lit("ivf").alias("method"), "*")
+        lsh = ann_topk(emb, k=3).select(F.lit("lsh").alias("method"), "*")
+        return ivf.unionByName(lsh)
 
-    Q["x13_ann_ivf"] = x13
-
-    # multimodal resize/thumbnail stage: decode -> aspect-preserving
-    # nearest-neighbor downscale -> re-encode (registry dispatch), one
-    # mapInPandas pass; byte-exact numpy oracle in tests/test_decode.py
-    def x14(spark, sf):
-        import tempfile
-
-        from ariadne_spark.operators.decode import resize_images
-        from ariadne_spark.synth.images import write_images
-
-        d = tempfile.mkdtemp()
-        write_images(f"{d}/images.parquet", 500)
-        images = spark.read.parquet(f"{d}/images.parquet")
-        return resize_images(images, max_side=24).drop("bytes")
-
-    Q["x14_resize_images"] = x14
+    Q["x13_ann_ivf_lsh"] = x13
 
     # streaming exact dedup (applyInPandasWithState): documents + synth
     # re-crawl duplicates fed as three micro-batches; final per-key
@@ -1294,8 +1351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming dedup state diverged from batch aggregate"
         )
         return final
-
-    Q["x15_streaming_dedup"] = x15
 
     # watermarked stream-stream join (ingest x late caption): documents
     # recast as an ingest stream + a caption stream with deterministic
@@ -1376,71 +1431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert got.count() > 0, "stream-stream join produced no rows"
         return got
 
-    Q["x16_streaming_join"] = x16
-
-    # S8/snapshot lifecycle driven end to end: time travel (read a
-    # pre-update snapshot after the table moved on), metadata-only
-    # snapshot diff (the ~ms git fast-path analog — no data read), and
-    # rollback (atomic HEAD re-point; both snapshots' data retained).
-    # A 100-image single-partition phash perturbation is applied, then
-    # each property is asserted in-entry. Engine-only: snapshot
-    # metadata is runtime state, not SQL-expressible.
-    def x17(spark, sf):
-        import tempfile
-
-        from ariadne_spark.operators.incremental import SpatialPipeline
-        from ariadne_spark.synth.images import write_images
-        from ariadne_spark.synth.regions import generate_regions
-
-        d = tempfile.mkdtemp()
-        write_images(f"{d}/images.parquet", 2000)
-        p = SpatialPipeline(spark, f"{d}/store", generate_regions())
-        p.full_build(spark.read.parquet(f"{d}/images.parquet").drop("bytes"))
-        st = p.store
-        sid0 = st.current_snapshot_id("images_indexed")
-        n0 = st.read("images_indexed").count()
-
-        parts = st.manifest("images_indexed").partitions
-        pk = max(sorted(parts), key=lambda k: parts[k]["n_rows"])
-        changed = (
-            st.read("images_indexed", keys=[pk])
-            .orderBy("image_id")
-            .limit(100)
-            .drop("pk")
-            .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(0x77)))
-        ).localCheckpoint()
-        n_upd = changed.count()
-        p.update(changed)
-        sid1 = st.current_snapshot_id("images_indexed")
-        assert sid1 != sid0, "update did not advance the snapshot"
-
-        # time travel: the pre-update snapshot is untouched by the update
-        old = st.read("images_indexed", sid0)
-        assert old.count() == n0, "time-travel read lost rows"
-
-        # metadata-only diff names exactly the perturbed partition
-        ch = st.diff("images_indexed", sid0, sid1)
-        assert ch == [pk], f"diff {ch} != [{pk}]"
-
-        # head serves exactly the 100 changed rows differently
-        new = st.read("images_indexed")
-        n_changed = new.join(old, ["image_id", "phash"], "left_anti").count()
-        assert n_changed == n_upd > 0, f"expected {n_upd} changed rows, got {n_changed}"
-
-        # rollback re-points HEAD; the current read serves the old rows
-        st.rollback("images_indexed", sid0)
-        back = st.read("images_indexed")
-        assert (
-            back.join(old, ["image_id", "phash"]).count() == n0 == back.count()
-        ), "rollback did not restore the pre-update rowset"
-
-        return spark.createDataFrame(
-            [(int(sid0), int(sid1), len(ch), int(n_changed))],
-            "from_sid long, to_sid long, n_changed_partitions long, n_changed_rows long",
-        )
-
-    Q["x17_time_travel"] = x17
-
     # streaming distinct-count sketch (q43's estimator made continuous
     # with BOUNDED state — one 2 KB bucket-minima vector per group):
     # chunked micro-batches over the lineitem keys, duplicates
@@ -1509,7 +1499,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ), "streaming sketch state diverged from the batch estimate"
         return final
 
-    Q["x18_streaming_sketch"] = x18
+    # the three Structured-Streaming operators — exact dedup
+    # (applyInPandasWithState keyed state), watermarked stream-stream
+    # join (both state sides evictable), and the continuous distinct-
+    # count sketch (bounded 2 KB/group state) — driven end to end over
+    # chunked micro-batches with adversarial ordering; EACH asserts
+    # streaming == batch in its own block above, then the results are
+    # projected to a common (op, k, v1, v2) shape for the driver row.
+    # Engine-only: streaming state is runtime behavior DuckDB can't
+    # replay; the batch executions asserted against ARE the oracles.
+    def x15s(spark, sf):
+        dedup = x15(spark, sf).select(
+            F.lit("dedup").alias("op"),
+            F.col("dup_key").alias("k"),
+            F.col("canonical_id").cast("long").alias("v1"),
+            F.col("n_seen").cast("long").alias("v2"),
+        )
+        ssjoin = x16(spark, sf).select(
+            F.lit("ssjoin").alias("op"),
+            F.col("image_id").alias("k"),
+            F.unix_timestamp("ingest_ts").alias("v1"),
+            F.unix_timestamp("caption_ts").alias("v2"),
+        )
+        sketch = x18(spark, sf).select(
+            F.lit("sketch").alias("op"),
+            F.col("g").alias("k"),
+            F.col("est_distinct").cast("long").alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+        )
+        return dedup.unionByName(ssjoin).unionByName(sketch)
+
+    Q["x15_streaming_ops"] = x15s
 
     return Q
 
@@ -1594,14 +1614,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        "q05_orphan_customers": """
-            SELECT c_custkey, c_mktsegment FROM customer
+        "q05_set_ops": """
+            SELECT 'orphan_customer' AS kind, CAST(c_custkey AS VARCHAR) AS k,
+                   CAST(0 AS BIGINT) AS n
+            FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        """,
-        "q06_active_customers_semi": """
-            SELECT c_mktsegment, count(*) AS n_active FROM customer
+            UNION ALL
+            SELECT 'active_segment' AS kind, c_mktsegment AS k,
+                   count(*) AS n
+            FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
             GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'error_only_user' AS kind, CAST(user_id AS VARCHAR) AS k,
+                   CAST(0 AS BIGINT) AS n
+            FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+              AND user_id NOT IN (
+                SELECT user_id FROM events WHERE event_type = 'purchase')) t
         """,
         "q07_top_supplier_per_nation": """
             SELECT s_nationkey, s_suppkey,
@@ -1636,13 +1666,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events) t
             WHERE delta_s IS NOT NULL AND delta_s <= 3600
         """,
-        "q11_cells_histogram": f"""
-            SELECT {cell8} AS cell, count(*) AS n_points
-            FROM ({geo}) g GROUP BY 1
-        """,
-        "q12_cell_rollup": f"""
-            SELECT {cell4} AS cell4, count(*) AS n_points
-            FROM ({geo}) g GROUP BY 1
+        "q11_cells_rollup": f"""
+            SELECT CAST(8 AS BIGINT) AS res, {cell8} AS cell, count(*) AS n_points
+            FROM ({geo}) g GROUP BY 2
+            UNION ALL
+            SELECT CAST(4 AS BIGINT) AS res, {cell4} AS cell, count(*) AS n_points
+            FROM ({geo}) g GROUP BY 2
         """,
         "q13_pip_bbox_deepest": f"""
             WITH g AS ({geo}),
@@ -1683,19 +1712,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_points) AS BIGINT) AS n_points
             FROM z6 GROUP BY 2, 3
         """,
-        "q16_knn_orphans": f"""
-            WITH g AS (SELECT doc_id, phash, phash >> 46 AS band FROM ({geo}) t),
-            pairs AS (
-              SELECT a.doc_id AS src, b.doc_id AS dst,
-                     bit_count(xor(a.phash, b.phash)) AS hamming
-              FROM g a JOIN g b ON a.band = b.band AND a.doc_id <> b.doc_id),
-            ranked AS (
-              SELECT src, dst, hamming, row_number() OVER (
-                PARTITION BY src ORDER BY hamming, dst) AS rank
-              FROM pairs WHERE hamming <= 16),
-            dsts AS (SELECT DISTINCT dst FROM ranked WHERE rank <= 3)
-            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dst FROM dsts)
-        """,
         "q39_entrypoint_filter": f"""
             WITH g AS (SELECT doc_id, phash, phash >> 46 AS band FROM ({geo}) t),
             pairs AS (
@@ -1710,9 +1726,10 @@ def oracle_sql() -> dict[str, str]:
             orph AS (
               SELECT doc_id, text, lang FROM documents
               WHERE doc_id NOT IN (SELECT dst FROM dsts))
-            SELECT doc_id, lang FROM orph
-            WHERE NOT ({_filters.holdout_sql('text', 'lang')})
-              AND NOT ({_filters.framework_entry_sql('doc_id')})
+            SELECT doc_id, lang,
+                   (NOT ({_filters.holdout_sql('text', 'lang')})
+                    AND NOT ({_filters.framework_entry_sql('doc_id')})) AS kept
+            FROM orph
         """,
         "q40_bpe_tokens": f"""
             SELECT doc_id,
@@ -1786,11 +1803,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CAST(bit_count(a.mask & b.mask) AS BIGINT) * 1000)
                       // CAST(bit_count(a.mask | b.mask) AS BIGINT) >= 900
         """,
-        "q19_minhash_signatures": f"""
-            SELECT doc_id, {mh} FROM documents
-        """,
-        "q20_simhash": f"""
-            SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM documents
+        "q19_signatures": f"""
+            SELECT doc_id, {mh},
+                   CAST({sim_terms} AS BIGINT) AS simhash
+            FROM documents
         """,
         "q21_embedding_topk": """
             WITH q AS (
@@ -1838,13 +1854,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred
         """,
-        "q25_fingerprint": f"""
-            SELECT doc_id, {fp} AS fingerprint FROM documents
-        """,
-        "q26_error_only_users": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
-            AND user_id NOT IN (
-              SELECT user_id FROM events WHERE event_type = 'purchase')
+        "q25_fingerprint_morton": f"""
+            WITH t AS (SELECT doc_id, {fp} AS fingerprint FROM documents),
+            g AS ({geo}),
+            c AS (SELECT doc_id, {cells.sql_cell_x('lon_u', 8)} AS x,
+                         {cells.sql_cell_y('lat_u', 8)} AS y FROM g)
+            SELECT t.doc_id, t.fingerprint,
+                   ({" + ".join(f"((x >> {b}) & 1) * {1 << (2 * b + 1)} + ((y >> {b}) & 1) * {1 << (2 * b)}" for b in range(8))})
+                       AS morton
+            FROM t JOIN c ON t.doc_id = c.doc_id
         """,
         "q27_union_kinds": """
             SELECT user_id, count(*) AS n, 'view' AS kind FROM events
@@ -1901,15 +1919,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT {cells.sql_pack_cell(6, 'nx', 'ny')} AS neighbor_cell,
                    count(*) AS n
             FROM e WHERE ny >= 0 AND ny < 64 GROUP BY 1
-        """,
-        "q36_morton_key": f"""
-            WITH g AS ({geo}),
-            c AS (SELECT doc_id, {cells.sql_cell_x('lon_u', 8)} AS x,
-                         {cells.sql_cell_y('lat_u', 8)} AS y FROM g)
-            SELECT doc_id,
-                   ({" + ".join(f"((x >> {b}) & 1) * {1 << (2 * b + 1)} + ((y >> {b}) & 1) * {1 << (2 * b)}" for b in range(8))})
-                       AS morton
-            FROM c
         """,
         "q37_minhash_lsh_pairs": f"""
             WITH s AS (SELECT doc_id, {mh} FROM documents),

@@ -79,21 +79,15 @@ def test_entry_smoke(spark):
     [
         "x01_polygon_pip",
         "x02_real_phash_knn",
-        "x03_rasterize_tiles",
-        "x04_incremental_retile",
+        "x03_rasterize_roundtrip",
+        "x04_incremental_lifecycle",
         "x05_orphan_reach",
         "x06_decode_invariants",
-        "x07_ann_lsh",
-        "x08_audio_features",
-        "x09_video_frame_sample",
-        "x10_tile_roundtrip",
+        "x08_multimodal_features",
         "x11_adaptive_split",
         "x12_query_stats",
-        "x13_ann_ivf",
-        "x14_resize_images",
-        "x15_streaming_dedup",
-        "x16_streaming_join",
-        "x17_time_travel",
+        "x13_ann_ivf_lsh",
+        "x15_streaming_ops",
     ],
 )
 def test_engine_only_queries_run(spark, name):
@@ -101,11 +95,12 @@ def test_engine_only_queries_run(spark, name):
     assert df.count() > 0
 
 
-def test_incremental_retile_all_equal(spark):
-    rows = QUERIES["x04_incremental_retile"](spark, SF_DIR).collect()
+def test_incremental_lifecycle_all_equal(spark):
+    rows = QUERIES["x04_incremental_lifecycle"](spark, SF_DIR).collect()
     assert rows and all(r["equal"] for r in rows)
+    assert any(r["table"] == "__lifecycle__" for r in rows)
 
 
-def test_tile_roundtrip_all_match(spark):
-    rows = QUERIES["x10_tile_roundtrip"](spark, SF_DIR).collect()
+def test_rasterize_roundtrip_all_match(spark):
+    rows = QUERIES["x03_rasterize_roundtrip"](spark, SF_DIR).collect()
     assert rows and all(r["bins_match"] for r in rows)

@@ -53,7 +53,7 @@ def test_dim_join_broadcasts(spark, Q):
 
 
 def test_orphans_plan_is_anti_join(spark, Q):
-    p = plan(Q["q05_orphan_customers"](spark, SF_DIR))
+    p = plan(Q["q05_set_ops"](spark, SF_DIR))
     assert "LeftAnti" in p
 
 
