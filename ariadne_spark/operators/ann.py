@@ -1,26 +1,43 @@
-"""Approximate nearest neighbors over embeddings — LSH-bucketed cosine.
+"""Approximate nearest neighbors over embeddings — IVF-flat + LSH.
 
 Brute-force cosine top-k (driver contract `q21_embedding_topk`) is the
-exactness baseline; it is O(n^2) and only viable per-partition. This is
-the scale path: random-hyperplane LSH (Charikar's SimHash for cosine
-similarity) — each of `n_tables` hash tables maps a vector to a bucket
-by the sign pattern of `n_planes` random projections; candidates are
-pairs sharing a bucket in ANY table; exact cosine re-ranks.
+exactness baseline; it is O(n^2) and only viable per-partition. Two
+approximate paths exist, with an explicit division of labor:
+
+- **`ann_ivf` is THE 100 TB top-k path.** Candidate volume is bounded
+  at n^2 * n_probe / n_centroids by construction; with the auto-chosen
+  n_centroids ~ sqrt(2n) (`ivf_params`) that is ~5 * n^1.5 — genuinely
+  subquadratic, independent of how similar the corpus vectors are.
+- **`ann_topk` (random-hyperplane LSH, Charikar's SimHash for cosine)
+  is the candidate-DIVERSITY path**: collision probability for a pair
+  at angle theta is 1 - (1 - (1-theta/pi)^n_planes)^n_tables, so it
+  retrieves *high-similarity* pairs (near-dups, low theta) far more
+  reliably than partition-based IVF, but its recall for a fixed
+  candidate budget decays for distant true neighbors. With auto-chosen
+  parameters (`lsh_params`: n_planes ~ log2(n)/2 so per-table bucket
+  occupancy stays ~sqrt(n); n_tables = 2*n_planes to hold recall) the
+  candidate volume is O(n^1.5 * log n) under the uniform-bucket model
+  — subquadratic, but for general top-k at scale use `ann_ivf`. The
+  historical fixed defaults (n_planes=4, n_tables=8) remain available
+  for small recall-tuned corpora; at 10^9 rows they are quadratic with
+  a 1/16-per-table constant, which is why they are no longer the
+  default.
 
 Physical plan mirrors the phash kNN operator (`operators/knn.py`):
 bucket ids computed in ONE Arrow-batched pandas UDF (matrix multiply
 per batch — no per-row Python), explode by table, sort-merge self-join
 on (table, bucket), first-match-table dedup (zero extra shuffles),
-exact-score filter, deterministic top-k window. Collision probability
-for vectors at angle theta: 1 - (1 - (1-theta/pi)^n_planes)^n_tables.
+exact-score filter, deterministic top-k window.
 
 Reference analog: the multi-candidate call resolution with confidence
 grades (`packages/core/src/resolve_references/call_resolver.ts:391-463`)
 — here "confidence" is the exact cosine score re-ranking the
-LSH-generated candidate set.
+generated candidate set.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -30,6 +47,28 @@ from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 SEED = 1729
+
+
+def lsh_params(n: int) -> tuple[int, int]:
+    """(n_planes, n_tables) scaled to corpus size: n_planes grows with
+    log2(n)/2 so each table has >= sqrt(n) buckets and expected bucket
+    occupancy stays <= sqrt(n) (candidates/table <= n^1.5 under the
+    uniform model); n_tables = 2*n_planes compensates the per-table
+    collision-probability drop. At n=500: (6, 12) — measured 4.2*n^1.5
+    candidates on the driver fixture; at n=10^9: (16, 32)."""
+    n = max(int(n), 2)
+    n_planes = max(4, math.ceil(math.log2(n) / 2) + 1)
+    return n_planes, max(8, 2 * n_planes)
+
+
+def ivf_params(n: int) -> tuple[int, int]:
+    """(n_centroids, n_probe) scaled to corpus size: n_centroids ~
+    sqrt(2n) keeps cells ~sqrt(n/2) rows, so the probe join's candidate
+    volume is ~ n_probe * n^1.5 / sqrt(2) regardless of corpus size; at
+    10^12 rows that is ~1.4M centroids and ~10^6-row cells. n_probe=7
+    measured recall 0.655 on the weakly-clustered driver fixture."""
+    n = max(int(n), 2)
+    return max(16, math.isqrt(2 * n)), 7
 
 
 def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = SEED) -> np.ndarray:
@@ -57,18 +96,30 @@ def _bucket_udf(planes: np.ndarray):
 def ann_topk(
     embeddings: DataFrame,
     k: int = 3,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int | None = None,
     seed: int = SEED,
 ) -> DataFrame:
-    """-> (src, dst, dot_q, rank): approximate top-k cosine neighbors.
+    """-> (src, dst, dot_q, rank): approximate top-k cosine neighbors
+    via random-hyperplane LSH — the candidate-diversity path (module
+    docstring has the division of labor vs `ann_ivf`).
+
+    n_planes/n_tables default to `lsh_params(count)` — log2-scaled so
+    candidate volume stays subquadratic at any corpus size (enforced
+    by tests/test_ann.py's <6*n^1.5 bound). Pass explicit values (e.g.
+    4, 8) only for small recall-tuned corpora where a near-quadratic
+    candidate set is affordable.
 
     Scores are the SAME quantized integer dot product as the exact
     baseline (`q21`): round(x*1000) per component, summed as int64 —
     deterministic and engine-independent, so ANN results are directly
     comparable (recall = overlap of (src,dst) sets).
     """
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = lsh_params(embeddings.count())
+        n_planes = auto_p if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     if dim is None:
         dim = len(embeddings.select("embedding").first()["embedding"])
     planes = hyperplanes(dim, n_planes, n_tables, seed)
@@ -244,22 +295,28 @@ def _kmeans_refine(
 def ann_ivf(
     embeddings: DataFrame,
     k: int = 3,
-    n_centroids: int = 16,
-    n_probe: int = 6,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     kmeans_iters: int = 2,
 ) -> DataFrame:
-    """-> (src, dst, dot_q, rank): IVF-flat approximate top-k — the
-    second scale path next to `ann_topk`'s hyperplane LSH.
+    """-> (src, dst, dot_q, rank): IVF-flat approximate top-k — THE
+    100 TB scale path (module docstring has the division of labor vs
+    `ann_topk`'s hyperplane LSH).
 
     Corpus rows land in ONE coarse cell (nearest centroid); queries
     probe their n_probe nearest cells; candidates join on cell and
     exact int64 re-rank picks top-k. Candidate volume ≈
-    n² · n_probe / n_centroids (tunable subquadratic. At 10^12 rows:
-    n_centroids ~ 10^5-10^6 keeps cells ~10^6-10^7 rows and the probe
-    join shuffles ids only). A (src,dst) pair occurs at most once —
-    dst lives in exactly one cell — so no dedup shuffle exists at all;
-    the vectors join back only for surviving candidates, as in
-    `ann_topk`."""
+    n² · n_probe / n_centroids BY CONSTRUCTION — with the default
+    `ivf_params` choice (n_centroids ~ sqrt(2n)) that is
+    ~n_probe · n^1.5 / sqrt(2) at any corpus size (at 10^12 rows:
+    ~1.4M centroids, ~10^6-row cells, probe join shuffles ids only).
+    A (src,dst) pair occurs at most once — dst lives in exactly one
+    cell — so no dedup shuffle exists at all; the vectors join back
+    only for surviving candidates, as in `ann_topk`."""
+    if n_centroids is None or n_probe is None:
+        auto_c, auto_p = ivf_params(embeddings.count())
+        n_centroids = auto_c if n_centroids is None else n_centroids
+        n_probe = auto_p if n_probe is None else n_probe
     cents = _centroids(embeddings, n_centroids)
     if kmeans_iters:
         cents = _kmeans_refine(embeddings, cents, kmeans_iters)

@@ -18,14 +18,33 @@ def emb(spark):
 
 
 def test_ann_recall_vs_brute_force(spark, emb):
+    """Small-corpus recall-tuned parameters (explicit 4x8): the near-
+    quadratic candidate budget buys >=0.6 recall on this weakly-
+    clustered fixture. These are NOT the scale defaults — see
+    test_ann_auto_params_* for the log2-scaled behavior."""
     exact = {
         (r["src"], r["dst"]) for r in brute_force_topk(emb, k=K).collect()
     }
     approx = {
-        (r["src"], r["dst"]) for r in ann_topk(emb, k=K).collect()
+        (r["src"], r["dst"])
+        for r in ann_topk(emb, k=K, n_planes=4, n_tables=8).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"recall {recall:.2f}"  # tuned 4x8 on weakly-clustered fixture
+    assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_ann_auto_params_recall_floor(spark, emb):
+    """Auto (log2-scaled) LSH params trade top-k recall for a
+    subquadratic candidate budget — the documented division of labor
+    (IVF is the top-k scale path; LSH is the candidate-diversity /
+    high-similarity path). The floor pins the tradeoff from drifting:
+    measured 0.449 at n=500 (planes=6, tables=12)."""
+    exact = {
+        (r["src"], r["dst"]) for r in brute_force_topk(emb, k=K).collect()
+    }
+    approx = {(r["src"], r["dst"]) for r in ann_topk(emb, k=K).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall:.2f}"
 
 
 def test_ann_scores_match_exact_for_shared_pairs(spark, emb):
@@ -45,13 +64,17 @@ def test_ann_deterministic(spark, emb):
 
 
 def test_ann_candidate_volume_is_subquadratic(spark, emb):
-    """The point of LSH: candidate pairs << n^2."""
-    from ariadne_spark.operators.ann import _bucket_udf, hyperplanes
+    """With the auto (log2-scaled) parameters the LSH candidate set is
+    GENUINELY subquadratic — <6*n^1.5, not merely <n^2/2 (the round-2
+    bar, which a constant-factor reduction could pass). Measured
+    4.2*n^1.5 at n=500 (planes=6, tables=12)."""
+    from ariadne_spark.operators.ann import _bucket_udf, hyperplanes, lsh_params
     from pyspark.sql import functions as F
 
     n = emb.count()
+    n_planes, n_tables = lsh_params(n)
     dim = len(emb.select("embedding").first()["embedding"])
-    buckets = _bucket_udf(hyperplanes(dim, 4, 8))
+    buckets = _bucket_udf(hyperplanes(dim, n_planes, n_tables))
     base = emb.select(
         "vec_id", F.posexplode(buckets(F.col("embedding"))).alias("t", "b")
     )
@@ -61,7 +84,22 @@ def test_ann_candidate_volume_is_subquadratic(spark, emb):
         a.join(bb, ["t", "b"]).where(F.col("src") != F.col("dst"))
         .select("src", "dst").distinct().count()
     )
-    assert cand < 0.5 * n * (n - 1), f"{cand} of {n*(n-1)} pairs"
+    assert cand < 6 * n**1.5, f"{cand} vs 6*n^1.5={6 * n**1.5:.0f}"
+
+
+def test_param_choosers_scale_subquadratically():
+    """Pure formula law: lsh_params keeps per-table buckets >= sqrt(n)
+    (expected occupancy <= sqrt(n), so candidates/table <= n^1.5 under
+    the uniform model) and ivf_params keeps n_probe/n_centroids *
+    n^2 <= 5.5*n^1.5 — at EVERY corpus size, not just the fixture."""
+    from ariadne_spark.operators.ann import ivf_params, lsh_params
+
+    for n in (10**3, 10**6, 10**9, 10**12):
+        n_planes, n_tables = lsh_params(n)
+        assert 2**n_planes >= n**0.5, (n, n_planes)
+        assert n_tables <= 4 * n_planes
+        n_centroids, n_probe = ivf_params(n)
+        assert n_probe / n_centroids * n**2 <= 5.5 * n**1.5, (n, n_centroids)
 
 
 def test_exact_topk_matches_brute_force(spark, emb):
@@ -138,18 +176,22 @@ def test_ivf_scores_exact_and_deterministic(spark, emb):
 
 
 def test_ivf_candidate_volume_is_subquadratic(spark, emb):
-    """n_probe/n_centroids bounds the candidate fraction of n^2."""
+    """With auto params (n_centroids ~ sqrt(2n)) the measured candidate
+    volume is genuinely subquadratic — <6*n^1.5, not merely <n^2/2.
+    Measured 5.1*n^1.5 at n=500 (31 centroids, probe 7)."""
     from pyspark.sql import functions as F
 
     from ariadne_spark.operators.ann import (
         _centroids,
         _ivf_assign_udf,
         _kmeans_refine,
+        ivf_params,
     )
 
     n = emb.count()
-    cents = _kmeans_refine(emb, _centroids(emb, 16), 2)
-    assign = _ivf_assign_udf(cents, 6)
+    n_centroids, n_probe = ivf_params(n)
+    cents = _kmeans_refine(emb, _centroids(emb, n_centroids), 2)
+    assign = _ivf_assign_udf(cents, n_probe)
     assigned = emb.select("vec_id", assign(F.col("embedding")).alias("a"))
     q = assigned.select(F.explode("a.probe_cells").alias("cell"))
     c = assigned.select(F.col("a.own_cell").alias("cell"))
@@ -160,4 +202,4 @@ def test_ivf_candidate_volume_is_subquadratic(spark, emb):
         .agg(F.sum(F.col("nq") * F.col("nc")))
         .first()[0]
     )
-    assert cand < 0.5 * n * n, f"{cand} of {n*n}"
+    assert cand < 6 * n**1.5, f"{cand} vs 6*n^1.5={6 * n**1.5:.0f}"
