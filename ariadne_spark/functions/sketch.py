@@ -215,10 +215,12 @@ def cm_estimate(
     the probe key hashes to. `cm` is tiny (<= d*w rows), so Spark
     broadcasts it; the probe side never shuffles.
 
-    Note: a probe key the corpus has never seen can hash to counters
-    that were never created — such a row is DROPPED (inner join), not
-    emitted with est 0. Callers probing keys that may be absent should
-    left-join the result back to the probe set and coalesce to 0."""
+    Absent probe keys estimate correctly: a key the corpus never saw
+    hashes to counters that may not exist in the cm table — the LEFT
+    join coalesces those to 0, so min() returns 0 whenever ANY of the
+    key's d counters is untouched (true count-min semantics; an inner
+    join here would min over only the collision-populated counters
+    and overestimate, or drop fully-absent keys entirely)."""
     hashed = probe.select(
         "*",
         F.explode(
@@ -237,9 +239,9 @@ def cm_estimate(
     ).select("*", F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket")).drop("h")
     probe_cols = [c for c in probe.columns]
     return (
-        hashed.join(F.broadcast(cm), ["j", "bucket"])
+        hashed.join(F.broadcast(cm), ["j", "bucket"], "left")
         .groupBy(*probe_cols)
-        .agg(F.min("cnt").alias("est_freq"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_freq"))
     )
 
 
@@ -272,8 +274,8 @@ def cm_sql(
     g = ", ".join(probe_cols)
     return f"""
         WITH cm AS ({cm}), probes AS ({probes})
-        SELECT {g}, min(cnt) AS est_freq
-        FROM probes JOIN cm USING (j, bucket)
+        SELECT {g}, min(coalesce(cnt, 0)) AS est_freq
+        FROM probes LEFT JOIN cm USING (j, bucket)
         GROUP BY {g}
     """
 
@@ -378,7 +380,15 @@ def rolling_fp_col(col: Column, n_chars: int = 16) -> Column:
     distinct fps); the suffix window separates those, the prefix
     window separates shared-suffix keys (file extensions), and the
     length term splits the remainder. ascii('') == 0 pads short
-    strings identically in Spark and DuckDB."""
+    strings identically in Spark and DuckDB.
+
+    INPUT CONTRACT: ASCII strings only. Spark's ascii() and DuckDB's
+    ascii() agree on ASCII and empty strings but can diverge on
+    non-ASCII input (UTF-16/byte-derived value vs Unicode code
+    point), which would break byte-identical cross-engine estimates.
+    Fingerprint non-ASCII text by hashing an explicit byte encoding
+    (e.g. xxhash64(encode(col,'utf-8')) with a matching oracle)
+    before any oracle-checked query depends on it."""
     rev = F.reverse(col)
     fp = F.lit(0).cast("long")
     for i in range(1, n_chars + 1):
@@ -389,7 +399,7 @@ def rolling_fp_col(col: Column, n_chars: int = 16) -> Column:
 
 
 def rolling_fp_sql(col: str, n_chars: int = 16) -> str:
-    """DuckDB twin of `rolling_fp_col`."""
+    """DuckDB twin of `rolling_fp_col` (same ASCII-only contract)."""
     fp = "CAST(0 AS BIGINT)"
     for i in range(1, n_chars + 1):
         fp = f"((({fp}) * 31 + ascii(substring({col}, {i}, 1))) % {M31})"

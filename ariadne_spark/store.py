@@ -154,14 +154,64 @@ def _atomic_create(path: str, content: str) -> bool:
         os.unlink(tmp)
 
 
+class CommitBackend:
+    """Pluggable metadata-commit primitives — the storage seam.
+
+    Mirrors the reference's persistence seam
+    (`packages/core/src/persistence/storage.ts`,
+    `file_system_storage.ts:1-100`): the snapshot protocol is written
+    against exactly TWO primitives, so the commit medium can change
+    (local FS today, object store at 100 TB) without touching any
+    snapshot/manifest logic:
+
+    - ``create_exclusive(path, content) -> bool`` — the commit CAS: of
+      any number of concurrent writers racing to create ``path``,
+      exactly one returns True. POSIX: hard ``link(2)`` EEXIST. S3:
+      conditional PUT with ``If-None-Match: *`` (GA since 2024), or a
+      DynamoDB ``attribute_not_exists`` item put (the Iceberg/Delta
+      commit-service pattern). GCS: ``ifGenerationMatch=0``
+      precondition. ABFS: ``If-None-Match: *`` ETag precondition.
+    - ``write_advisory(path, content)`` — last-writer-wins atomic
+      write for non-commit metadata (the HEAD cache, sync markers):
+      temp+rename on POSIX; a plain PUT on any object store (object
+      PUTs are atomic per key).
+
+    Data files are parquet written by Spark under unique version dirs
+    and referenced only via committed manifests, so they need nothing
+    beyond what Spark's Hadoop/S3A committers already provide —
+    orphaned files from losing writers are invisible and reclaimable.
+    """
+
+    def create_exclusive(self, path: str, content: str) -> bool:
+        raise NotImplementedError
+
+    def write_advisory(self, path: str, content: str) -> None:
+        raise NotImplementedError
+
+
+class PosixCommitBackend(CommitBackend):
+    """Local FS / NFS / HDFS-semantics implementation. The module-level
+    primitives are resolved at call time so crash-injection tests can
+    monkeypatch `_atomic_create`/`_atomic_write` underneath it."""
+
+    def create_exclusive(self, path: str, content: str) -> bool:
+        return _atomic_create(path, content)
+
+    def write_advisory(self, path: str, content: str) -> None:
+        _atomic_write(path, content)
+
+
 class SnapshotStore:
     """Versioned partitioned tables + lineage log under one root dir."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, backend: CommitBackend | None = None
+    ):
         import threading
 
         self.spark = spark
         self.root = root
+        self.backend = backend if backend is not None else PosixCommitBackend()
         # stages may log/read lineage from concurrent threads (see
         # incremental._run_stages); appends and full-file parses must
         # not interleave or a reader can see a torn trailing line
@@ -208,10 +258,14 @@ class SnapshotStore:
         writer's files are unreferenced orphans. Returns True iff this
         writer won the id; on a win the advisory HEAD cache is
         refreshed (a crash before the cache write is harmless —
-        `current_snapshot_id` probes forward)."""
-        if not _atomic_create(self._manifest_path(m.table, m.snapshot_id), m.to_json()):
+        `current_snapshot_id` probes forward). Both primitives go
+        through the pluggable `CommitBackend` (POSIX here; S3/GCS
+        conditional-put mappings documented on the class)."""
+        if not self.backend.create_exclusive(
+            self._manifest_path(m.table, m.snapshot_id), m.to_json()
+        ):
             return False
-        _atomic_write(self._head_path(m.table), str(m.snapshot_id))
+        self.backend.write_advisory(self._head_path(m.table), str(m.snapshot_id))
         return True
 
     def manifest(self, table: str, snapshot_id: int | None = None) -> Manifest | None:
@@ -284,7 +338,7 @@ class SnapshotStore:
                 os.remove(self._manifest_path(table, s))
         # refresh the advisory cache: a stale cache pointing below the
         # kept tail would break the forward probe across expired ids
-        _atomic_write(self._head_path(table), str(head))
+        self.backend.write_advisory(self._head_path(table), str(head))
         return removed
 
     def add_column(self, table: str, name: str, ddl_type: str) -> int:
@@ -325,7 +379,12 @@ class SnapshotStore:
         import pyarrow.parquet as pq
 
         d = self._abs_path(part["path"])
-        f = next(e for e in sorted(os.listdir(d)) if e.endswith(".parquet"))
+        f = next((e for e in sorted(os.listdir(d)) if e.endswith(".parquet")), None)
+        if f is None:
+            raise AssertionError(
+                f"partition dir {d} contains no .parquet data file "
+                "(corrupted or manually pruned partition)"
+            )
         return set(pq.ParquetFile(f"{d}/{f}").schema_arrow.names)
 
     def compact(

@@ -701,3 +701,52 @@ def test_pipeline_maintain_compacts_all_tables(spark, tmp_path_factory):
     mod = _modified_images(spark, np.arange(40, 60))
     ref.full_build(base.unionByName(mod))
     assert p.table_fingerprints() == ref.table_fingerprints()
+
+
+def test_commit_backend_seam_cas_win_lose(spark, tmp_path_factory):
+    """The snapshot protocol runs ENTIRELY through the CommitBackend
+    seam (store.py CommitBackend — the reference's storage interface
+    analog, `packages/core/src/persistence/file_system_storage.ts`):
+    a call-recording backend observes every commit CAS and advisory
+    HEAD write, and a lost CAS (a real competing posix writer creates
+    the manifest first) flows back through the same interface, making
+    the writer rebase and win the next id — exactly the behavior an
+    S3 conditional-put backend would exhibit."""
+    from ariadne_spark.store import CommitBackend, PosixCommitBackend, SnapshotStore
+
+    tmp = tmp_path_factory.mktemp("backend-seam")
+    mk = lambda rows: spark.createDataFrame(rows, "id string, pk int")
+    other = SnapshotStore(spark, str(tmp / "s"))  # default posix backend
+
+    class RecordingBackend(CommitBackend):
+        def __init__(self):
+            self.inner = PosixCommitBackend()
+            self.cas = []  # (path, won)
+            self.advisory = []
+            self.fired = False
+
+        def create_exclusive(self, path, content):
+            if not self.fired and path.endswith("t.1.json"):
+                self.fired = True
+                # competing writer really wins sid 1 (disjoint pk=2)
+                other.overwrite_partitions(mk([("B", 2)]), "t", "pk")
+            won = self.inner.create_exclusive(path, content)
+            self.cas.append((path, won))
+            return won
+
+        def write_advisory(self, path, content):
+            self.advisory.append(path)
+            self.inner.write_advisory(path, content)
+
+    be = RecordingBackend()
+    store = SnapshotStore(spark, str(tmp / "s"), backend=be)
+    store.write_table(mk([("a", 1), ("b", 2)]), "t", "pk")  # sid 0
+    sid = store.overwrite_partitions(mk([("A", 1)]), "t", "pk")
+
+    assert sid == 2
+    assert {r["id"] for r in store.read("t").collect()} == {"A", "B"}
+    # the seam saw the whole protocol: sid-0 win, sid-1 loss, sid-2 win
+    outcomes = [(p.rsplit("/", 1)[-1], won) for p, won in be.cas]
+    assert outcomes == [("t.0.json", True), ("t.1.json", False), ("t.2.json", True)]
+    # every win refreshed the advisory HEAD through the seam
+    assert [p.rsplit("/", 1)[-1] for p in be.advisory] == ["t.HEAD", "t.HEAD"]

@@ -162,6 +162,37 @@ def test_cm_overestimates_within_bound(spark, freq_df):
     assert any(r["est_freq"] > r["exact_freq"] for r in rows)
 
 
+def test_cm_absent_keys_estimate_zero_when_any_counter_untouched(spark, freq_df):
+    """True count-min semantics for keys the corpus never saw: the
+    left-join + coalesce(0) makes min() return 0 whenever ANY of the
+    key's d counters was never created, and an absent key whose
+    counters are all collision-populated still satisfies est <= 2n/w.
+    Both engines agree byte-for-byte on the same absent probe set."""
+    n = freq_df.count()
+    cm = cm_build(freq_df, F.col("x"), d=D, w=W)
+    absent = spark.createDataFrame(
+        [(int(i),) for i in range(10_000, 10_400)], "x long"
+    )
+    rows = cm_estimate(cm, absent, F.col("x"), d=D, w=W).collect()
+    assert len(rows) == 400  # nothing dropped
+    bound = 2 * n // W
+    assert all(0 <= r["est_freq"] <= bound for r in rows)
+    assert any(r["est_freq"] == 0 for r in rows)
+
+    con = duckdb.connect()
+    import pandas as pd  # noqa: F401
+
+    freq_pdf = freq_df.toPandas()
+    con.register("v", freq_pdf)
+    psql = (
+        "SELECT * FROM (SELECT CAST(range + 10000 AS BIGINT) AS x"
+        " FROM range(400))"
+    )
+    want = dict(con.execute(cm_sql("v", "x", psql, ["x"], d=D, w=W)).fetchall())
+    got = {r["x"]: r["est_freq"] for r in rows}
+    assert got == want
+
+
 def test_cm_invariant_across_parallelism(spark, freq_df):
     def run(parts):
         df = freq_df.repartition(parts)
