@@ -378,6 +378,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             pairs.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 3)
+            # Resolution{confidence, reason} columns, matching the
+            # knn_edges operator contract (symbol_references.ts:270-298)
+            .withColumn(
+                "confidence",
+                F.when(F.col("hamming") == 0, F.lit("certain"))
+                .when(F.col("hamming") <= 8, F.lit("probable"))
+                .otherwise(F.lit("possible")),
+            )
+            .withColumn(
+                "reason",
+                F.when(F.col("hamming") == 0, F.lit("exact")).otherwise(
+                    F.lit("band-match")
+                ),
+            )
         )
 
     Q["q14_knn_phash_topk"] = q14
@@ -1698,7 +1712,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT src, dst, hamming, row_number() OVER (
                 PARTITION BY src ORDER BY hamming, dst) AS rank
               FROM pairs WHERE hamming <= 16)
-            SELECT src, dst, hamming, rank FROM ranked WHERE rank <= 3
+            SELECT src, dst, hamming, rank,
+                   CASE WHEN hamming = 0 THEN 'certain'
+                        WHEN hamming <= 8 THEN 'probable'
+                        ELSE 'possible' END AS confidence,
+                   CASE WHEN hamming = 0 THEN 'exact'
+                        ELSE 'band-match' END AS reason
+            FROM ranked WHERE rank <= 3
         """,
         "q15_tile_pyramid": f"""
             WITH g AS ({geo}),

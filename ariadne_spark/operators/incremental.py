@@ -204,7 +204,7 @@ class SpatialPipeline:
             "src_image_id",
         ).select(
             "src_image_id", "dst_image_id", "hamming", "rank", "confidence",
-            _pk_col().alias("pk"),
+            "reason", _pk_col().alias("pk"),
         )
         self._commit_stage("knn", in_sid, out, affected, t0)
 

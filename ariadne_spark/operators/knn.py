@@ -79,7 +79,10 @@ def knn_edges(
     prune_build: bool | None = None,
     join_strategy: str = "hash",
 ) -> DataFrame:
-    """-> (src_image_id, dst_image_id, hamming, rank, confidence).
+    """-> (src_image_id, dst_image_id, hamming, rank, confidence,
+    reason) — the full Resolution{confidence, reason} contract
+    (`packages/types/src/symbol_references.ts:270-298`); reason encodes
+    locality + matched band, e.g. 'same-cell/band0'.
 
     `salt` > 1 splits each candidate bucket into `salt` sub-buckets by a
     hash of the *probe* side and replicates the build side, bounding the
@@ -168,6 +171,9 @@ def knn_edges(
         F.col("band_id"),
         F.col("band_val"),
         F.col("neighbor_cell").alias("join_cell"),
+        # 1-byte provenance flag for Resolution.reason: did this replica
+        # land in the dst's own cell (same-cell link) or a ring offset?
+        (F.col("neighbor_cell") == F.col("cell")).alias("dst_same_cell"),
     )
     probe = banded.select(
         F.col("image_id").alias("src_image_id"),
@@ -217,6 +223,8 @@ def knn_edges(
             "src_image_id",
             "dst_image_id",
             hamming(F.col("src_phash"), F.col("dst_phash")).alias("hamming"),
+            "band_id",
+            "dst_same_cell",
         )
         .where(F.col("hamming") <= max_hamming)
     )
@@ -231,6 +239,23 @@ def knn_edges(
             .when(F.col("hamming") <= max_hamming // 2, F.lit("probable"))
             .otherwise(F.lit("possible")),
         )
+        # Resolution.reason analog (`packages/types/src/
+        # symbol_references.ts:270-298`): HOW the link was found —
+        # locality ('same-cell' vs 'ring-neighbor') + the first matching
+        # LSH band. The string materializes only on the <= k*n surviving
+        # rows; through the candidate shuffle it travels as 1 byte + the
+        # band id already present for first-match dedup.
+        .withColumn(
+            "reason",
+            F.concat(
+                F.when(F.col("dst_same_cell"), F.lit("same-cell")).otherwise(
+                    F.lit("ring-neighbor")
+                ),
+                F.lit("/band"),
+                F.col("band_id").cast("string"),
+            ),
+        )
+        .drop("band_id", "dst_same_cell")
     )
 
 

@@ -53,6 +53,16 @@ def choose_salt(hist: dict[int, int], target_rows: int = 100_000) -> int:
     return max(1, -(-worst // target_rows))  # ceil div
 
 
+# the refinement histogram is collected driver-side; its row count is
+# the occupied-cell count at the aggregation resolution (<= 4^res, so
+# res 12 could mean 16M rows to the driver). Clamp that resolution —
+# the `knn.py` res>10 collect guard's analog — so the collect stays
+# bounded at ~1M cells worst case. Hotspots still denser than
+# `threshold` at the clamped floor are bounded by composing with
+# `choose_salt` (split to the floor, salt the remaining hot keys).
+HIST_RES_CAP = 10
+
+
 def adaptive_split(
     images: DataFrame,
     base_res: int,
@@ -63,16 +73,18 @@ def adaptive_split(
     """Add `split_cell`: the row's cell at base_res, refined to child
     resolutions wherever every coarser ancestor's population exceeds
     `threshold`. Per-key cardinality is thus bounded at ~threshold
-    everywhere except max_res cells (the refinement floor), so a
+    everywhere except refinement-floor cells, so a
     `repartition(hist_col)` is balanced no matter how hot the hotspots.
 
-    Physical shape: ONE aggregation of the input at max_res (shuffle
-    volume = distinct occupied cells, partial-agg'd map-side), pulled to
-    the driver, rolled up level-by-level in numpy; the row assignment is
-    then a single chained-when projection against the (small) dense
-    sets — no per-level rescans of the input. At extreme `max_res` cap
-    the collect by lowering max_res or pre-sampling; dense sets stay
-    tiny by construction (only cells over threshold).
+    Physical shape: ONE aggregation of the input at the refinement
+    floor (shuffle volume = distinct occupied cells, partial-agg'd
+    map-side), pulled to the driver, rolled up level-by-level in numpy;
+    the row assignment is then a single chained-when projection against
+    the (small) dense sets — no per-level rescans of the input. The
+    floor is min(max_res, HIST_RES_CAP): the driver collect is bounded
+    AUTOMATICALLY at ~4^10 rows however fine a split is requested
+    (requests beyond the cap refine to the cap; compose with
+    `choose_salt` to bound any cells still hot there).
 
     Deterministic: depends only on the data, never on partitioning —
     required for cross-cluster-size result equality.
@@ -80,9 +92,10 @@ def adaptive_split(
     assert max_res >= base_res
     import numpy as np
 
+    floor_res = min(max_res, max(base_res, HIST_RES_CAP))
     pdf = (
         images.groupBy(
-            cells.cell_encode(F.col("lon_u"), F.col("lat_u"), max_res).alias("c")
+            cells.cell_encode(F.col("lon_u"), F.col("lat_u"), floor_res).alias("c")
         )
         .count()
         .toPandas()
@@ -94,8 +107,8 @@ def adaptive_split(
 
     dense_sets: dict[int, np.ndarray] = {}
     alive = np.ones(len(c), dtype=bool)
-    for res in range(base_res, max_res):
-        shift = max_res - res
+    for res in range(base_res, floor_res):
+        shift = floor_res - res
         anc = (
             (np.int64(res) << cells.RES_SHIFT)
             | ((x >> shift) << cells.X_SHIFT)
@@ -109,7 +122,7 @@ def adaptive_split(
         dense_sets[res] = dense
         alive &= np.isin(anc, dense)
 
-    expr = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), max_res)
+    expr = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), floor_res)
     for res in sorted(dense_sets, reverse=True):
         anc_col = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res)
         expr = F.when(~anc_col.isin(*[int(v) for v in dense_sets[res]]), anc_col).otherwise(

@@ -174,6 +174,38 @@ class TestKnn:
             else:
                 assert r.confidence == "possible"
 
+    def test_reason_encodes_locality_and_band(self, spark, images_df, images_np):
+        """Resolution.reason: '<same-cell|ring-neighbor>/band<b>' where
+        the locality half is re-derivable from the two images' cells and
+        the band is the FIRST band whose values match (the first-match
+        dedup invariant)."""
+        import re
+
+        res, nb = 7, 4  # finer grid so ring-neighbor links exist
+        nside = 1 << res
+        by_id = {
+            images_np["image_id"][i]: i for i in range(len(images_np["image_id"]))
+        }
+        x = (images_np["lon_u"].astype(np.int64) * nside) // cells.LON_SPAN
+        y = (images_np["lat_u"].astype(np.int64) * nside) // cells.LAT_SPAN
+        ph = images_np["phash"].astype(np.uint64)
+        rows = knn_edges(images_df, k=3, max_hamming=16, res=res, n_bands=nb).collect()
+        assert rows
+        seen = set()
+        for r in rows:
+            m = re.fullmatch(r"(same-cell|ring-neighbor)/band(\d)", r.reason)
+            assert m, r.reason
+            i, j = by_id[r.src_image_id], by_id[r.dst_image_id]
+            same = x[i] == x[j] and y[i] == y[j]
+            assert (m.group(1) == "same-cell") == same, r
+            first_band = next(
+                b for b in range(nb)
+                if (int(ph[i]) >> (16 * b)) & 0xFFFF == (int(ph[j]) >> (16 * b)) & 0xFFFF
+            )
+            assert int(m.group(2)) == first_band, r
+            seen.add(m.group(1))
+        assert seen == {"same-cell", "ring-neighbor"}  # both paths exercised
+
     def test_orphans_are_never_destinations(self, spark, images_df):
         edges = knn_edges(images_df, k=3, max_hamming=16)
         orphans = {r.image_id for r in orphan_images(images_df, edges).collect()}

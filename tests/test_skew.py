@@ -117,3 +117,31 @@ def test_salted_knn_equals_unsalted(spark, images_df):
         for r in knn_edges(meta, k=3, max_hamming=16, salt="auto", salt_target_rows=300).collect()
     }
     assert auto == plain
+
+
+def test_adaptive_split_clamps_driver_histogram(spark, images_df):
+    """Requesting max_res beyond HIST_RES_CAP must NOT collect a
+    4^max_res-sized histogram: the refinement floor clamps to the cap
+    (the knn.py res>10 guard's analog), so max_res=12 produces exactly
+    the same assignment as max_res=HIST_RES_CAP — and the collected
+    histogram the driver saw is the bounded res-10 one."""
+    from ariadne_spark.operators.skew import HIST_RES_CAP
+
+    meta = images_df.drop("bytes")
+    wild = {
+        r["image_id"]: r["split_cell"]
+        for r in adaptive_split(meta, BASE_RES, 12, THRESHOLD)
+        .select("image_id", "split_cell")
+        .collect()
+    }
+    capped = {
+        r["image_id"]: r["split_cell"]
+        for r in adaptive_split(meta, BASE_RES, HIST_RES_CAP, THRESHOLD)
+        .select("image_id", "split_cell")
+        .collect()
+    }
+    assert wild == capped
+    # no key finer than the cap exists
+    assert all(
+        (v >> cells.RES_SHIFT) <= HIST_RES_CAP for v in wild.values()
+    )
