@@ -206,6 +206,113 @@ def query_stats(store) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# report edge — formatted tree text + fuzzy ref matching (the "tool"
+# layer the reference renders on top of the engine results)
+# ---------------------------------------------------------------------------
+
+
+def ids_match(ref: str, image_id: str) -> bool:
+    """Fuzzy image-id matching — the `paths_match` suffix-boundary
+    analog (`mcp/src/tools/core/show_call_graph_neighborhood.ts:117-134`:
+    a ref path matches when the full path ends with it AT a path-segment
+    boundary). Here: `ref` matches `image_id` when equal, or when
+    `image_id` ends with `ref` at an id boundary — immediately after a
+    non-alphanumeric separator or a zero-pad run (so ref '123' matches
+    'img_00000123' but NOT 'img_00001123')."""
+    if ref == image_id:
+        return True
+    if not ref or not image_id.endswith(ref):
+        return False
+    boundary = image_id[: -len(ref)]
+    if not boundary:
+        return True
+    if not boundary[-1].isalnum():
+        return True
+    # zero-pad boundary: everything between the last separator and the
+    # ref must be padding zeros (and the ref itself must not start with
+    # one, else '0123' vs '00123' would ambiguously double-match)
+    tail = boundary
+    for sep in ("_", "-", "/", ":"):
+        if sep in tail:
+            tail = tail[tail.rindex(sep) + 1 :]
+    return tail != "" and set(tail) == {"0"} and not ref.startswith("0")
+
+
+def find_image(images: DataFrame, ref: str) -> str:
+    """Resolve a (possibly fuzzy) ref to exactly one image_id — the
+    node-lookup step of `show_call_graph_neighborhood.ts:143+`. Exact
+    match wins immediately (one lookup, no scan of candidates needed);
+    otherwise candidates are suffix-filtered IN the engine (endswith
+    pushes to the scan) and only the tiny candidate set reaches the
+    driver for the boundary check. Ambiguity and misses raise with the
+    candidate list, mirroring the reference tool's error text."""
+    if images.where(F.col("image_id") == ref).limit(1).count() == 1:
+        return ref
+    cand = [
+        r["image_id"]
+        for r in images.where(F.col("image_id").endswith(ref))
+        .select("image_id")
+        .limit(50)
+        .collect()
+    ]
+    hits = sorted(i for i in cand if ids_match(ref, i))
+    if len(hits) == 1:
+        return hits[0]
+    if not hits:
+        raise KeyError(f"no image matches ref {ref!r}")
+    raise KeyError(f"ambiguous ref {ref!r}: {hits[:5]}")
+
+
+def _tree_lines(items: list[str]) -> list[str]:
+    return [
+        ("└─ " if i == len(items) - 1 else "├─ ") + s for i, s in enumerate(items)
+    ]
+
+
+def format_orphans(orphans: DataFrame, limit: int = 20) -> str:
+    """Render `list_orphans` output as the reference's entry-point tree
+    text (≅ `mcp/src/tools/core/list_entrypoints.ts:203-235`: header
+    with counts, one branch per entry point sorted by tree size desc,
+    signature line per node). Deterministic: sorted by (reach desc,
+    image_id)."""
+    rows = orphans.orderBy(F.desc("n_reachable"), "image_id").limit(limit).collect()
+    total = orphans.count()
+    header = f"Orphan images ({min(limit, total)} of {total}, by transitive reach)"
+    branches = [
+        f"{r['image_id']}  (reach: {int(r['n_reachable'])})" for r in rows
+    ]
+    return "\n".join([header, *_tree_lines(branches)])
+
+
+def format_neighborhood(
+    nb: DataFrame, focus: str, depth: int | None = None
+) -> str:
+    """Render a `neighborhood` result as the two-directional tree the
+    reference prints (≅ `show_call_graph_neighborhood.ts:9-44` render:
+    focus node, then callers ('in') and callees ('out') grouped and
+    depth-indented). Deterministic: directions in fixed order, nodes
+    sorted by (min_depth, image_id)."""
+    rows = nb.collect()
+    by_dir: dict[str, list] = {"in": [], "out": []}
+    for r in rows:
+        by_dir[r["direction"]].append((int(r["min_depth"]), r["image_id"]))
+    lines = [focus]
+    labels = {"in": "linked-from (callers)", "out": "links-to (callees)"}
+    dirs = [d for d in ("in", "out") if by_dir[d]]
+    for di, d in enumerate(dirs):
+        last_dir = di == len(dirs) - 1
+        lines.append(("└─ " if last_dir else "├─ ") + labels[d])
+        stem = "   " if last_dir else "│  "
+        nodes = sorted(by_dir[d])
+        for ni, (dep, nid) in enumerate(nodes):
+            tick = "└─ " if ni == len(nodes) - 1 else "├─ "
+            lines.append(f"{stem}{tick}{'· ' * (dep - 1)}{nid}  (depth {dep})")
+    if len(dirs) == 0:
+        lines.append("└─ (no neighbors)")
+    return "\n".join(lines)
+
+
 def stats(
     images: DataFrame,
     pip: DataFrame | None = None,

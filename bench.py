@@ -147,7 +147,12 @@ def incremental_update_scenario(spark, n: int = 20_000) -> float:
     from ariadne_spark.synth.regions import generate_regions
 
     images_path = ensure_images(spark, n)
-    base = f"{CACHE_DIR}/inc_store_{n}"
+    # cache key carries a STORE SCHEMA version: the cached store's
+    # committed schemas must match what the current pipeline writes
+    # (e.g. the knn table gained Resolution.reason in round 3) or the
+    # partition-scoped update is rejected by schema conformance —
+    # bump the suffix whenever a pipeline table gains/loses a column
+    base = f"{CACHE_DIR}/inc_store_{n}_v3"
     done = f"{base}.done"
     if not os.path.exists(done):
         shutil.rmtree(base, ignore_errors=True)

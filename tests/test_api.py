@@ -160,3 +160,83 @@ def test_filter_entry_points_documents(spark):
         if not hold and not fw:
             want.add(r["doc_id"])
     assert got == want and 0 < len(want) < d.count()
+
+
+# ---------------------------------------------------------------------------
+# report edge: tree-text formatting + fuzzy ref matching
+# ---------------------------------------------------------------------------
+
+
+def test_ids_match_suffix_boundary():
+    """paths_match analog (`show_call_graph_neighborhood.ts:117-134`):
+    suffix matches only at id boundaries."""
+    from ariadne_spark.api import ids_match
+
+    assert ids_match("img_00000123", "img_00000123")       # exact
+    assert ids_match("123", "img_00000123")                # zero-pad boundary
+    assert ids_match("00000123", "img_00000123")           # separator boundary
+    assert not ids_match("123", "img_00001123")            # mid-number
+    assert not ids_match("23", "img_00000123")             # mid-number
+    assert not ids_match("0123", "img_00000123")           # ambiguous pad
+    assert not ids_match("", "img_00000123")
+    assert not ids_match("999", "img_00000123")
+
+
+def test_find_image_fuzzy(spark, images_df):
+    from ariadne_spark.api import find_image
+
+    meta = images_df.select("image_id")
+    some = meta.orderBy("image_id").first()["image_id"]  # img_00000000
+    assert find_image(meta, some) == some
+    assert find_image(meta, "17") == "img_00000017"
+    with pytest.raises(KeyError, match="no image"):
+        find_image(meta, "img_zzz")
+
+
+def test_format_orphans_snapshot(spark):
+    """Exact tree-text snapshot (≅ list_entrypoints.ts:203-235 render)."""
+    from ariadne_spark.api import format_orphans
+
+    df = spark.createDataFrame(
+        [("img_b", 5), ("img_a", 5), ("img_c", 2)],
+        "image_id string, n_reachable long",
+    )
+    assert format_orphans(df, limit=2) == (
+        "Orphan images (2 of 3, by transitive reach)\n"
+        "├─ img_a  (reach: 5)\n"
+        "└─ img_b  (reach: 5)"
+    )
+
+
+def test_format_neighborhood_snapshot(spark):
+    """Exact two-directional tree snapshot
+    (≅ show_call_graph_neighborhood.ts render)."""
+    from ariadne_spark.api import format_neighborhood
+
+    df = spark.createDataFrame(
+        [("img_x", 1, "out"), ("img_y", 2, "out"), ("img_z", 1, "in")],
+        "image_id string, min_depth long, direction string",
+    )
+    assert format_neighborhood(df, "img_f") == (
+        "img_f\n"
+        "├─ linked-from (callers)\n"
+        "│  └─ img_z  (depth 1)\n"
+        "└─ links-to (callees)\n"
+        "   ├─ img_x  (depth 1)\n"
+        "   └─ · img_y  (depth 2)"
+    )
+
+
+def test_format_neighborhood_end_to_end(spark, images_df, edges):
+    """The composed tool path: fuzzy ref -> neighborhood -> formatted
+    text, all nodes present exactly once."""
+    from ariadne_spark.api import find_image, format_neighborhood
+
+    # '0' would need a pad boundary but itself starts with a pad zero
+    # (rejected as ambiguous); the full digit run matches via the '_'
+    focus = find_image(images_df, "00000000")  # img_00000000
+    nb = neighborhood(edges, focus, depth=2)
+    text = format_neighborhood(nb, focus)
+    assert text.splitlines()[0] == focus
+    for r in nb.collect():
+        assert r["image_id"] in text
