@@ -148,3 +148,79 @@ def jaccard_neardup_banded(
         )
         cross = cross.unionByName(same)
     return cross
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """-> (doc_id, cluster_id): connected components over near-dup
+    pairs, cluster_id = min doc id in the component — the step between
+    pair generation (q18/q37/q38, `jaccard_neardup_banded`) and
+    canonical-document selection in a curation pipeline: transitive
+    duplicates (A~B, B~C) must land in ONE cluster even when (A,C) was
+    never emitted as a pair.
+
+    Algorithm: level-synchronous min-label propagation to fixpoint —
+    labels start as each node's own id; every iteration each node takes
+    the min of its label and its neighbors' labels; stop when an
+    iteration changes nothing. Converges in O(component diameter)
+    iterations; near-dup components are dense (diameter 2-4 in
+    practice), so this terminates in a handful of rounds, each costing
+    one edge-sized join + one node-sized groupBy (both shuffles bounded
+    by |E| and |V|, never pairwise). `localCheckpoint` truncates plan
+    lineage per iteration — same pattern as `api.reach_counts`. At
+    extreme scale swap the iteration body for the large-star/small-star
+    rewrite (Kiveris et al., "Connected Components in MapReduce"); the
+    contract and the fixpoint test stay identical.
+
+    Deterministic: min() is order-independent, so the labeling is
+    identical at any parallelism or cluster size.
+
+    Reference analog: resolving transitive re-export chains to their
+    origin definition — `packages/core/src/resolve_references/
+    registries/export.ts:319+` (`resolve_export_chain` follows edges to
+    a fixpoint and every alias maps to one canonical symbol).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -74,3 +74,102 @@ def test_threshold_guard():
     # a threshold of 800 admits floor(26*0.2)=5 differing bits
     with pytest.raises(AssertionError):
         jaccard_neardup_banded(None, threshold_milli=800)
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _union_find_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.fixture(scope="module")
+def chain_pairs(spark):
+    """Transitive chains + a cycle + singleton pairs: 0-1-2-3-4 (path,
+    so A~C is NEVER a pair — the transitivity case), 10-11-12-10
+    (cycle), 20-21, and a long path 30..39."""
+    rows = (
+        [(i, i + 1) for i in range(4)]
+        + [(10, 11), (11, 12), (12, 10)]
+        + [(20, 21)]
+        + [(i, i + 1) for i in range(30, 39)]
+    )
+    return spark.createDataFrame(rows, "a long, b long")
+
+
+def test_dup_clusters_match_union_find(spark, chain_pairs):
+    from ariadne_spark.operators.dedup import dup_clusters
+
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain_pairs).collect()
+    }
+    exp = _union_find_oracle([(r["a"], r["b"]) for r in chain_pairs.collect()])
+    assert got == exp
+    # transitivity: endpoints of the 0..4 path share a cluster
+    assert got[0] == got[4] == 0
+    assert got[30] == got[39] == 30
+
+
+def test_dup_clusters_match_duckdb_recursive_cte(spark, chain_pairs, tmp_path):
+    """Cross-engine twin: DuckDB WITH RECURSIVE closure (UNION dedup
+    guarantees termination over the cycle), min reachable node."""
+    import duckdb
+
+    from ariadne_spark.operators.dedup import dup_clusters
+
+    p = str(tmp_path / "pairs.parquet")
+    chain_pairs.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW pairs AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = dict(
+        con.execute(
+            """
+        WITH RECURSIVE edges AS (
+          SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+        reach(src, node) AS (
+          SELECT u AS src, u AS node FROM edges
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u)
+        SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+        """
+        ).fetchall()
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain_pairs).collect()}
+    assert got == want
+
+
+def test_dup_clusters_parallelism_invariant(spark, chain_pairs):
+    from ariadne_spark.operators.dedup import dup_clusters
+
+    a = sorted(map(tuple, dup_clusters(chain_pairs.repartition(1)).collect()))
+    b = sorted(map(tuple, dup_clusters(chain_pairs.repartition(16)).collect()))
+    assert a == b
+
+
+def test_dup_clusters_on_real_neardup_pairs(spark, masked):
+    """End-to-end: banded q18 pairs -> clusters == union-find over the
+    same pairs (the curation-pipeline composition)."""
+    from ariadne_spark.operators.dedup import dup_clusters
+
+    pairs = jaccard_neardup_banded(masked).select("a", "b")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    exp = _union_find_oracle([(r["a"], r["b"]) for r in pairs.collect()])
+    assert got == exp and len(got) > 0
