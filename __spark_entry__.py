@@ -758,7 +758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup (MinHash LSH) — banded candidate pairs: 4-hash signatures in
     # 2 bands of 2; a pair is a candidate if ANY band matches, reported
     # once under its first matching band (the same first-match dedup
-    # as the phash kNN operator — zero extra shuffles)
+    # as the phash kNN operator — zero extra shuffles). Each pair also
+    # carries its connected-component cluster_id (min doc_id reachable
+    # through the pair graph, `operators/dedup.py dup_clusters` —
+    # min-label propagation to fixpoint), cross-checked against the
+    # oracle's recursive-CTE closure: pairs -> clusters is the step a
+    # curation pipeline runs before canonical-document selection.
     def q37(spark, sf):
         d = _t(spark, sf, "documents")
         sig = d.select(
@@ -790,7 +795,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(1).alias("band"),
             )
         )
-        return p0.unionByName(p1)
+        pairs = p0.unionByName(p1)
+        from ariadne_spark.operators.dedup import dup_clusters
+
+        labels = dup_clusters(pairs.select("a", "b"))
+        return pairs.join(labels, pairs.a == labels.doc_id).select(
+            "a", "b", "band", "cluster_id"
+        )
 
     Q["q37_minhash_lsh_pairs"] = q37
 
@@ -1941,7 +1952,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE ny >= 0 AND ny < 64 GROUP BY 1
         """,
         "q37_minhash_lsh_pairs": f"""
-            WITH s AS (SELECT doc_id, {mh} FROM documents),
+            WITH RECURSIVE s AS (SELECT doc_id, {mh} FROM documents),
             p0 AS (
               SELECT a.doc_id AS a, b.doc_id AS b, 0 AS band
               FROM s a JOIN s b
@@ -1950,10 +1961,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS a, b.doc_id AS b, 1 AS band
               FROM s a JOIN s b
                 ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-              WHERE NOT (a.mh0 = b.mh0 AND a.mh1 = b.mh1))
-            SELECT a, b, band FROM p0
-            UNION ALL
-            SELECT a, b, band FROM p1
+              WHERE NOT (a.mh0 = b.mh0 AND a.mh1 = b.mh1)),
+            pairs AS (
+              SELECT a, b, band FROM p0
+              UNION ALL
+              SELECT a, b, band FROM p1),
+            edges AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b AS u, a AS v FROM pairs),
+            reach(src, node) AS (
+              SELECT u AS src, u AS node FROM edges
+              UNION
+              SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u),
+            lab AS (
+              SELECT src, CAST(min(node) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY src)
+            SELECT p.a, p.b, p.band, l.cluster_id
+            FROM pairs p JOIN lab l ON p.a = l.src
         """,
         "q38_embedding_neardup": """
             WITH q AS (
