@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # report bucketed-sorted scan ordering so colocated merge joins
+        # skip the per-bucket Sort (sources/bucketed.py). Safe globally:
+        # Spark still verifies one-file-per-bucket before trusting the
+        # on-disk order (FileSourceScanExec's singleFilePartitions
+        # check), so multi-file buckets silently fall back to sorting.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
