@@ -224,3 +224,43 @@ def dup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def canonicalize(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    prefer: list[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """Keep ONE representative row per dup cluster — the final stage of
+    the dedup pipeline (pairs -> `dup_clusters` -> canonicalize). Rows
+    absent from `clusters` are singletons and pass through untouched.
+
+    prefer: [(column, ascending), ...] ranks rows WITHIN a cluster
+    (e.g. [("quality", False)] keeps the highest-quality duplicate);
+    `id_col` ascending is always appended as the final tie-break, so
+    the choice is deterministic at any parallelism and cluster size.
+
+    Cost: one left join on id (broadcastable when the dup set is small
+    relative to the corpus, the common case) + one window partitioned
+    by cluster — no pairwise work; singleton rows get their own id as
+    cluster_id so the window never concentrates them on one key.
+
+    Reference analog: collapsing an import alias chain onto its single
+    canonical definition before emitting edges
+    (`packages/core/src/resolve_references/registries/export.ts:319+`).
+    """
+    from pyspark.sql import Window
+
+    order = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in (prefer or [])
+    ] + [F.col(id_col).asc()]
+    lab = df.join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return (
+        lab.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "cluster_id")
+    )

@@ -173,3 +173,58 @@ def test_dup_clusters_on_real_neardup_pairs(spark, masked):
     }
     exp = _union_find_oracle([(r["a"], r["b"]) for r in pairs.collect()])
     assert got == exp and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# canonicalize — one representative per cluster
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_keeps_one_per_cluster(spark, chain_pairs):
+    from ariadne_spark.operators.dedup import canonicalize, dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], "doc_id long, quality long"
+    )
+    clusters = dup_clusters(chain_pairs)
+    kept = canonicalize(docs, clusters)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # clustered ids collapse to the min member; everyone else survives
+    exp_clustered = {0, 10, 20, 30}  # min of each component in chain_pairs
+    clustered_members = {r["doc_id"] for r in clusters.collect()}
+    exp = sorted((set(range(50)) - clustered_members) | exp_clustered)
+    assert ids == exp
+    assert kept.columns == ["doc_id", "quality"]
+
+
+def test_canonicalize_prefer_quality(spark, chain_pairs):
+    """prefer=[("quality", False)] keeps the max-quality member, doc_id
+    asc breaking quality ties."""
+    from ariadne_spark.operators.dedup import canonicalize, dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, (i * 13) % 5) for i in range(50)], "doc_id long, quality long"
+    )
+    clusters = dup_clusters(chain_pairs)
+    kept = {r["doc_id"] for r in canonicalize(docs, clusters, prefer=[("quality", False)]).collect()}
+    lab = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in lab.items():
+        members[c].append(d)
+    for c, ms in members.items():
+        want = min(ms, key=lambda d: (-((d * 13) % 5), d))
+        assert want in kept and all(m not in kept for m in ms if m != want)
+
+
+def test_canonicalize_parallelism_invariant(spark, chain_pairs):
+    from ariadne_spark.operators.dedup import canonicalize, dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, (i * 7) % 3) for i in range(50)], "doc_id long, quality long"
+    )
+    clusters = dup_clusters(chain_pairs)
+    a = sorted(map(tuple, canonicalize(docs.repartition(1), clusters, prefer=[("quality", False)]).collect()))
+    b = sorted(map(tuple, canonicalize(docs.repartition(16), clusters, prefer=[("quality", False)]).collect()))
+    assert a == b
