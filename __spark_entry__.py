@@ -460,32 +460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q18_jaccard_neardup"] = q18
 
-    # dedup signatures — MinHash (4-hash over 3-gram polynomial hashes)
-    # and 8-bit majority SimHash side by side, one scan of the corpus
-    def q19(spark, sf):
-        d = _t(spark, sf, "documents")
-        sig = [
-            F.array_min(_gram_hash_col(*p)).alias(f"mh{i}")
-            for i, p in enumerate(MINHASH_PARAMS)
-        ]
-        grams = _gram_hash_col(*MINHASH_PARAMS[0])
-        bits = []
-        for bpos in range(SIM_BITS):
-            s = F.aggregate(
-                grams,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + (F.shiftright(h, bpos) % 2) * 2
-                - 1,
-            )
-            bits.append(F.when(s >= 0, F.lit(1 << bpos)).otherwise(F.lit(0)))
-        sim = bits[0]
-        for bb in bits[1:]:
-            sim = sim + bb
-        return d.select("doc_id", *sig, sim.cast("long").alias("simhash"))
-
-    Q["q19_signatures"] = q19
-
     # similarity — exact top-3 by quantized dot product (cosine:
     # embeddings are unit-norm), deterministic tie-break on dst.
     # Physical plan: distributed block-matmul (operators/exact_sim.py) —
@@ -567,9 +541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q24_langid_heuristic"] = q24
 
-    # scalar-function pair per doc: rolling polynomial fingerprint of
-    # the first 16 chars + Morton/Z-order key of the res-8 cell (F6/
-    # Morton — both engines evaluate identical integer formulas)
+    # per-doc signature dump, one scan of the corpus: rolling
+    # polynomial fingerprint of the first 16 chars + Morton/Z-order key
+    # of the res-8 cell (F6/Morton) + MinHash (4-hash over 3-gram
+    # polynomial hashes) + 8-bit majority SimHash — every per-document
+    # signature family the dedup operators consume, cross-engine
+    # integer-exact in one driver row
     def q25(spark, sf):
         d = _t(spark, sf, "documents")
         fp = F.lit(0).cast("long")
@@ -579,10 +556,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         did = F.col("doc_id")
         c8 = cells.cell_encode(derive.lon_u_col(did), derive.lat_u_col(did), 8)
+        sig = [
+            F.array_min(_gram_hash_col(*p)).alias(f"mh{i}")
+            for i, p in enumerate(MINHASH_PARAMS)
+        ]
+        grams = _gram_hash_col(*MINHASH_PARAMS[0])
+        bits = []
+        for bpos in range(SIM_BITS):
+            s = F.aggregate(
+                grams,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.shiftright(h, bpos) % 2) * 2
+                - 1,
+            )
+            bits.append(F.when(s >= 0, F.lit(1 << bpos)).otherwise(F.lit(0)))
+        sim = bits[0]
+        for bb in bits[1:]:
+            sim = sim + bb
         return d.select(
             "doc_id",
             fp.alias("fingerprint"),
             cells.morton_key(c8, bits=8).alias("morton"),
+            *sig,
+            sim.cast("long").alias("simhash"),
         )
 
     Q["q25_fingerprint_morton"] = q25
@@ -970,19 +967,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["x04_incremental_lifecycle"] = x04
 
     # query surface: orphan images (never a kNN destination) ranked by
-    # transitive reach — the list_entrypoints analog
+    # transitive reach — the list_entrypoints analog. The A6 analytics
+    # layer (≅ mcp/src/analytics/query_stats.ts per-tool call counts)
+    # rides in the same entry: each surface call is recorded through
+    # api.record_query and the per-tool tallies are asserted in-entry
+    # (engine-only: call history is runtime state; deeper checks in
+    # tests/test_api.py).
     def x05(spark, sf):
         import tempfile
 
-        from ariadne_spark.api import list_orphans
+        from ariadne_spark.api import (
+            list_orphans,
+            neighborhood,
+            query_stats,
+            record_query,
+            stats,
+        )
         from ariadne_spark.operators.knn import knn_edges
+        from ariadne_spark.store import SnapshotStore
         from ariadne_spark.synth.images import write_images
 
         d = tempfile.mkdtemp()
         write_images(f"{d}/images.parquet", 2000)
         images = spark.read.parquet(f"{d}/images.parquet").drop("bytes")
         edges = knn_edges(images, k=3, max_hamming=16)
-        return list_orphans(images, edges, max_depth=4).limit(100)
+
+        store = SnapshotStore(spark, f"{d}/s")
+        record_query(store, "list_orphans")
+        orphans = list_orphans(images, edges, max_depth=4).limit(100)
+        record_query(store, "neighborhood")
+        neighborhood(edges, orphans.first()["image_id"], depth=1)
+        record_query(store, "stats")
+        stats(images, edges=edges)
+        record_query(store, "stats")
+        stats(images, edges=edges)
+        got = {r["tool"]: r["n_calls"] for r in query_stats(store).collect()}
+        assert got == {"list_orphans": 1, "neighborhood": 1, "stats": 2}, (
+            f"query-stats analytics diverged: {got}"
+        )
+        return orphans
 
     Q["x05_orphan_reach"] = x05
 
@@ -1018,23 +1041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select(F.lit("resize").alias("stage"), "*")
         )
-        out = inv.unionByName(rz)
-        bad = out.where(
-            (F.col("n_pixel_violations") > 0)
-            | (F.col("n_caption_violations") > 0)
-            | (F.col("n_phash_violations") > 0)
-        ).count()
-        assert bad == 0, "decode/resize invariant violations"
-        return out
-
-    Q["x06_decode_invariants"] = x06
-
-    # multimodal plumbing in one entry: audio decode + DSP features next
-    # to video frame sampling via container index seek, projected to a
-    # common (kind, item_id, idx, v1, v2, v3) shape (engine-only: binary
-    # payloads synthesized distributedly; oracles are pure-python in
-    # tests/test_multimodal.py)
-    def x08(spark, sf):
+        # audio + video plumbing ride in the same entry, reduced to the
+        # summary shape (was x08): audio decode + DSP features, video
+        # frame sampling via container index seek; n_pixel_violations
+        # counts non-finite feature rows (audio) / off-stride frames
+        # (video) — must be zero; per-item numeric oracles are
+        # pure-python in tests/test_multimodal.py
         from ariadne_spark.operators.multimodal import (
             audio_df,
             extract_audio_features,
@@ -1042,25 +1054,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             video_df,
         )
 
-        aud = extract_audio_features(audio_df(spark, 500)).select(
-            F.lit("audio").alias("kind"),
-            F.col("audio_id").alias("item_id"),
-            F.lit(0).cast("long").alias("idx"),
-            F.col("rms").alias("v1"),
-            F.col("zcr").alias("v2"),
-            F.col("spectral_centroid").alias("v3"),
+        aud = extract_audio_features(audio_df(spark, 500)).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.isnan("rms") | F.isnan("zcr") | F.isnan("spectral_centroid"), 1
+                ).otherwise(0)
+            ).alias("n_pixel_violations"),
         )
-        vid = sample_frames(video_df(spark, 500), every_k=4).select(
-            F.lit("video").alias("kind"),
-            F.col("video_id").alias("item_id"),
-            F.col("frame_idx").cast("long").alias("idx"),
-            F.col("mean_r").alias("v1"),
-            F.col("mean_g").alias("v2"),
-            F.col("mean_b").alias("v3"),
+        vid = sample_frames(video_df(spark, 500), every_k=4).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("frame_idx") % 4 != 0, 1).otherwise(0)
+            ).alias("n_pixel_violations"),
         )
-        return aud.unionByName(vid)
+        pad = lambda df, stage, fmt: df.select(  # noqa: E731
+            F.lit(stage).alias("stage"),
+            F.lit(fmt).alias("fmt"),
+            F.col("n_rows").cast("long"),
+            F.col("n_pixel_violations").cast("long"),
+            F.lit(0).cast("long").alias("n_caption_violations"),
+            F.lit(0).cast("long").alias("n_phash_violations"),
+            F.lit(None).cast("double").alias("min_psnr"),
+        )
+        out = (
+            inv.unionByName(rz)
+            .unionByName(pad(aud, "audio", "wav"))
+            .unionByName(pad(vid, "video", "fvid"))
+        )
+        bad = out.where(
+            (F.col("n_pixel_violations") > 0)
+            | (F.col("n_caption_violations") > 0)
+            | (F.col("n_phash_violations") > 0)
+        ).count()
+        assert bad == 0, "decode/resize/audio/video invariant violations"
+        return out
 
-    Q["x08_multimodal_features"] = x08
+    Q["x06_decode_invariants"] = x06
 
     # adaptive H3-resolution split (north rule skew handling): dense
     # cells refine to children until bounded; returns the (res, cell, n)
@@ -1258,39 +1288,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q45_quantile_sketch"] = q45
 
-    # A6 — query-stats analytics: per-tool call counts recorded through
-    # the api layer (≅ mcp/src/analytics/query_stats.ts over the tool
-    # registry dispatch). Engine-only: the call history is runtime state.
-    def x12(spark, sf):
-        import tempfile
+    # curation — eval-set decontamination: distinct word 4-grams of
+    # each training doc probed against the benchmark corpus's 4-gram
+    # set (here: docs with doc_id % 10 == 0 play the benchmark);
+    # contaminated = >= 3 verbatim overlapping grams. The benchmark
+    # gram set distinct-aggregates first and BROADCASTS to the
+    # semi-join (benchmarks are tiny next to a training corpus), so
+    # corpus-side cost is one explode + two hash aggs — linear at any
+    # scale (operators/curation.py).
+    def q46(spark, sf):
+        from ariadne_spark.operators.curation import decontaminate
 
-        from ariadne_spark.api import (
-            list_orphans,
-            neighborhood,
-            query_stats,
-            record_query,
-            stats,
-        )
-        from ariadne_spark.operators.knn import knn_edges
-        from ariadne_spark.store import SnapshotStore
-        from ariadne_spark.synth.images import write_images
+        d = _t(spark, sf, "documents")
+        bench = d.where(F.col("doc_id") % 10 == 0)
+        corpus = d.where(F.col("doc_id") % 10 != 0)
+        return decontaminate(corpus, bench, n=4, min_hits=3)
 
-        d = tempfile.mkdtemp()
-        store = SnapshotStore(spark, f"{d}/s")
-        write_images(f"{d}/images.parquet", 800)
-        images = spark.read.parquet(f"{d}/images.parquet").drop("bytes")
-        edges = knn_edges(images, k=3, max_hamming=16)
-        record_query(store, "list_orphans")
-        orphans = list_orphans(images, edges, with_reach=False)
-        record_query(store, "list_orphans")
-        list_orphans(images, edges, with_reach=False, exclude_framework=True)
-        record_query(store, "neighborhood")
-        neighborhood(edges, orphans.first()["image_id"], depth=1)
-        record_query(store, "stats")
-        stats(images, edges=edges)
-        return query_stats(store)
+    Q["q46_decontaminate"] = q46
 
-    Q["x12_query_stats"] = x12
+    # curation — Gopher-style repetition gates (Rae et al. 2112.11446
+    # §A1.1) as integer permille: most-frequent-word share and
+    # duplicate-bigram share per document; repetitive = top word
+    # >= 15% of tokens OR dup bigrams >= 10%. Explode + hash-agg only
+    # — map-side combinable, no joins wider than per-doc aggregates
+    # (operators/curation.py).
+    def q47(spark, sf):
+        from ariadne_spark.operators.curation import repetition_stats
+
+        return repetition_stats(_t(spark, sf, "documents"))
+
+    Q["q47_repetition_stats"] = q47
 
     # similarity ANN — both approximate paths in one entry, tagged by
     # method: IVF-flat (THE 100 TB path: candidates bounded at
@@ -1309,6 +1336,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf.unionByName(lsh)
 
     Q["x13_ann_ivf_lsh"] = x13
+
+    # semantic dedup (SemDeDup, arXiv:2303.09540): k-means cluster the
+    # embeddings, exact within-cluster quantized-cosine pairs >= 0.85,
+    # connected components, keep min-id representative — pairwise work
+    # bounded to clusters (~n^1.5 total with sqrt(n) centroids), never
+    # global all-pairs. The real embeddings table has no >=0.85 pairs
+    # (q38 is empty at that bar), so the entry PLANTS near-dup copies
+    # of every 5th vector via vectorized column math (id+10_000,
+    # component-wise 0.999x + 0.0001) and asserts in-entry that every
+    # original survives and >=95% of planted copies are dropped (the
+    # <5% slack is SemDeDup's documented cross-cluster-boundary miss).
+    # Engine-only: k-means state isn't single-SQL; exactness/recall
+    # oracles live in tests/test_semdedup.py.
+    def x14(spark, sf):
+        from ariadne_spark.operators.semdedup import semdedup
+
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        planted = emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 0.999 + 0.0001).cast("float")
+            ).alias("embedding"),
+        )
+        out = semdedup(emb.unionByName(planted), threshold_q=850_000)
+        orig_dropped = out.where((F.col("vec_id") < 10_000) & (F.col("keep") == 0)).count()
+        assert orig_dropped == 0, f"{orig_dropped} originals dropped"
+        n_planted = planted.count()
+        kept_planted = out.where(
+            (F.col("vec_id") >= 10_000) & (F.col("keep") == 1)
+        ).count()
+        assert kept_planted * 20 <= n_planted, (
+            f"only {n_planted - kept_planted}/{n_planted} planted dups dropped"
+        )
+        return out.orderBy("vec_id")
+
+    Q["x14_semdedup"] = x14
 
     # streaming exact dedup (applyInPandasWithState): documents + synth
     # re-crawl duplicates fed as three micro-batches; final per-key
@@ -1565,6 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ariadne_spark.operators import curation
+
     geo = _DOCS_GEO_SQL
     cell8 = cells.sql_pack_cell(8, cells.sql_cell_x("lon_u", 8), cells.sql_cell_y("lat_u", 8))
     cell4 = cells.sql_pack_cell(4, cells.sql_cell_x("lon_u", 4), cells.sql_cell_y("lat_u", 4))
@@ -1820,6 +1885,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_freq_sketch": freq,
         "q45_quantile_sketch": qsk,
+        "q46_decontaminate": curation.decontaminate_sql(n=4, min_hits=3, bench_mod=10),
+        "q47_repetition_stats": curation.repetition_stats_sql(),
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,
                    min(doc_id) AS canonical_doc, count(*) AS group_size
@@ -1833,11 +1900,6 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE (CAST(bit_count(a.mask & b.mask) AS BIGINT) * 1000)
                       // CAST(bit_count(a.mask | b.mask) AS BIGINT) >= 900
-        """,
-        "q19_signatures": f"""
-            SELECT doc_id, {mh},
-                   CAST({sim_terms} AS BIGINT) AS simhash
-            FROM documents
         """,
         "q21_embedding_topk": """
             WITH q AS (
@@ -1889,11 +1951,16 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, {fp} AS fingerprint FROM documents),
             g AS ({geo}),
             c AS (SELECT doc_id, {cells.sql_cell_x('lon_u', 8)} AS x,
-                         {cells.sql_cell_y('lat_u', 8)} AS y FROM g)
+                         {cells.sql_cell_y('lat_u', 8)} AS y FROM g),
+            s AS (SELECT doc_id, {mh},
+                         CAST({sim_terms} AS BIGINT) AS simhash
+                  FROM documents)
             SELECT t.doc_id, t.fingerprint,
                    ({" + ".join(f"((x >> {b}) & 1) * {1 << (2 * b + 1)} + ((y >> {b}) & 1) * {1 << (2 * b)}" for b in range(8))})
-                       AS morton
+                       AS morton,
+                   s.mh0, s.mh1, s.mh2, s.mh3, s.simhash
             FROM t JOIN c ON t.doc_id = c.doc_id
+            JOIN s ON t.doc_id = s.doc_id
         """,
         "q27_union_kinds": """
             SELECT user_id, count(*) AS n, 'view' AS kind FROM events

@@ -1,0 +1,208 @@
+"""Corpus-curation text operators: benchmark decontamination and
+repetition-quality (Gopher-style) statistics.
+
+Both are pure relational plans over word n-grams — explode + hash
+groupBy/join only, no pairwise work, no UDFs — so they run at any
+corpus size: cost is O(total n-grams) with map-side partial
+aggregation, and the decontamination probe side (the benchmark n-gram
+set) is small by construction, so it broadcasts.
+
+Integer-exact arithmetic (permille counters via floor division) shared
+verbatim with the DuckDB oracle SQL, per the repo's cross-engine
+parity rule.
+
+Reference analogs:
+- decontaminate ≅ ariadne's held-out/test-entity detection that keeps
+  evaluation material out of the analyzed set (P4,
+  `packages/core/src/project/detect_test_file.ts:21` — filename-pattern
+  registries per language; here the "pattern" is verbatim n-gram
+  overlap with a benchmark corpus, the form LLM training pipelines
+  use for eval decontamination).
+- repetition_stats ≅ the capture-quality gates that drop degenerate
+  constructs before indexing (P1,
+  `packages/core/src/index_single_file/index_single_file.ts:98-120`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Array of space-joined word n-grams of `text_col` (Column expr).
+
+    Guarded for short texts: fewer than n words -> empty array. The
+    guard matters because Spark's sequence(1, size-k) DESCENDS when
+    size-k < 1 instead of returning empty.
+    """
+    ws = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"transform(sequence(1, size({ws}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({ws}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def sql_word_ngrams(text_col: str, n: int) -> str:
+    """DuckDB twin of word_ngrams: same grams, same order.
+
+    DuckDB's range(lo, hi) is exclusive-end (empty when hi <= lo) and
+    list slicing is 1-based inclusive, so [i : i+n-1] is n elements.
+    """
+    ws = f"string_split({text_col}, ' ')"
+    return (
+        f"CASE WHEN len({ws}) >= {n} THEN "
+        f"list_transform(range(1, len({ws}) - {n - 2}), "
+        f"i -> array_to_string({ws}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    min_hits: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_contaminated_grams, contaminated) per corpus row:
+    how many DISTINCT word n-grams of the document appear verbatim
+    anywhere in the benchmark corpus, and whether that count crosses
+    min_hits (the eval-decontamination gate).
+
+    Scale shape: the benchmark n-gram set is distinct-aggregated first
+    — benchmarks are tiny next to a training corpus, so the semi-join
+    probe side broadcasts; the corpus side is one explode + distinct +
+    groupBy, all map-side-combinable. At extreme gram cardinality,
+    hash grams to int64 (xxhash64) before the join to shrink shuffle
+    width — kept as strings here so the DuckDB oracle is verbatim.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    n_hits = F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_hits.alias("n_contaminated_grams"),
+            (n_hits >= min_hits).cast("long").alias("contaminated"),
+        )
+    )
+
+
+def _idivc(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative long Columns (matches
+    DuckDB //): (a - a%b) is exactly divisible by b."""
+    return ((a - (a % b)) / b).cast("long")
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, n_words, top_word_permille, dup_bigram_permille,
+    repetitive) per document — the Gopher-style repetition gates
+    (Rae et al., arXiv:2112.11446 §A1.1: fraction of the text that is
+    the most-frequent word / duplicated n-grams), as integer permille
+    so both engines agree bit-for-bit.
+
+    repetitive = top word >= 15% of tokens OR duplicate bigrams
+    >= 10% of bigrams. One explode per grain + hash aggregation; no
+    joins wider than the per-doc aggregates.
+    """
+    uni = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    bg = (
+        docs.select(
+            F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("bigram")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bg"),
+            F.countDistinct("bigram").cast("long").alias("n_dbg"),
+        )
+    )
+    j = uni.join(bg, id_col, "left")
+    n_bg = F.coalesce(F.col("n_bg"), F.lit(0)).cast("long")
+    n_dbg = F.coalesce(F.col("n_dbg"), F.lit(0)).cast("long")
+    top_pm = _idivc(F.col("top_c") * F.lit(1000), F.col("n_words"))
+    dup_pm = F.when(
+        n_bg > 0, _idivc((n_bg - n_dbg) * F.lit(1000), n_bg)
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select(
+        id_col,
+        F.col("n_words"),
+        top_pm.alias("top_word_permille"),
+        dup_pm.alias("dup_bigram_permille"),
+        ((top_pm >= 150) | (dup_pm >= 100)).cast("long").alias("repetitive"),
+    )
+
+
+def decontaminate_sql(n: int = 4, min_hits: int = 3, bench_mod: int = 10) -> str:
+    """DuckDB oracle for decontaminate() with benchmark =
+    documents where doc_id % bench_mod == 0 (the driver-entry split)."""
+    g = sql_word_ngrams("text", n)
+    return f"""
+        WITH g AS (
+          SELECT doc_id, unnest({g}) AS gram FROM documents),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0),
+        dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % {bench_mod} <> 0),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                 FROM dg JOIN bench USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_grams,
+               CAST(coalesce(n, 0) >= {min_hits} AS BIGINT) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0) d
+        LEFT JOIN hits USING (doc_id)
+    """
+
+
+def repetition_stats_sql() -> str:
+    """DuckDB oracle for repetition_stats() over the documents view."""
+    g2 = sql_word_ngrams("text", 2)
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        uni AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+        u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(max(c) AS BIGINT) AS top_c
+              FROM uni GROUP BY doc_id),
+        bgr AS (SELECT doc_id, unnest({g2}) AS bigram FROM documents),
+        b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+                     CAST(count(DISTINCT bigram) AS BIGINT) AS n_dbg
+              FROM bgr GROUP BY doc_id),
+        m AS (SELECT u.doc_id, n_words,
+                     (top_c * 1000) // n_words AS top_pm,
+                     CASE WHEN coalesce(n_bg, 0) > 0
+                          THEN ((coalesce(n_bg, 0) - coalesce(n_dbg, 0)) * 1000)
+                               // coalesce(n_bg, 0)
+                          ELSE 0 END AS dup_pm
+              FROM u LEFT JOIN b ON u.doc_id = b.doc_id)
+        SELECT doc_id, n_words,
+               CAST(top_pm AS BIGINT) AS top_word_permille,
+               CAST(dup_pm AS BIGINT) AS dup_bigram_permille,
+               CAST(top_pm >= 150 OR dup_pm >= 100 AS BIGINT) AS repetitive
+        FROM m
+    """

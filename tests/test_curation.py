@@ -1,0 +1,111 @@
+"""Curation-operator tests: decontamination and repetition stats vs
+pure-python oracles (edge cases the driver's sf0.01 corpus can't hit),
+plus the n-gram builder's Spark/DuckDB/python three-way agreement.
+Cross-engine parity of the full q46/q47 queries is covered by
+tests/test_entry_contract.py."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.operators.curation import (
+    decontaminate,
+    repetition_stats,
+    sql_word_ngrams,
+    word_ngrams,
+)
+
+DOCS = [
+    # (doc_id, text) — includes: shorter-than-n, exactly-n, heavy
+    # repetition, and verbatim-overlap pairs
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "one two"),
+    (2, "a b c d"),  # exactly 4 words -> exactly one 4-gram
+    (3, "spam spam spam spam spam spam spam spam"),
+    (4, "the quick brown fox jumps over a sleeping cat"),
+    (5, "totally unrelated words appear in this document here"),
+    (6, "x"),  # single word: no bigrams (n_bg = 0 path)
+]
+
+
+def py_ngrams(text: str, n: int) -> list[str]:
+    ws = text.split(" ")
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_ngrams_three_way(spark, docs_df, n):
+    got = {
+        r["doc_id"]: r["g"]
+        for r in docs_df.select("doc_id", word_ngrams("text", n).alias("g")).collect()
+    }
+    duck = duckdb.connect()
+    sql = {
+        did: g
+        for did, g in duck.execute(
+            f"SELECT doc_id, {sql_word_ngrams('text', n)} "
+            "FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+            + ") AS t(doc_id, text)"
+        ).fetchall()
+    }
+    for did, text in DOCS:
+        want = py_ngrams(text, n)
+        assert got[did] == want, f"spark ngrams doc {did}"
+        assert sql[did] == want, f"duckdb ngrams doc {did}"
+
+
+def test_decontaminate_python_oracle(spark, docs_df):
+    bench = docs_df.where(F.col("doc_id") == 0)
+    corpus = docs_df.where(F.col("doc_id") != 0)
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=4, min_hits=2).collect()
+    }
+    bench_set = set(py_ngrams(DOCS[0][1], 4))
+    for did, text in DOCS[1:]:
+        hits = len(set(py_ngrams(text, 4)) & bench_set)
+        assert got[did] == (hits, int(hits >= 2)), f"doc {did}"
+    # doc 4 shares 'the quick brown fox'... 4-gram prefix with doc 0
+    assert got[4][0] >= 1
+    # sub-n docs are clean by construction, and present in the output
+    assert got[1] == (0, 0) and got[6] == (0, 0)
+
+
+def test_repetition_stats_python_oracle(spark, docs_df):
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["top_word_permille"],
+            r["dup_bigram_permille"],
+            r["repetitive"],
+        )
+        for r in repetition_stats(docs_df).collect()
+    }
+    for did, text in DOCS:
+        ws = text.split(" ")
+        top = max(ws.count(w) for w in set(ws))
+        bgs = py_ngrams(text, 2)
+        top_pm = top * 1000 // len(ws)
+        dup_pm = (len(bgs) - len(set(bgs))) * 1000 // len(bgs) if bgs else 0
+        want = (len(ws), top_pm, dup_pm, int(top_pm >= 150 or dup_pm >= 100))
+        assert got[did] == want, f"doc {did}: {got[did]} != {want}"
+    # the spam doc is maximally repetitive; the all-distinct doc is not
+    assert got[3][3] == 1 and got[5][3] == 0
+    # single-word doc survives the n_bg=0 guard
+    assert got[6] == (1, 1000, 0, 1)
+
+
+def test_decontaminate_output_is_corpus_sized(spark, docs_df):
+    bench = docs_df.where(F.col("doc_id") % 3 == 0)
+    corpus = docs_df.where(F.col("doc_id") % 3 != 0)
+    out = decontaminate(corpus, bench, n=2, min_hits=1)
+    assert out.count() == corpus.count()
+    assert out.select("doc_id").distinct().count() == corpus.count()

@@ -83,10 +83,9 @@ def test_entry_smoke(spark):
         "x04_incremental_lifecycle",
         "x05_orphan_reach",
         "x06_decode_invariants",
-        "x08_multimodal_features",
         "x11_adaptive_split",
-        "x12_query_stats",
         "x13_ann_ivf_lsh",
+        "x14_semdedup",
         "x15_streaming_ops",
     ],
 )
