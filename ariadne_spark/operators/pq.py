@@ -1,0 +1,207 @@
+"""Product quantization (PQ) for embedding search at memory scale
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public method description only).
+
+Why it exists here: at 10^12 rows, float32 embeddings are the
+dominant storage/shuffle cost (dim=32 -> 128 B/row -> >100 TB of
+vectors alone). PQ splits each vector into m subspaces and stores one
+small int per subspace (the index of the nearest per-subspace
+centroid): dim=32, m=4 -> 4 codes/row, a 32x compression; similarity
+scans become m integer table lookups per pair (asymmetric distance
+computation, ADC) instead of dim float multiplies. Recall loss vs
+exact is bounded by codebook quality and is pytest-gated
+(tests/test_pq.py).
+
+Determinism contract (same as ann.py): codebooks seed from the
+data-derived xxhash64 sample, Lloyd refinement uses integer-quantized
+per-(subspace, code) partial sums (order-independent across
+partitions), assignment is exact-int64 argmax with first-index
+tie-break, ADC scores are int64 sums — so codes, scores and top-k are
+identical at any parallelism, batch shape, or cluster size.
+
+Plan shape: codebooks are tiny (m * 256 * dsub floats) and ride
+inside Arrow UDF closures; encode is one Arrow pass; search joins
+only (vec_id, m codes) for the corpus — never raw vectors. The plain
+ADC scan is linear-per-query by design (it replaces the exact scan's
+arithmetic, not its candidate set); compose with `ann_ivf`'s cell
+pruning for the joint IVF-PQ shape when queries are many.
+
+Reference analog: the compact branded symbol-id encoding the
+reference ships between registries so cross-file lookups move short
+strings instead of whole definition records
+(`packages/types/src/symbol.ts:65-77`) — the probe ships a small
+code, the payload stays home.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from ariadne_spark.operators.ann import CENT_QSCALE, EMB_QSCALE, _centroids
+
+# CENT_QSCALE (1e6) is an exact integer multiple of EMB_QSCALE (1e3);
+# _l2_scores relies on the ratio being integral.
+_RATIO = CENT_QSCALE // EMB_QSCALE
+
+
+def _l2_scores(sub_q: np.ndarray, book_q: np.ndarray) -> np.ndarray:
+    """Exact-int64 L2-argmin scores: argmin |x-c|^2 == argmax
+    (2 x.c - |c|^2). x is EMB_QSCALE-quantized, c CENT_QSCALE-
+    quantized; multiplying the cross term by CENT/EMB puts both terms
+    on the CENT_QSCALE^2 scale. Magnitudes stay << 2^63 (dsub * 1e3 *
+    1e6 * 2e3 ~ 1.6e13 for dsub=8)."""
+    return 2 * _RATIO * (sub_q @ book_q.T) - (book_q.astype(np.int64) ** 2).sum(axis=1)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 256,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """-> (m, k', dsub) float64 codebooks, k' = min(k, n): seeded from
+    ann's deterministic xxhash64 sample (one bounded driver pull of k
+    full vectors, sliced into subspaces), refined by Lloyd iterations
+    whose per-(subspace, code) sums are integer-quantized and summed
+    distributively (one Arrow pass + one bounded groupBy per
+    iteration; driver transfer <= m*k*dsub longs)."""
+    sample = _centroids(embeddings, k)  # (k', dim), deterministic
+    dim = sample.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    books = np.stack([sample[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    for _ in range(iters):
+        books_q = np.round(books * CENT_QSCALE).astype(np.int64)
+
+        def accumulate(pdf_iter, books_q=books_q):
+            for pdf in pdf_iter:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                mat_q = np.round(mat * EMB_QSCALE).astype(np.int64)
+                js, cs, sums, ns = [], [], [], []
+                for j in range(len(books_q)):
+                    sub_q = mat_q[:, j * dsub : (j + 1) * dsub]
+                    sub_f = mat[:, j * dsub : (j + 1) * dsub]
+                    code = np.argmax(_l2_scores(sub_q, books_q[j]), axis=1)
+                    for c in np.unique(code):
+                        sel = np.round(
+                            sub_f[code == c] * CENT_QSCALE
+                        ).astype(np.int64)
+                        js.append(j)
+                        cs.append(int(c))
+                        sums.append(sel.sum(axis=0).tolist())
+                        ns.append(int((code == c).sum()))
+                yield pd.DataFrame({"j": js, "c": cs, "s": sums, "n": ns})
+
+        # component-wise sum via posexplode: int64 adds are order-
+        # independent, so the refit is parallelism-invariant
+        parts = (
+            embeddings.select(vec_col)
+            .mapInPandas(accumulate, "j int, c int, s array<long>, n long")
+            .select("j", "c", "n", F.posexplode("s").alias("pos", "v"))
+            .groupBy("j", "c", "pos")
+            .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+            .collect()
+        )
+        sums = np.zeros((books.shape[0], books.shape[1], dsub), dtype=np.float64)
+        counts = np.zeros((books.shape[0], books.shape[1]), dtype=np.int64)
+        for r in parts:
+            sums[r["j"], r["c"], r["pos"]] = r["v"]
+            # n was exploded once per pos; each row carries the full
+            # cross-partition total for (j, c)
+            counts[r["j"], r["c"]] = r["n"]
+        refit = counts > 0
+        books = books.copy()
+        books[refit] = sums[refit] / CENT_QSCALE / counts[refit][:, None]
+    return books
+
+
+def _encode_udf(books: np.ndarray):
+    m, _k, dsub = books.shape
+    books_q = np.round(books * CENT_QSCALE).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat_q = np.round(
+            np.stack(emb.to_numpy()).astype(np.float64) * EMB_QSCALE
+        ).astype(np.int64)
+        codes = np.empty((len(mat_q), m), dtype=np.int32)
+        for j in range(m):
+            sub_q = mat_q[:, j * dsub : (j + 1) * dsub]
+            # first-index tie-break: np.argmax takes the first maximum
+            codes[:, j] = np.argmax(_l2_scores(sub_q, books_q[j]), axis=1)
+        return pd.Series([r.tolist() for r in codes])
+
+    return encode
+
+
+def pq_encode(
+    embeddings: DataFrame, books: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """-> (vec_id, codes: array<int> length m) — the compressed corpus:
+    m small ints per row instead of dim floats (32x at dim=32, m=4).
+    One Arrow pass; codebooks ride in the UDF closure."""
+    enc = _encode_udf(books)
+    return embeddings.select("vec_id", enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: np.ndarray,
+    k: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (src, dst, adc_q, rank): approximate top-k by asymmetric
+    distance. Each query precomputes an (m x k') int64 table of
+    quantized dots query-subvector x centroid; every corpus row then
+    costs m integer lookups + adds — never a dim-wide float product,
+    and the corpus side of the join ships only (vec_id, m ints).
+
+    adc_q is on the q21 dot_q scale (EMB_QSCALE^2 per component), so
+    scores are directly comparable across exact / LSH / IVF / PQ
+    paths; the final window is the same deterministic top-k contract
+    (ties break on dst id)."""
+    m, _kk, dsub = books.shape
+    books_s = np.round(books * EMB_QSCALE).astype(np.int64)  # dot scale = q21
+
+    @F.pandas_udf(ArrayType(ArrayType(LongType())))
+    def dist_table(emb: pd.Series) -> pd.Series:
+        mat_q = np.round(
+            np.stack(emb.to_numpy()).astype(np.float64) * EMB_QSCALE
+        ).astype(np.int64)
+        return pd.Series(
+            [
+                [
+                    (row[j * dsub : (j + 1) * dsub] @ books_s[j].T).tolist()
+                    for j in range(m)
+                ]
+                for row in mat_q
+            ]
+        )
+
+    q = queries.select(
+        F.col("vec_id").alias("src"), dist_table(F.col(vec_col)).alias("tbl")
+    )
+    c = codes.select(F.col("vec_id").alias("dst"), "codes")
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("tbl"),
+            F.col("codes"),
+            lambda t, code: F.element_at(t, code + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", adc.alias("adc_q"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("adc_q"), F.col("dst"))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
