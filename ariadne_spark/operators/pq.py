@@ -150,6 +150,45 @@ def pq_encode(
     return embeddings.select("vec_id", enc(F.col(vec_col)).alias("codes"))
 
 
+def _adc_table_udf(books: np.ndarray):
+    """Per-query (m x k') int64 lookup table of quantized dots
+    query-subvector x centroid, on the q21 dot_q scale
+    (EMB_QSCALE^2 per component)."""
+    m, _kk, dsub = books.shape
+    books_s = np.round(books * EMB_QSCALE).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(ArrayType(LongType())))
+    def dist_table(emb: pd.Series) -> pd.Series:
+        mat_q = np.round(
+            np.stack(emb.to_numpy()).astype(np.float64) * EMB_QSCALE
+        ).astype(np.int64)
+        return pd.Series(
+            [
+                [
+                    (row[j * dsub : (j + 1) * dsub] @ books_s[j].T).tolist()
+                    for j in range(m)
+                ]
+                for row in mat_q
+            ]
+        )
+
+    return dist_table
+
+
+def _adc_col() -> F.Column:
+    """ADC score: m integer lookups (codes index the query's table) +
+    int64 sum — expects columns `tbl` and `codes`."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("tbl"),
+            F.col("codes"),
+            lambda t, code: F.element_at(t, code + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -167,41 +206,95 @@ def pq_topk(
     scores are directly comparable across exact / LSH / IVF / PQ
     paths; the final window is the same deterministic top-k contract
     (ties break on dst id)."""
-    m, _kk, dsub = books.shape
-    books_s = np.round(books * EMB_QSCALE).astype(np.int64)  # dot scale = q21
-
-    @F.pandas_udf(ArrayType(ArrayType(LongType())))
-    def dist_table(emb: pd.Series) -> pd.Series:
-        mat_q = np.round(
-            np.stack(emb.to_numpy()).astype(np.float64) * EMB_QSCALE
-        ).astype(np.int64)
-        return pd.Series(
-            [
-                [
-                    (row[j * dsub : (j + 1) * dsub] @ books_s[j].T).tolist()
-                    for j in range(m)
-                ]
-                for row in mat_q
-            ]
-        )
-
+    dist_table = _adc_table_udf(books)
     q = queries.select(
         F.col("vec_id").alias("src"), dist_table(F.col(vec_col)).alias("tbl")
     )
     c = codes.select(F.col("vec_id").alias("dst"), "codes")
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("tbl"),
-            F.col("codes"),
-            lambda t, code: F.element_at(t, code + F.lit(1)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     pairs = (
         q.crossJoin(c)
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", adc.alias("adc_q"))
+        .select("src", "dst", _adc_col().alias("adc_q"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("adc_q"), F.col("dst"))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    k_codes: int = 256,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    kmeans_iters: int = 2,
+    books: np.ndarray | None = None,
+    train_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (src, dst, adc_q, rank): the joint IVF-PQ shape (the
+    production ANN layout, e.g. FAISS IVFPQ — composition of public
+    methods): IVF coarse cells bound the CANDIDATE COUNT at
+    n^2 * n_probe / n_centroids (ann_ivf's property) while PQ codes
+    bound the BYTES PER CANDIDATE at m ints + the per-query (m x k')
+    table (pq's property). The candidate join ships (id, cell) and
+    (id, m codes) only — at 10^12 rows neither raw vectors nor float
+    arithmetic appear anywhere in the scan.
+
+    Same determinism contract as both parents: data-derived centroids
+    and codebooks, int64 scores, dst-id tie-breaks — identical output
+    at any parallelism. Re-rank trade-off: scores are ADC
+    approximations; compose with an exact re-rank of the surviving
+    k' > k if exact ordering is required (candidates are already few).
+    """
+    from ariadne_spark.operators.ann import (
+        _ivf_assign_udf,
+        _kmeans_refine,
+        ivf_params,
+    )
+
+    if n_centroids is None or n_probe is None:
+        auto_c, auto_p = ivf_params(embeddings.count())
+        n_centroids = auto_c if n_centroids is None else n_centroids
+        n_probe = auto_p if n_probe is None else n_probe
+    cents = _centroids(embeddings, n_centroids)
+    if kmeans_iters:
+        cents = _kmeans_refine(embeddings, cents, kmeans_iters)
+    if books is None:
+        books = pq_train(embeddings, m=m, k=k_codes, iters=train_iters)
+
+    assign = _ivf_assign_udf(cents, n_probe)
+    enc = _encode_udf(books)
+    dist_table = _adc_table_udf(books)
+
+    # one Arrow pass computes cell assignment + codes + query table;
+    # persisted because both sides of the cell join read it
+    assigned = (
+        embeddings.select(
+            "vec_id",
+            assign(F.col(vec_col)).alias("a"),
+            enc(F.col(vec_col)).alias("codes"),
+            dist_table(F.col(vec_col)).alias("tbl"),
+        )
+        .select(
+            "vec_id",
+            F.col("a.own_cell").alias("own_cell"),
+            F.col("a.probe_cells").alias("probe_cells"),
+            "codes",
+            "tbl",
+        )
+        .persist()
+    )
+    queries = assigned.select(
+        F.col("vec_id").alias("src"), F.explode("probe_cells").alias("cell"), "tbl"
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("dst"), F.col("own_cell").alias("cell"), "codes"
+    )
+    pairs = (
+        queries.join(corpus, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", _adc_col().alias("adc_q"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("adc_q"), F.col("dst"))
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

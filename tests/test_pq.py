@@ -100,3 +100,41 @@ def test_compression_shape(spark, emb, books):
     codes = pq_encode(emb, books)
     assert dict(codes.dtypes)["codes"] == "array<int>"
     assert codes.selectExpr("max(size(codes)) AS s").first()["s"] == M
+
+
+def test_ivf_pq_recall_and_determinism(spark, emb):
+    """The joint IVF-PQ shape: candidate pruning (cells) composed with
+    ADC scoring (codes). Recall@10 of the exact top-1 on the clustered
+    fixture, and bit-identical output across parallelism."""
+    from ariadne_spark.operators.pq import ivf_pq_topk
+
+    exact1 = {
+        r["src"]: r["dst"] for r in brute_force_topk(emb, k=1).collect()
+    }
+    out = ivf_pq_topk(emb, k=10, m=M, k_codes=64, n_centroids=16, n_probe=4)
+    top10 = {}
+    for r in out.collect():
+        top10.setdefault(r["src"], set()).add(r["dst"])
+    hits = sum(1 for s, d in exact1.items() if d in top10.get(s, set()))
+    recall = hits / len(exact1)
+    assert recall >= 0.8, f"ivf-pq recall@10 {recall:.3f}"
+
+    again = ivf_pq_topk(
+        emb.repartition(9), k=10, m=M, k_codes=64, n_centroids=16, n_probe=4
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_ivf_pq_candidates_are_cell_bounded(spark, emb):
+    """No cross-join shape anywhere: the candidate join is an equi-join
+    on the coarse cell (CartesianProduct appears only in pq_topk's
+    deliberate full-ADC-scan form)."""
+    from ariadne_spark.operators.pq import ivf_pq_topk
+
+    plan = (
+        ivf_pq_topk(emb, k=3, m=M, k_codes=64, n_centroids=16, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
