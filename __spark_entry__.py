@@ -1327,13 +1327,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # log2(n) so bucket occupancy — and candidate volume — stays
     # subquadratic; recall vs the exact baseline is pytest-gated in
     # tests/test_ann.py)
+    # ... plus the joint IVF-PQ layout (operators/pq.py): product-
+    # quantized codes bound BYTES per candidate (m ints, never raw
+    # vectors) while IVF cells bound candidate COUNT; rerank=True adds
+    # the exact int64 re-rank of the ADC survivors, so its dot_q
+    # column is on the same scale as the other two methods
     def x13(spark, sf):
         from ariadne_spark.operators.ann import ann_ivf, ann_topk
+        from ariadne_spark.operators.pq import ivf_pq_topk, pq_train
 
         emb = _t(spark, sf, "embeddings")
         ivf = ann_ivf(emb, k=3).select(F.lit("ivf").alias("method"), "*")
         lsh = ann_topk(emb, k=3).select(F.lit("lsh").alias("method"), "*")
-        return ivf.unionByName(lsh)
+        vecs = emb.select("vec_id", "embedding")
+        books = pq_train(vecs, m=4, k=64, iters=2)
+        pq = ivf_pq_topk(
+            vecs, k=3, m=4, k_codes=64, n_centroids=16, n_probe=4,
+            books=books, rerank=True,
+        ).select(F.lit("ivfpq").alias("method"), "*")
+        return ivf.unionByName(lsh).unionByName(pq)
 
     Q["x13_ann_ivf_lsh"] = x13
 

@@ -230,6 +230,7 @@ def ivf_pq_topk(
     kmeans_iters: int = 2,
     books: np.ndarray | None = None,
     train_iters: int = 2,
+    rerank: bool = False,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """-> (src, dst, adc_q, rank): the joint IVF-PQ shape (the
@@ -243,9 +244,10 @@ def ivf_pq_topk(
 
     Same determinism contract as both parents: data-derived centroids
     and codebooks, int64 scores, dst-id tie-breaks — identical output
-    at any parallelism. Re-rank trade-off: scores are ADC
-    approximations; compose with an exact re-rank of the surviving
-    k' > k if exact ordering is required (candidates are already few).
+    at any parallelism. With rerank=True the ADC top-(4k) survivors —
+    already few — join back their quantized vectors for an exact
+    int64 dot re-rank (dot_q replaces adc_q): the classic IVF-PQ +
+    re-rank pipeline, paying exact arithmetic only on O(k) rows/query.
     """
     from ariadne_spark.operators.ann import (
         _ivf_assign_udf,
@@ -297,4 +299,36 @@ def ivf_pq_topk(
         .select("src", "dst", _adc_col().alias("adc_q"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("adc_q"), F.col("dst"))
-    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if not rerank:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    # exact re-rank: keep the ADC top-(4k) per query, join back the
+    # EMB_QSCALE-quantized vectors for those survivors only, and rank
+    # by the exact q21-scale dot — exact arithmetic on O(k) rows/query
+    survivors = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4 * k)
+        .drop("rank", "adc_q")
+    )
+    qv = F.transform(F.col(vec_col), lambda x: F.round(x * 1000).cast("long"))
+    vecs = embeddings.select("vec_id", qv.alias("q"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        survivors.join(
+            vecs.select(F.col("vec_id").alias("src"), F.col("q").alias("qa")), "src"
+        )
+        .join(vecs.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb")), "dst")
+        .select("src", "dst", dot.alias("dot_q"))
+    )
+    w2 = Window.partitionBy("src").orderBy(F.desc("dot_q"), F.col("dst"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

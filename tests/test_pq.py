@@ -138,3 +138,28 @@ def test_ivf_pq_candidates_are_cell_bounded(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_rerank_exact_scores(spark, emb):
+    """rerank=True: surviving pairs carry the EXACT q21-scale dot_q —
+    every returned (src, dst, dot_q) matches the brute-force score,
+    and top-1 agreement with exact search is near-total (re-ranking
+    restores exact order among the ADC survivors)."""
+    from ariadne_spark.operators.pq import ivf_pq_topk
+
+    out = ivf_pq_topk(
+        emb, k=3, m=M, k_codes=64, n_centroids=16, n_probe=4, rerank=True
+    ).collect()
+    assert {r["dot_q"] is not None for r in out} == {True}
+    exact = {
+        (r["src"], r["dst"]): r["dot_q"]
+        for r in brute_force_topk(emb, k=PER_CLUSTER).collect()
+    }
+    for r in out:
+        key = (r["src"], r["dst"])
+        if key in exact:  # brute force truncated at k=PER_CLUSTER
+            assert exact[key] == r["dot_q"], key
+    top1 = {r["src"]: r["dst"] for r in out if r["rank"] == 1}
+    exact1 = {r["src"]: r["dst"] for r in brute_force_topk(emb, k=1).collect()}
+    agree = sum(1 for s, d in exact1.items() if top1.get(s) == d) / len(exact1)
+    assert agree >= 0.85, f"top-1 agreement {agree:.3f}"
