@@ -176,3 +176,21 @@ def test_stratified_sample_plan_is_scan_only(spark, Q):
     read_schema = p.split("ReadSchema:")[1].split("\n")[0]
     assert "text" in read_schema and "lang" in read_schema
     assert "n_chars" not in read_schema and "phash" not in read_schema
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, Q):
+    """q46: the benchmark n-gram set must reach the corpus semi-join as
+    a broadcast (benchmarks are tiny next to a training corpus); the
+    corpus side must never appear in a cartesian/nested-loop shape."""
+    p = plan(Q["q46_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_repetition_stats_is_explode_plus_hashagg(spark, Q):
+    """q47: explode + hash aggregation only — no join wider than the
+    per-doc aggregates (both sides keyed by doc_id), no UDF."""
+    p = plan(Q["q47_repetition_stats"](spark, SF_DIR))
+    assert "Generate" in p and "explode" in p and "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
