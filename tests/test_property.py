@@ -136,3 +136,28 @@ def test_first_match_band_counts_pair_once(ma, flips):
         1 for i, e in enumerate(eq) if e and all(not eq[j] for j in range(i))
     )
     assert admitted == (1 if any(eq) else 0)
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(WORD, min_size=1, max_size=12), st.integers(2, 5))
+def test_sql_word_ngrams_matches_python_for_all_inputs(words, n):
+    """Property: the DuckDB n-gram fragment (q46/q47's oracle side)
+    equals the pure-python definition for EVERY word list and n —
+    including the sub-n short-text guard. (The Spark twin is pinned
+    against the same python oracle in test_curation.py; this closes
+    the triangle without a JVM per example.)"""
+    import duckdb
+
+    from ariadne_spark.operators.curation import sql_word_ngrams
+
+    text = " ".join(words)
+    want = [
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    ]
+    got = duckdb.execute(
+        f"SELECT {sql_word_ngrams('t', n)} FROM (SELECT ? AS t)", [text]
+    ).fetchone()[0]
+    assert got == want
