@@ -206,3 +206,96 @@ def repetition_stats_sql() -> str:
                CAST(top_pm >= 150 OR dup_pm >= 100 AS BIGINT) AS repetitive
         FROM m
     """
+
+
+def build_vocab(
+    docs: DataFrame, size: int, text_col: str = "text"
+) -> DataFrame:
+    """-> (word, n, vrank): the top-`size` corpus words by frequency —
+    tokenizer vocabulary induction. Deterministic: ties break on the
+    word itself. Physical shape: one explode + hash groupBy (map-side
+    combinable), then TakeOrderedAndProject (per-partition top-size,
+    merged on the driver-side heap) — never a full global sort, and
+    the result is vocab-sized, so it broadcasts downstream.
+
+    Reference analog: the per-language capture-name enums the
+    reference induces its handler registries from
+    (`packages/core/src/index_single_file/index_single_file.ts:301-379`
+    validates captures against a fixed vocabulary of construct names).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.withColumn("vrank", F.row_number().over(w).cast("long"))
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_tokens, n_oov, oov_permille) per document: tokenizer
+    coverage — how much of each document the induced vocabulary fails
+    to cover (the gate a pipeline runs before committing to a vocab).
+    The vocab is top-V by construction, so it BROADCASTS to the
+    semi-join; corpus cost is one explode + two per-doc hash aggs.
+    Integer permille, DuckDB-parity-exact."""
+    w = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    tot = w.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    inv = (
+        w.join(F.broadcast(vocab.select("word")), "word", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+    j = tot.join(inv, id_col, "left")
+    n_in = F.coalesce(F.col("n_in"), F.lit(0)).cast("long")
+    n_oov = (F.col("n_tokens") - n_in).alias("n_oov")
+    return j.select(
+        id_col,
+        "n_tokens",
+        n_oov,
+        _idivc((F.col("n_tokens") - n_in) * F.lit(1000), F.col("n_tokens")).alias(
+            "oov_permille"
+        ),
+    )
+
+
+def vocab_sql(size: int) -> str:
+    """DuckDB twin of build_vocab over the documents view."""
+    return f"""
+        SELECT word, n,
+               CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS vrank
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              GROUP BY word ORDER BY n DESC, word LIMIT {size})
+    """
+
+
+def oov_sql(size: int) -> str:
+    """DuckDB twin of oov_stats(docs, build_vocab(docs, size))."""
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        v AS (SELECT word FROM (
+                SELECT word, count(*) AS n FROM w GROUP BY word
+                ORDER BY n DESC, word LIMIT {size})),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                FROM w GROUP BY doc_id),
+        inv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in
+                FROM w JOIN v USING (word) GROUP BY doc_id)
+        SELECT t.doc_id, n_tokens,
+               n_tokens - coalesce(n_in, 0) AS n_oov,
+               ((n_tokens - coalesce(n_in, 0)) * 1000) // n_tokens
+                   AS oov_permille
+        FROM tot t LEFT JOIN inv ON t.doc_id = inv.doc_id
+    """

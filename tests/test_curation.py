@@ -109,3 +109,56 @@ def test_decontaminate_output_is_corpus_sized(spark, docs_df):
     out = decontaminate(corpus, bench, n=2, min_hits=1)
     assert out.count() == corpus.count()
     assert out.select("doc_id").distinct().count() == corpus.count()
+
+
+def test_vocab_and_oov_duckdb_parity(spark):
+    """build_vocab/oov_stats vs their DuckDB twins on the driver's
+    sf0.01 documents table — byte-identical rows (the same cross-engine
+    contract as the oracle-checked queries)."""
+    import pandas as pd
+
+    from ariadne_spark.operators.curation import (
+        build_vocab,
+        oov_sql,
+        oov_stats,
+        vocab_sql,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+
+    def cmp(sdf, sql):
+        a = sdf.toPandas()
+        b = duck.sql(sql).df()
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    vocab = build_vocab(docs, size=50)
+    cmp(vocab, vocab_sql(50))
+    cmp(oov_stats(docs, vocab), oov_sql(50))
+
+
+def test_oov_python_oracle(spark, docs_df):
+    """Edge cases on the tiny fixture: a 2-word vocab, docs fully OOV,
+    permille floor division."""
+    from ariadne_spark.operators.curation import build_vocab, oov_stats
+
+    vocab = build_vocab(docs_df, size=2)
+    vwords = {r["word"] for r in vocab.collect()}
+    # python oracle for the same top-2 (count desc, word asc)
+    from collections import Counter
+
+    c = Counter(w for _i, t in DOCS for w in t.split(" "))
+    want_v = {w for w, _n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]}
+    assert vwords == want_v
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_permille"])
+           for r in oov_stats(docs_df, vocab).collect()}
+    for did, text in DOCS:
+        ws = text.split(" ")
+        oov = sum(1 for w in ws if w not in want_v)
+        assert got[did] == (len(ws), oov, oov * 1000 // len(ws)), f"doc {did}"
