@@ -299,3 +299,100 @@ def oov_sql(size: int) -> str:
                    AS oov_permille
         FROM tot t LEFT JOIN inv ON t.doc_id = inv.doc_id
     """
+
+
+def curate_multimodal(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    quality_min: int = 70,
+    sem_threshold_q: int = 850_000,
+) -> DataFrame:
+    """-> (doc_id, kept, reason): one-call corpus disposition over BOTH
+    modalities — the composition a pipeline user runs, with a
+    mutually-exclusive drop reason per document (first failing stage
+    wins, so the output doubles as a funnel report):
+
+      1. exact_dup     md5(text) hash dedup, min-id canonical
+      2. neardup_fp    16-char rolling-fingerprint dedup (boilerplate)
+      3. low_quality   q23-style integer quality score < quality_min
+      4. sem_dup       SemDeDup over the document's embedding
+                       (embeddings joined on vec_id == doc_id)
+      5. kept
+
+    Stages 1-3 are hash groupBys + column expressions (linear at any
+    scale, q41's shapes); stage 4 runs only on stage-1..3 survivors,
+    so the k-means/pairwise cost shrinks with upstream selectivity.
+    Deterministic end to end (min-id canonicals, integer gates,
+    semdedup's parallelism-invariance contract).
+
+    Reference analog: `Project.update_file`'s fixed stage dataflow —
+    each phase consumes the previous phase's survivors
+    (`packages/core/src/project/project.ts:241-393`).
+    """
+    from ariadne_spark.operators.semdedup import semdedup
+
+    d = docs.select("doc_id", "text", "n_chars")
+
+    # stage 1: exact dedup (md5, min doc_id canonical)
+    k1 = d.withColumn("k", F.md5("text"))
+    c1 = k1.groupBy("k").agg(F.min("doc_id").alias("canon"))
+    s1 = k1.join(c1, "k").withColumn("exact_dup", F.col("doc_id") != F.col("canon"))
+
+    # stage 2: prefix-fingerprint dedup among stage-1 survivors
+    M31 = 2_147_483_647
+    fp = F.lit(0).cast("long")
+    for i in range(1, 17):
+        fp = (fp * F.lit(31) + F.ascii(F.substring(F.col("text"), i, 1))) % F.lit(M31)
+    surv1 = s1.where(~F.col("exact_dup")).withColumn("fp", fp)
+    c2 = surv1.groupBy("fp").agg(F.min("doc_id").alias("fcanon"))
+    s2 = surv1.join(c2, "fp").withColumn("fp_dup", F.col("doc_id") != F.col("fcanon"))
+
+    # stage 3: quality gate (q23's integer score)
+    text = F.col("text")
+    words = (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    the_count = _idivc(
+        (F.length(text) - F.length(F.replace(text, F.lit("the"), F.lit("")))).cast(
+            "long"
+        ),
+        F.lit(3),
+    )
+    quality = (
+        F.when(words >= 20, F.lit(40)).otherwise(F.lit(0))
+        + F.when((the_count * 100) <= words * 20, F.lit(30)).otherwise(F.lit(0))
+        + F.when(F.col("n_chars") >= 200, F.lit(30)).otherwise(F.lit(0))
+    ).cast("long")
+    s3 = s2.where(~F.col("fp_dup")).withColumn("low_q", quality < quality_min)
+
+    # stage 4: semantic dedup over the survivors' embeddings
+    surv3 = s3.where(~F.col("low_q")).select("doc_id")
+    emb = embeddings.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).join(surv3, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    sem = semdedup(emb, threshold_q=sem_threshold_q).select(
+        F.col("vec_id").alias("doc_id"), (F.col("keep") == 0).alias("sem_dup")
+    )
+
+    # assemble the funnel: first failing stage wins
+    disp = (
+        d.select("doc_id")
+        .join(s1.select("doc_id", "exact_dup"), "doc_id", "left")
+        .join(s2.select("doc_id", "fp_dup"), "doc_id", "left")
+        .join(s3.select("doc_id", "low_q"), "doc_id", "left")
+        .join(sem, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.coalesce("exact_dup", F.lit(False)), F.lit("exact_dup"))
+        .when(F.coalesce("fp_dup", F.lit(False)), F.lit("neardup_fp"))
+        .when(F.coalesce("low_q", F.lit(False)), F.lit("low_quality"))
+        .when(F.coalesce("sem_dup", F.lit(False)), F.lit("sem_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return disp.select(
+        "doc_id",
+        (reason == "kept").cast("long").alias("kept"),
+        reason.alias("reason"),
+    )
