@@ -1204,15 +1204,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q41_curate_corpus"] = q41
 
-    # curation — deterministic hash-stratified sampling: rebalance an
+    # curation — BOTH deterministic sampling policies in one relation,
+    # tagged by `policy`. (1) 'stratified': rebalance an
     # overrepresented stratum (en is ~44% of documents) by keeping a
     # per-language permille of rows, decided by the document's content
-    # fingerprint (q25's rolling hash) — no RNG, so the sample is
-    # reproducible across runs, engines, and cluster sizes, and a
-    # re-crawl of the same text lands in the same bucket. Pure column
-    # expressions evaluated in the scan stage — no shuffle, no UDF; the
-    # scan reads only (doc_id, lang, text).
+    # fingerprint (q25's rolling hash) — pure column expressions in
+    # the scan stage, no shuffle, no UDF. (2) 'temperature':
+    # GLaM/Pile-style T=0.5 mixture flattening over the same skewed
+    # `lang` strata (curation.temperature_sample) — same imbalance,
+    # data-derived rates instead of fixed ones: keep rate
+    # ~ sqrt(c_min/c_s) with
+    # the sqrt expressed as an INTEGER square comparison
+    # (fpb^2 * c_s < 10^6 * c_min), per-domain counts broadcast back
+    # onto the scan. Both are RNG-free: the kept set is a pure
+    # function of content, bit-identical across runs, engines, and
+    # cluster sizes, and a re-crawl of the same text lands on the
+    # same side.
     def q42(spark, sf):
+        from ariadne_spark.operators.curation import temperature_sample
+
         d = _t(spark, sf, "documents")
         fp = F.lit(0).cast("long")
         for k in range(1, 17):
@@ -1224,69 +1234,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(F.col("lang") == "de", F.lit(500))
             .otherwise(F.lit(1000))
         )
-        return (
+        strat = (
             d.withColumn("fp_bucket", fp % F.lit(1000))
             .where(F.col("fp_bucket") < rate)
-            .select("doc_id", "lang", "fp_bucket")
+            .select(
+                F.lit("stratified").alias("policy"),
+                "doc_id",
+                F.col("lang").alias("key"),
+                F.col("fp_bucket").alias("bucket"),
+            )
         )
+        temp = temperature_sample(d.withColumn("__fp", fp), "lang", F.col("__fp"))
+        temp_rows = temp.select(
+            F.lit("temperature").alias("policy"),
+            "doc_id",
+            F.col("lang").alias("key"),
+            F.col("fpb").alias("bucket"),
+        )
+        return strat.unionByName(temp_rows)
 
-    Q["q42_stratified_sample"] = q42
+    Q["q42_sampling_policies"] = q42
 
-    # sketch — approximate COUNT(DISTINCT) via bucketed harmonic
-    # minima (functions/sketch.py). The per-bucket `min` is algebraic,
-    # so the shuffle carries <= k rows per group per mapper regardless
-    # of row count — the sketch property expressed in built-in
-    # operators; exact countDistinct rides alongside so the result
-    # shows the estimator's error. Deterministic integer arithmetic
-    # end to end, so the *approximate* value is oracle-checkable
-    # exactly (same estimate on any engine, partitioning, or cluster
-    # size).
+    # sketch suite — the three classic sketches in one normalized
+    # relation (sketch, key, est, exact): approximate COUNT(DISTINCT)
+    # via bucketed harmonic minima, count-min frequency estimation
+    # (d=4 x w=4096, the <= d*w-row table broadcasts to its probe),
+    # and histogram quantiles (p50/p95 without a total order). Every
+    # shuffle is sketch-bounded — <= k rows / <= w rows / <= n_bins
+    # rows per group per mapper regardless of input row count — and
+    # the arithmetic is deterministic integers end to end, so the
+    # APPROXIMATE values are oracle-checked exactly (same estimate on
+    # any engine, partitioning, or cluster size). `exact` carries the
+    # true value alongside each estimate (for quantiles: the group row
+    # count n, the denominator of the rank the estimate answers for).
     def q43(spark, sf):
-        from ariadne_spark.functions.sketch import distinct_sketch
+        from ariadne_spark.functions.sketch import (
+            cm_build,
+            cm_estimate,
+            distinct_sketch,
+            quantile_sketch,
+        )
 
         li = _t(spark, sf, "lineitem")
         est = distinct_sketch(li, ["l_returnflag"], F.col("l_orderkey"), k=256)
-        exact = li.groupBy("l_returnflag").agg(
-            F.countDistinct("l_orderkey").alias("exact_distinct")
+        dexact = li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("exact")
         )
-        return est.join(exact, "l_returnflag")
-
-    Q["q43_distinct_sketch"] = q43
-
-    # sketch — count-min frequency estimation: d=4 hash rows x w=4096
-    # counters (functions/sketch.py cm_build/cm_estimate). The CM
-    # table is <= d*w rows no matter how many rows it summarizes, so
-    # it broadcasts to the probe join; est_freq >= exact_freq always
-    # (counters only overcount via collisions), with the overcount
-    # visible against the exact count. Deterministic integer mix, so
-    # the approximate counters are oracle-checked exactly.
-    def q44(spark, sf):
-        from ariadne_spark.functions.sketch import cm_build, cm_estimate
-
-        li = _t(spark, sf, "lineitem")
+        d_rows = est.join(dexact, "l_returnflag").select(
+            F.lit("distinct").alias("sketch"),
+            F.col("l_returnflag").alias("key"),
+            F.col("est_distinct").alias("est"),
+            F.col("exact"),
+        )
         cm = cm_build(li, F.col("l_partkey"), d=4, w=4096)
-        exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_freq"))
-        probe = exact.orderBy(F.desc("exact_freq"), F.asc("l_partkey")).limit(20)
-        return cm_estimate(cm, probe, F.col("l_partkey"), d=4, w=4096)
-
-    Q["q44_freq_sketch"] = q44
-
-    # sketch — histogram quantiles: p50/p95 of revenue cents per
-    # returnflag without a total order (exact quantiles need a full
-    # range-shuffle + sort). Bin counts partial-aggregate map-side
-    # (shuffle <= n_bins rows per group per mapper); the estimate is
-    # the bin lower bound at rank ceil(n*p/1000), error <= bin_width
-    # by construction; integer end to end, so oracle-exact.
-    def q45(spark, sf):
-        from ariadne_spark.functions.sketch import quantile_sketch
-
-        li = _t(spark, sf, "lineitem").select(
-            "l_returnflag",
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        fexact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact"))
+        probe = fexact.orderBy(F.desc("exact"), F.asc("l_partkey")).limit(20)
+        f_rows = cm_estimate(cm, probe, F.col("l_partkey"), d=4, w=4096).select(
+            F.lit("freq").alias("sketch"),
+            F.col("l_partkey").cast("string").alias("key"),
+            F.col("est_freq").alias("est"),
+            F.col("exact"),
         )
-        return quantile_sketch(li, ["l_returnflag"], F.col("cents"), 10_000)
+        qs = quantile_sketch(
+            li.select(
+                "l_returnflag",
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            ),
+            ["l_returnflag"],
+            F.col("cents"),
+            10_000,
+        )
+        q_rows = None
+        for p in (500, 950):
+            r = qs.select(
+                F.lit(f"quantile_p{p}").alias("sketch"),
+                F.col("l_returnflag").alias("key"),
+                F.col(f"est_p{p}").alias("est"),
+                F.col("n").alias("exact"),
+            )
+            q_rows = r if q_rows is None else q_rows.unionByName(r)
+        return d_rows.unionByName(f_rows).unionByName(q_rows)
 
-    Q["q45_quantile_sketch"] = q45
+    Q["q43_sketch_suite"] = q43
 
     # curation — eval-set decontamination: distinct word 4-grams of
     # each training doc probed against the benchmark corpus's 4-gram
@@ -1318,6 +1347,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_stats(_t(spark, sf, "documents"))
 
     Q["q47_repetition_stats"] = q47
+
+    # curation — PII audit + redaction (operators/pii.py): emails,
+    # IPv4s, phone numbers counted and stripped with JVM-side regex
+    # column expressions (no UDF; patterns restricted to the
+    # Java-regex/RE2 common subset so both engines match identically).
+    # PII-bearing rows are derived deterministically from the table
+    # itself (every doc_id % 5 == 0 gains a contact line built from
+    # its own id), so the fixture needs no external data and the
+    # expected counts are a pure function of the input. The output
+    # carries residual_matches — matches remaining AFTER redaction —
+    # which the oracle pins at exactly 0: the redactor's completeness
+    # is itself driver-checked. Per-group aggregate is the only
+    # shuffle; corpus cost is one linear scan at any scale.
+    def q48(spark, sf):
+        from ariadne_spark.operators.pii import pii_stats
+
+        d = _t(spark, sf, "documents")
+        contact = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com node 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") / 256).cast("long") % 256).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+        injected = F.when(F.col("doc_id") % 5 == 0, contact).otherwise(F.col("text"))
+        return pii_stats(d.select("lang", injected.alias("t")), F.col("t"), ["lang"])
+
+    Q["q48_pii_redact"] = q48
+
+    # curation — GPT-style sequence packing (curation.pack_sequences):
+    # each pack shard's documents concatenate into one token stream
+    # sliced into fixed 512-token context windows, documents splitting
+    # across boundaries exactly as pretraining loaders pack. The shard
+    # key is data-derived (doc_id % 4), so window-partition size is
+    # bounded by shard count — the knob that keeps the one shuffle +
+    # per-partition cumulative sum scalable to 10^12 docs — and the
+    # layout is bit-identical at any parallelism.
+    def q49(spark, sf):
+        from ariadne_spark.operators.curation import pack_sequences
+
+        d = _t(spark, sf, "documents")
+        words = (
+            F.length(F.col("text"))
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long")
+        sharded = d.select(
+            (F.col("doc_id") % 4).alias("shard"), "doc_id", words.alias("w")
+        )
+        return pack_sequences(sharded, F.col("w"), 512, ["shard"], "doc_id")
+
+    Q["q49_pack_sequences"] = q49
 
     # similarity ANN — both approximate paths in one entry, tagged by
     # method: IVF-flat (THE 100 TB path: candidates bounded at
@@ -1640,7 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ariadne_spark.operators import curation
+    from ariadne_spark.operators import curation, pii
 
     geo = _DOCS_GEO_SQL
     cell8 = cells.sql_pack_cell(8, cells.sql_cell_x("lon_u", 8), cells.sql_cell_y("lat_u", 8))
@@ -1878,25 +1965,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, words, quality FROM scored
             WHERE quality >= 70 AND the_tok >= 1
         """,
-        "q42_stratified_sample": f"""
+        "q42_sampling_policies": f"""
             WITH b AS (SELECT doc_id, lang, ({fp}) % 1000 AS fp_bucket
-                       FROM documents)
-            SELECT doc_id, lang, fp_bucket FROM b
+                       FROM documents),
+            temp AS ({curation.temperature_sample_sql(
+                f"(SELECT doc_id, lang, ({fp}) AS fpv FROM documents)",
+                "lang", "fpv", ["doc_id", "lang"],
+            )})
+            SELECT 'stratified' AS policy, doc_id, lang AS "key",
+                   fp_bucket AS bucket
+            FROM b
             WHERE fp_bucket < CASE lang WHEN 'en' THEN 300
                                         WHEN 'de' THEN 500
                                         ELSE 1000 END
+            UNION ALL
+            SELECT 'temperature', doc_id, lang, fpb FROM temp
         """,
-        "q43_distinct_sketch": f"""
+        "q43_sketch_suite": f"""
             WITH est AS ({sketch}),
-            exact AS (
-              SELECT l_returnflag,
-                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
-              FROM lineitem GROUP BY l_returnflag)
-            SELECT est.l_returnflag, est.est_distinct, exact.exact_distinct
-            FROM est JOIN exact USING (l_returnflag)
+            dexact AS (
+              SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                       AS exact
+              FROM lineitem GROUP BY l_returnflag),
+            d_rows AS (
+              SELECT 'distinct' AS sketch, est.l_returnflag AS "key",
+                     est.est_distinct AS est, dexact.exact
+              FROM est JOIN dexact USING (l_returnflag)),
+            f_rows AS (
+              SELECT 'freq' AS sketch, CAST(l_partkey AS VARCHAR) AS "key",
+                     CAST(est_freq AS BIGINT) AS est,
+                     CAST(exact_freq AS BIGINT) AS exact
+              FROM ({freq})),
+            q AS ({qsk})
+            SELECT * FROM d_rows
+            UNION ALL SELECT * FROM f_rows
+            UNION ALL SELECT 'quantile_p500', l_returnflag,
+                             CAST(est_p500 AS BIGINT), n FROM q
+            UNION ALL SELECT 'quantile_p950', l_returnflag,
+                             CAST(est_p950 AS BIGINT), n FROM q
         """,
-        "q44_freq_sketch": freq,
-        "q45_quantile_sketch": qsk,
+        "q48_pii_redact": pii.pii_stats_sql(
+            """(SELECT lang,
+                       CASE WHEN doc_id % 5 = 0 THEN
+                         text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@mail.example.com node 10.0.'
+                              || CAST(doc_id % 256 AS VARCHAR) || '.'
+                              || CAST((doc_id // 256) % 256 AS VARCHAR)
+                              || ' tel 555-'
+                              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                              || '-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE text END AS t
+                FROM documents)""",
+            "t",
+            ["lang"],
+        ),
+        "q49_pack_sequences": curation.pack_sequences_sql(
+            "(SELECT doc_id % 4 AS shard, doc_id,"
+            " length(text) - length(replace(text, ' ', '')) + 1 AS w"
+            " FROM documents)",
+            "w",
+            512,
+            ["shard"],
+            "doc_id",
+        ),
         "q46_decontaminate": curation.decontaminate_sql(n=4, min_hits=3, bench_mod=10),
         "q47_repetition_stats": curation.repetition_stats_sql(),
         "q17_dedup_exact": """

@@ -396,3 +396,156 @@ def curate_multimodal(
         (reason == "kept").cast("long").alias("kept"),
         reason.alias("reason"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens: Column,
+    ctx: int,
+    pack_cols: list[str],
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: within each pack group, documents
+    concatenate into one token stream (in `order_col` order) that is
+    sliced into fixed `ctx`-token context windows — documents SPLIT
+    across window boundaries, exactly as LLM pretraining loaders pack
+    (concat-then-chunk). Returns, per document, where its tokens land:
+
+      (pack_cols..., order_col, tokens, start_tok, first_bin,
+       last_bin, n_bins)
+
+    start_tok is the document's offset in the group stream; a doc
+    spans bins floor(start/ctx) .. floor((start+tokens-1)/ctx).
+
+    One window per pack group (SUM OVER unbounded-preceding) is the
+    whole plan — a single hash-partition shuffle on pack_cols, then
+    per-partition cumulative sums; everything else is column math.
+    SCALE: window-partition size == pack-group size, so at 10^12 docs
+    the caller bounds groups with a deterministic shard key in
+    pack_cols (e.g. `doc_id % n_shards` or a content fingerprint
+    bucket — data-derived, so results are cluster-size-invariant per
+    the repo rule). Each shard is an independent token stream; loaders
+    consume shards independently, which is also how they parallelize
+    reads.
+
+    Reference analog: ariadne's file -> ordered-definition layout that
+    assigns every symbol a contiguous range in its file's stream
+    (`packages/core/src/index_single_file/index_single_file.ts:98`);
+    here the "file" is a pack shard and the range is token offsets.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*pack_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = tokens.cast("long")
+    base = df.select(*pack_cols, order_col, t.alias("tokens"))
+    cum = base.select(
+        *pack_cols,
+        order_col,
+        "tokens",
+        (F.sum("tokens").over(w) - F.col("tokens")).alias("start_tok"),
+    )
+    first_bin = _idivc(F.col("start_tok"), F.lit(ctx))
+    last_bin = _idivc(F.col("start_tok") + F.col("tokens") - 1, F.lit(ctx))
+    return cum.select(
+        *pack_cols,
+        order_col,
+        "tokens",
+        "start_tok",
+        first_bin.alias("first_bin"),
+        last_bin.alias("last_bin"),
+        (last_bin - first_bin + 1).alias("n_bins"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    fp: Column,
+    granularity: int = 1000,
+) -> DataFrame:
+    """Temperature-0.5 domain rebalancing (GLaM/Pile-style mixture
+    flattening): keep each row of domain s with probability
+    ~ sqrt(c_min / c_s), so kept counts are proportional to
+    sqrt(c_s) — overrepresented domains flatten, the smallest domain
+    keeps everything.
+
+    RNG-free and integer-exact: the keep decision is
+    fpb^2 * c_s < granularity^2 * c_min with fpb = fp % granularity
+    (`fp` any non-negative deterministic content fingerprint) — the
+    square of `fpb < granularity * sqrt(c_min/c_s)` with no float
+    sqrt, so the kept SET is bit-identical across engines, runs, and
+    cluster sizes, and a re-crawl of the same text lands on the same
+    side. Overflow-safe while granularity^2 * c_s < 2^63 (permille
+    granularity -> domains up to ~9e12 rows).
+
+    Plan: per-domain counts (hash agg) broadcast back onto the scan —
+    one linear pass, no shuffle of the corpus itself. Returns kept
+    rows plus (c_group, fpb) so the caller can audit rates.
+    """
+    g2 = granularity * granularity
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c_group"))
+    cmin = counts.agg(F.min("c_group").alias("c_min"))
+    return (
+        df.withColumn("fpb", fp % F.lit(granularity))
+        .join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(cmin))
+        .where(
+            F.col("fpb") * F.col("fpb") * F.col("c_group")
+            < F.lit(g2) * F.col("c_min")
+        )
+        .drop("c_min")
+    )
+
+
+def temperature_sample_sql(
+    table_sql: str,
+    group_col: str,
+    fp_sql: str,
+    select_cols: list[str],
+    granularity: int = 1000,
+) -> str:
+    """DuckDB twin of `temperature_sample` (same kept set)."""
+    g2 = granularity * granularity
+    cols = ", ".join(select_cols)
+    return f"""
+        WITH base AS (
+          SELECT *, ({fp_sql}) % {granularity} AS fpb FROM {table_sql}),
+        counts AS (
+          SELECT {group_col}, count(*) AS c_group FROM base GROUP BY {group_col}),
+        cmin AS (SELECT min(c_group) AS c_min FROM counts)
+        SELECT {cols}, CAST(c_group AS BIGINT) AS c_group, fpb
+        FROM base JOIN counts USING ({group_col}), cmin
+        WHERE fpb * fpb * c_group < {g2} * c_min
+    """
+
+
+def pack_sequences_sql(
+    table_sql: str,
+    tokens_sql: str,
+    ctx: int,
+    pack_cols: list[str],
+    order_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `pack_sequences` (same stream, same bins)."""
+    g = ", ".join(pack_cols)
+    return f"""
+        WITH toks AS (
+          SELECT {g}, {order_col}, CAST({tokens_sql} AS BIGINT) AS tokens
+          FROM {table_sql}),
+        cum AS (
+          SELECT {g}, {order_col}, tokens,
+                 CAST(sum(tokens) OVER (PARTITION BY {g} ORDER BY {order_col}
+                                        ROWS UNBOUNDED PRECEDING) - tokens
+                      AS BIGINT) AS start_tok
+          FROM toks)
+        SELECT {g}, {order_col}, tokens, start_tok,
+               start_tok // {ctx} AS first_bin,
+               (start_tok + tokens - 1) // {ctx} AS last_bin,
+               (start_tok + tokens - 1) // {ctx} - start_tok // {ctx} + 1
+                 AS n_bins
+        FROM cum
+    """

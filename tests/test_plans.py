@@ -166,13 +166,17 @@ def test_curate_corpus_plan_no_pairwise_join(spark, Q):
     assert "text" in p and "phash" not in p
 
 
-def test_stratified_sample_plan_is_scan_only(spark, Q):
-    """q42 sampling is a single scan stage: column expressions + filter,
-    no Exchange (no shuffle), no join, and the documents scan prunes to
-    exactly (doc_id, lang, text)."""
-    p = plan(Q["q42_stratified_sample"](spark, SF_DIR))
-    assert "Exchange" not in p
-    assert "Join" not in p
+def test_sampling_policies_plan_shape(spark, Q):
+    """q42 sampling: the stratified half is scan-only column math; the
+    temperature half adds only a per-lang count agg whose tiny result
+    BROADCASTS back onto the scan (plus the 1-row c_min broadcast) —
+    the corpus itself is never sort-merge-shuffled for a join, and no
+    per-row python appears anywhere. Scans prune to (doc_id, lang,
+    text)."""
+    p = plan(Q["q42_sampling_policies"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p  # per-lang counts join the scan broadcast
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     read_schema = p.split("ReadSchema:")[1].split("\n")[0]
     assert "text" in read_schema and "lang" in read_schema
     assert "n_chars" not in read_schema and "phash" not in read_schema
@@ -185,6 +189,32 @@ def test_decontaminate_benchmark_side_broadcasts(spark, Q):
     p = plan(Q["q46_decontaminate"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_pii_redact_plan_is_jvm_regex_scan(spark, Q):
+    """q48 PII audit: regex count/redact stays JVM-side (no python
+    eval), the only shuffle is the per-lang aggregate, and the scan
+    prunes to (doc_id, lang, text) — no bytes/phash columns."""
+    p = plan(Q["q48_pii_redact"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges <= 1, p  # the per-lang aggregate only
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" in read_schema
+    assert "phash" not in read_schema and "n_chars" not in read_schema
+
+
+def test_pack_sequences_plan_single_window_shuffle(spark, Q):
+    """q49 packing: ONE hash-partition Exchange (the per-shard window)
+    and per-partition cumulative sums — no join, no UDF, everything
+    else column math."""
+    p = plan(Q["q49_pack_sequences"](spark, SF_DIR))
+    assert "Window" in p
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges == 1, p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_repetition_stats_is_explode_plus_hashagg(spark, Q):
