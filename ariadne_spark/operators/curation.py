@@ -461,6 +461,105 @@ def pack_sequences(
     )
 
 
+def curate_images(
+    images: DataFrame,
+    min_pixels: int = 256,
+    ar_max: int = 4,
+    max_hamming: int = 6,
+    k: int = 5,
+) -> DataFrame:
+    """-> (image_id, kept, reason): one-call image-corpus disposition —
+    the image-axis twin of `curate_multimodal`, with a mutually-
+    exclusive drop reason per image (first failing stage wins, so the
+    output doubles as a funnel report):
+
+      1. bad_format   fmt outside the codec registry, or NULL bytes
+      2. too_small    w*h < min_pixels
+      3. bad_aspect   w > ar_max*h or h > ar_max*w
+      4. exact_dup    md5(bytes) hash dedup, min-id canonical
+      5. phash_dup    perceptual near-dup: knn_edges pairs at
+                      hamming <= max_hamming -> dup_clusters connected
+                      components -> min-id canonical per cluster
+      6. kept
+
+    Stages 1-4 are column expressions + one hash groupBy (linear at
+    any scale; no decode — fmt/w/h/bytes-hash gates read metadata and
+    bytes once). Stage 5 runs only on stage-1..4 survivors and reuses
+    the banded-LSH x k-ring kNN join (cost shapes in docs/SCALE.md),
+    then connected components so transitive near-dups (A~B~C) collapse
+    to ONE canonical even when (A,C) was never a pair. Deterministic
+    end to end: min-id canonicals, integer gates, knn/cluster
+    parallelism-invariance contracts.
+
+    Reference analog: `Project.update_file`'s fixed stage dataflow —
+    each phase consumes the previous phase's survivors
+    (`packages/core/src/project/project.ts:241-393`).
+    """
+    from ariadne_spark.functions.codecs import CODECS
+    from ariadne_spark.operators.dedup import dup_clusters
+    from ariadne_spark.operators.knn import knn_edges
+
+    fmts = sorted(CODECS.keys())
+    base = images.select("image_id", "bytes", "w", "h", "fmt", "lon_u", "lat_u", "phash")
+
+    s1 = base.withColumn(
+        "bad_format", (~F.col("fmt").isin(fmts)) | F.col("bytes").isNull()
+    )
+    s2 = s1.withColumn(
+        "too_small",
+        (~F.col("bad_format"))
+        & (F.col("w").cast("long") * F.col("h").cast("long") < min_pixels),
+    )
+    s3 = s2.withColumn(
+        "bad_aspect",
+        (~F.col("bad_format"))
+        & (~F.col("too_small"))
+        & (
+            (F.col("w") > F.lit(ar_max) * F.col("h"))
+            | (F.col("h") > F.lit(ar_max) * F.col("w"))
+        ),
+    )
+
+    surv3 = s3.where(
+        ~F.col("bad_format") & ~F.col("too_small") & ~F.col("bad_aspect")
+    )
+    keyed = surv3.withColumn("kmd5", F.md5("bytes"))
+    canon = keyed.groupBy("kmd5").agg(F.min("image_id").alias("canon"))
+    s4 = keyed.join(canon, "kmd5").withColumn(
+        "exact_dup", F.col("image_id") != F.col("canon")
+    )
+
+    surv4 = s4.where(~F.col("exact_dup"))
+    pairs = knn_edges(surv4, k=k, max_hamming=max_hamming).select(
+        "src_image_id", "dst_image_id"
+    )
+    clusters = dup_clusters(pairs, "src_image_id", "dst_image_id").select(
+        F.col("doc_id").alias("image_id"),
+        (F.col("doc_id") != F.col("cluster_id")).alias("phash_dup"),
+    )
+
+    disp = (
+        base.select("image_id")
+        .join(s3.select("image_id", "bad_format", "too_small", "bad_aspect"),
+              "image_id", "left")
+        .join(s4.select("image_id", "exact_dup"), "image_id", "left")
+        .join(clusters, "image_id", "left")
+    )
+    reason = (
+        F.when(F.coalesce("bad_format", F.lit(False)), F.lit("bad_format"))
+        .when(F.coalesce("too_small", F.lit(False)), F.lit("too_small"))
+        .when(F.coalesce("bad_aspect", F.lit(False)), F.lit("bad_aspect"))
+        .when(F.coalesce("exact_dup", F.lit(False)), F.lit("exact_dup"))
+        .when(F.coalesce("phash_dup", F.lit(False)), F.lit("phash_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return disp.select(
+        "image_id",
+        (reason == "kept").cast("long").alias("kept"),
+        reason.alias("reason"),
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

@@ -205,3 +205,74 @@ def test_curate_multimodal_funnel(spark):
     }
     assert by_reason.get("sem_dup", set()) == sem
     assert rows and len(by_reason.get("kept", set())) > 0
+
+
+# ---------------------------------------------------------------------------
+# curate_images — the image-axis funnel
+# ---------------------------------------------------------------------------
+
+
+def test_curate_images_funnel(spark, images_df):
+    """One disposition per image; constructed rows hit each metadata
+    gate; exact/phash dup stages match independent recomputation over
+    the same survivors (first-failing-wins precedence throughout)."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.curation import curate_images
+    from ariadne_spark.operators.dedup import dup_clusters
+    from ariadne_spark.operators.knn import knn_edges
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "lon_u", "lat_u", "phash"]
+    base = images_df.select(*cols).orderBy("image_id").limit(400)
+    first = base.orderBy("image_id").first()
+
+    def variant(img_id, **over):
+        row = {c: first[c] for c in cols}
+        row["image_id"] = img_id
+        row.update(over)
+        return spark.createDataFrame([tuple(row[c] for c in cols)], base.schema)
+
+    adversarial = (
+        variant("zz_badfmt", fmt="tiff")
+        .unionByName(variant("zz_nullbytes", bytes=None))
+        .unionByName(variant("zz_tiny", w=2, h=2))
+        .unionByName(variant("zz_wide", w=400, h=20))  # 8000 px, 20:1 aspect
+        .unionByName(variant("zz_exactdup"))  # byte-identical to `first`
+        # precedence: bad fmt AND tiny -> bad_format wins
+        .unionByName(variant("zz_both", fmt="tiff", w=1, h=1))
+    )
+    inp = base.unionByName(adversarial)
+
+    out = {r["image_id"]: r for r in curate_images(inp).collect()}
+    assert len(out) == inp.count()  # total coverage, one row per image
+    for r in out.values():
+        assert r["kept"] == int(r["reason"] == "kept")
+
+    assert out["zz_badfmt"]["reason"] == "bad_format"
+    assert out["zz_nullbytes"]["reason"] == "bad_format"
+    assert out["zz_tiny"]["reason"] == "too_small"
+    assert out["zz_wide"]["reason"] == "bad_aspect"
+    assert out["zz_both"]["reason"] == "bad_format"
+    assert out["zz_exactdup"]["reason"] == "exact_dup"
+    assert out[first["image_id"]]["reason"] != "exact_dup"  # canonical survives
+
+    # phash stage == independent knn+clusters over the same survivors
+    meta_ok = {
+        i
+        for i, r in out.items()
+        if r["reason"] not in ("bad_format", "too_small", "bad_aspect", "exact_dup")
+    }
+    surv = inp.where(F.col("image_id").isin(list(meta_ok)))
+    pairs = knn_edges(surv, k=5, max_hamming=6).select(
+        "src_image_id", "dst_image_id"
+    )
+    want_phash = {
+        r["doc_id"]
+        for r in dup_clusters(pairs, "src_image_id", "dst_image_id").collect()
+        if r["doc_id"] != r["cluster_id"]
+    }
+    got_phash = {i for i, r in out.items() if r["reason"] == "phash_dup"}
+    assert got_phash == want_phash
+    # the synth corpus plants ~5% near-dups, so the stage must fire
+    assert len(got_phash) > 0
+    assert sum(1 for r in out.values() if r["kept"]) > 0
