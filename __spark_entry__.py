@@ -1335,16 +1335,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q46_decontaminate"] = q46
 
-    # curation — Gopher-style repetition gates (Rae et al. 2112.11446
-    # §A1.1) as integer permille: most-frequent-word share and
-    # duplicate-bigram share per document; repetitive = top word
-    # >= 15% of tokens OR dup bigrams >= 10%. Explode + hash-agg only
-    # — map-side combinable, no joins wider than per-doc aggregates
+    # curation — BOTH repetition signals per document in one relation:
+    # intra-doc Gopher gates (Rae et al. 2112.11446 §A1.1 — most-
+    # frequent-word share, duplicate-bigram share, repetitive verdict)
+    # joined with the CROSS-doc duplicated-4-gram coverage
+    # (RefinedWeb-style boilerplate signal, 2306.01116 §G: fraction of
+    # a doc's distinct 4-grams appearing in >= 1 other doc). All
+    # integer permille. Cost shapes: explode + hash-agg per grain plus
+    # ONE gram-keyed equi-join for the cross-doc counts — linear in
+    # total gram count, map-side combinable, nothing pairwise
     # (operators/curation.py).
     def q47(spark, sf):
-        from ariadne_spark.operators.curation import repetition_stats
+        from ariadne_spark.operators.curation import (
+            dup_ngram_coverage,
+            repetition_stats,
+        )
 
-        return repetition_stats(_t(spark, sf, "documents"))
+        d = _t(spark, sf, "documents")
+        return repetition_stats(d).join(
+            dup_ngram_coverage(d, n=4).select(
+                "doc_id", "n_grams", "dup_gram_permille"
+            ),
+            "doc_id",
+        )
 
     Q["q47_repetition_stats"] = q47
 
@@ -2030,7 +2043,12 @@ def oracle_sql() -> dict[str, str]:
             "doc_id",
         ),
         "q46_decontaminate": curation.decontaminate_sql(n=4, min_hits=3, bench_mod=10),
-        "q47_repetition_stats": curation.repetition_stats_sql(),
+        "q47_repetition_stats": f"""
+            WITH rep AS ({curation.repetition_stats_sql()}),
+            cov AS ({curation.dup_ngram_coverage_sql(n=4)})
+            SELECT rep.*, cov.n_grams, cov.dup_gram_permille
+            FROM rep JOIN cov USING (doc_id)
+        """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,
                    min(doc_id) AS canonical_doc, count(*) AS group_size

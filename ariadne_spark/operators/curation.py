@@ -160,6 +160,71 @@ def repetition_stats(
     )
 
 
+def dup_ngram_coverage(
+    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, n_grams, n_dup_grams, dup_gram_permille) per document:
+    the CROSS-document twin of `repetition_stats` (which is
+    intra-document) — what fraction of a doc's distinct word n-grams
+    also appear in at least one OTHER document (RefinedWeb-style
+    boilerplate/duplication signal, arXiv:2306.01116 §G: "fraction of
+    characters in duplicated n-grams"; here gram-granular and integer
+    permille so both engines agree bit-for-bit).
+
+    Plan shape at any scale: explode distinct per-doc grams, one hash
+    agg for distinct-doc counts per gram, one equi-join back keyed by
+    gram, one per-doc agg — everything linear in total gram count with
+    map-side partial aggregation; nothing pairwise. Docs with < n
+    words have zero grams and report (0, 0, 0).
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    ndocs = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (
+        grams.join(ndocs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("ndocs") >= 2).cast("long")).cast("long").alias("n_dup_grams"),
+        )
+    )
+    base = docs.select(id_col).join(per_doc, id_col, "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_dup = F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
+    pm = F.when(n_grams > 0, _idivc(n_dup * F.lit(1000), n_grams)).otherwise(
+        F.lit(0).cast("long")
+    )
+    return base.select(
+        id_col,
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        pm.alias("dup_gram_permille"),
+    )
+
+
+def dup_ngram_coverage_sql(n: int = 4) -> str:
+    """DuckDB oracle for dup_ngram_coverage() over the documents view."""
+    g = sql_word_ngrams("text", n)
+    return f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest({g}) AS gram FROM documents)),
+        c AS (SELECT gram, count(*) AS ndocs FROM g GROUP BY gram),
+        p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_grams
+              FROM g JOIN c USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               CASE WHEN coalesce(n_grams, 0) > 0
+                    THEN (coalesce(n_dup_grams, 0) * 1000) // n_grams
+                    ELSE 0 END AS dup_gram_permille
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN p USING (doc_id)
+    """
+
+
 def decontaminate_sql(n: int = 4, min_hits: int = 3, bench_mod: int = 10) -> str:
     """DuckDB oracle for decontaminate() with benchmark =
     documents where doc_id % bench_mod == 0 (the driver-entry split)."""

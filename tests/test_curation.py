@@ -276,3 +276,27 @@ def test_curate_images_funnel(spark, images_df):
     # the synth corpus plants ~5% near-dups, so the stage must fire
     assert len(got_phash) > 0
     assert sum(1 for r in out.values() if r["kept"]) > 0
+
+
+def test_dup_ngram_coverage_matches_python_oracle(spark, docs_df):
+    """Cross-doc semantics: a gram repeated INSIDE one doc only is not
+    a dup; sub-n docs report (0,0,0); permille is floor-exact."""
+    from ariadne_spark.operators.curation import dup_ngram_coverage
+
+    n = 4
+    sets = {d: set(py_ngrams(t, n)) if len(t.split(" ")) >= n else set()
+            for d, t in DOCS}
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_gram_permille"])
+        for r in dup_ngram_coverage(docs_df, n=n).collect()
+    }
+    assert set(got) == {d for d, _ in DOCS}
+    for d, s in sets.items():
+        dup = sum(
+            1 for g in s if any(g in s2 for d2, s2 in sets.items() if d2 != d)
+        )
+        pm = (dup * 1000) // len(s) if s else 0
+        assert got[d] == (len(s), dup, pm), d
+    # fixture sanity: the overlap pair (docs 0/4) must actually fire
+    assert got[0][1] > 0 and got[4][1] > 0
+    assert got[1] == (0, 0, 0)  # 2-word doc: no 4-grams
