@@ -687,6 +687,60 @@ def temperature_sample_sql(
     """
 
 
+def pack_greedy(
+    df: DataFrame,
+    tokens: Column,
+    ctx: int,
+    pack_cols: list[str],
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Non-splitting sequence packing: documents fill a ctx-token bin
+    in `order_col` order and a NEW bin opens when the next document
+    would overflow — no document crosses a bin boundary (the
+    finetuning/eval layout, where example boundaries are semantic;
+    `pack_sequences` is the pretraining concat-then-chunk layout).
+    Documents longer than ctx get a bin of their own (and overflow it —
+    callers gate those upstream). Returns
+    (pack_cols..., order_col, tokens, bin_id, bin_fill) where bin_fill
+    is the bin's running token count AFTER this document.
+
+    Bin assignment is inherently sequential within a shard (each
+    decision depends on the previous fill), so it runs as ONE
+    applyInPandas pass per pack group — a vectorized-enough numpy loop
+    over that shard's (already sorted) docs; the parallelism unit is
+    the shard, same knob and same determinism argument as
+    `pack_sequences` (data-derived shard key -> bit-identical layout
+    at any cluster size).
+    """
+    import pandas as pd
+
+    schema_parts = []
+    for c in pack_cols:
+        schema_parts.append(f"{c} {dict(df.select(c).dtypes)[c]}")
+    schema_parts.append(f"{order_col} {dict(df.select(order_col).dtypes)[order_col]}")
+    schema_parts += ["tokens long", "bin_id long", "bin_fill long"]
+    out_schema = ", ".join(schema_parts)
+
+    base = df.select(*pack_cols, order_col, tokens.cast("long").alias("tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf["tokens"].to_numpy()
+        bin_id = [0] * len(toks)
+        bin_fill = [0] * len(toks)
+        b, fill = 0, 0
+        for i, t in enumerate(toks):
+            if fill > 0 and fill + t > ctx:
+                b, fill = b + 1, 0
+            fill += int(t)
+            bin_id[i], bin_fill[i] = b, fill
+        pdf["bin_id"] = bin_id
+        pdf["bin_fill"] = bin_fill
+        return pdf
+
+    return base.groupBy(*pack_cols).applyInPandas(pack, out_schema)
+
+
 def pack_sequences_sql(
     table_sql: str,
     tokens_sql: str,

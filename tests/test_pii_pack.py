@@ -166,6 +166,46 @@ def test_pack_sequences_matches_python_oracle(spark, nparts):
         assert r["n_bins"] == lb - fb + 1
 
 
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_pack_greedy_matches_python_oracle(spark, nparts):
+    """Non-splitting packing: greedy next-fit per shard in doc order —
+    no doc crosses a bin, over-ctx docs get their own bin, and the
+    assignment is parallelism-invariant."""
+    from ariadne_spark.operators.curation import pack_greedy
+
+    rows = PACK_ROWS + [(2, 9, 30)]  # an over-ctx doc (ctx=8)
+    df = spark.createDataFrame(
+        rows, "shard long, doc_id long, tokens long"
+    ).repartition(nparts)
+    got = {
+        r["doc_id"]: (r["shard"], r["tokens"], r["bin_id"], r["bin_fill"])
+        for r in pack_greedy(df, F.col("tokens"), CTX, ["shard"], "doc_id").collect()
+    }
+    # python oracle
+    exp = {}
+    by_shard = {}
+    for s, d, t in sorted(rows, key=lambda r: (r[0], r[1])):
+        b, fill = by_shard.get(s, (0, 0))
+        if fill > 0 and fill + t > CTX:
+            b, fill = b + 1, 0
+        fill += t
+        by_shard[s] = (b, fill)
+        exp[d] = (s, t, b, fill)
+    assert got == exp
+    # no bin holds two docs whose sum exceeds ctx (unless a single
+    # over-ctx doc owns it)
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for d, (s, t, b, _f) in got.items():
+        bins[(s, b)].append(t)
+    for members in bins.values():
+        assert sum(members) <= CTX or len(members) == 1
+    # the over-ctx doc sits alone in its bin
+    s9 = got[9]
+    assert [t for (s, t, b, _f) in got.values() if (s, b) == (s9[0], s9[2])] == [30]
+
+
 def test_temperature_sample_matches_python_oracle(spark):
     """Kept set == the integer-exact python definition; kept counts
     track sqrt(c_s) (flattening), smallest domain keeps everything."""
