@@ -1077,10 +1077,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(0).cast("long").alias("n_phash_violations"),
             F.lit(None).cast("double").alias("min_psnr"),
         )
+        # image-curation funnel rides in the same entry, reduced to the
+        # summary shape: one row per disposition reason (stage='curate',
+        # fmt=reason). In-entry asserts: total coverage (every image
+        # gets exactly one reason) and the phash near-dup stage firing
+        # on the synth corpus's planted ~5% near-duplicates; per-gate
+        # adversarial rows + stage==independent-recomputation parity in
+        # tests/test_curation.py.
+        from ariadne_spark.operators.curation import curate_images
+
+        funnel = curate_images(images).groupBy("reason").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        frows = {r["reason"]: r["n_rows"] for r in funnel.collect()}
+        assert sum(frows.values()) == 2000, "funnel must cover every image"
+        assert frows.get("phash_dup", 0) > 0, "planted near-dups must be caught"
+        cur = funnel.select(
+            F.lit("curate").alias("stage"),
+            F.col("reason").alias("fmt"),
+            F.col("n_rows").cast("long"),
+            F.lit(0).cast("long").alias("n_pixel_violations"),
+            F.lit(0).cast("long").alias("n_caption_violations"),
+            F.lit(0).cast("long").alias("n_phash_violations"),
+            F.lit(None).cast("double").alias("min_psnr"),
+        )
+
         out = (
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
             .unionByName(pad(vid, "video", "fvid"))
+            .unionByName(cur)
         )
         bad = out.where(
             (F.col("n_pixel_violations") > 0)

@@ -482,6 +482,12 @@ def pack_sequences(
     start_tok is the document's offset in the group stream; a doc
     spans bins floor(start/ctx) .. floor((start+tokens-1)/ctx).
 
+    INPUT CONTRACT: tokens >= 1 per document (a 0-token doc at a
+    window boundary would make start+tokens-1 negative, where Spark's
+    `%` truncates toward zero but DuckDB's `//` floors — the engines
+    would disagree). Filter empty docs upstream; every tokenizer in
+    this repo yields >= 1.
+
     One window per pack group (SUM OVER unbounded-preceding) is the
     whole plan — a single hash-partition shuffle on pack_cols, then
     per-partition cumulative sums; everything else is column math.
