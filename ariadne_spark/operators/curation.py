@@ -486,7 +486,12 @@ def pack_sequences(
     window boundary would make start+tokens-1 negative, where Spark's
     `%` truncates toward zero but DuckDB's `//` floors — the engines
     would disagree). Filter empty docs upstream; every tokenizer in
-    this repo yields >= 1.
+    this repo yields >= 1. Additionally each shard's TOTAL token
+    stream must stay below 2^53 (the bin math floor-divides via exact
+    float64 division, which is only exact up to 2^53; DuckDB's //
+    stays exact in int128 and would diverge past that) — at the
+    prescribed sharding (~10^6-7 docs/shard) that bound has ~6 orders
+    of magnitude of headroom.
 
     One window per pack group (SUM OVER unbounded-preceding) is the
     whole plan — a single hash-partition shuffle on pack_cols, then
@@ -573,9 +578,17 @@ def curate_images(
     fmts = sorted(CODECS.keys())
     base = images.select("image_id", "bytes", "w", "h", "fmt", "lon_u", "lat_u", "phash")
 
-    s1 = base.withColumn(
-        "bad_format", (~F.col("fmt").isin(fmts)) | F.col("bytes").isNull()
+    # NULL-safe fail-closed gate: NULL fmt/w/h/bytes must land in
+    # bad_format, not slip past every gate to 'kept' (isin/comparisons
+    # on NULL yield NULL, which `where(~flag)` would drop from the dup
+    # stages while the reason coalesce fell through to 'kept').
+    meta_ok = (
+        F.col("fmt").isin(fmts)
+        & F.col("bytes").isNotNull()
+        & F.col("w").isNotNull()
+        & F.col("h").isNotNull()
     )
+    s1 = base.withColumn("bad_format", ~F.coalesce(meta_ok, F.lit(False)))
     s2 = s1.withColumn(
         "too_small",
         (~F.col("bad_format"))
@@ -609,10 +622,11 @@ def curate_images(
         (F.col("doc_id") != F.col("cluster_id")).alias("phash_dup"),
     )
 
+    # s3 already holds exactly one row per image with all three flags —
+    # start the disposition there (joining base back would be an
+    # identity self-join: one extra corpus-wide shuffle for nothing).
     disp = (
-        base.select("image_id")
-        .join(s3.select("image_id", "bad_format", "too_small", "bad_aspect"),
-              "image_id", "left")
+        s3.select("image_id", "bad_format", "too_small", "bad_aspect")
         .join(s4.select("image_id", "exact_dup"), "image_id", "left")
         .join(clusters, "image_id", "left")
     )
@@ -720,10 +734,8 @@ def pack_greedy(
     """
     import pandas as pd
 
-    schema_parts = []
-    for c in pack_cols:
-        schema_parts.append(f"{c} {dict(df.select(c).dtypes)[c]}")
-    schema_parts.append(f"{order_col} {dict(df.select(order_col).dtypes)[order_col]}")
+    types = dict(df.dtypes)
+    schema_parts = [f"{c} {types[c]}" for c in [*pack_cols, order_col]]
     schema_parts += ["tokens long", "bin_id long", "bin_fill long"]
     out_schema = ", ".join(schema_parts)
 

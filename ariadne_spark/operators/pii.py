@@ -106,11 +106,18 @@ def pii_stats_sql(table_sql: str, text_sql: str, group_cols: list[str]) -> str:
     DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
     global by default); RE2 never escapes `\\` inside a standard
     single-quoted SQL literal, so the patterns paste verbatim.
+
+    residual_matches is a LITERAL 0 here, deliberately NOT a
+    recomputation: the column is the redactor's completeness contract,
+    and pinning the constant makes the driver's value-hash compare
+    FAIL if Spark's computed residual ever becomes nonzero. A twin
+    that recomputed the residual with the same regexes would pass on
+    any incomplete redaction both engines agree on — parity without
+    the guarantee.
     """
     g = ", ".join(group_cols)
     kinds = [(k, p) for k, p, _ in PII_PATTERNS]
     red = _sql_redact(text_sql)
-    residual = " + ".join(_sql_count(red, p) for _, p in kinds)
     per_kind = ",\n                 ".join(
         f"CAST({_sql_count(text_sql, p)} AS BIGINT) AS n_{k}" for k, p in kinds
     )
@@ -122,14 +129,13 @@ def pii_stats_sql(table_sql: str, text_sql: str, group_cols: list[str]) -> str:
         WITH per_doc AS (
           SELECT {g},
                  {per_kind},
-                 CAST(length({text_sql}) - length({red}) AS BIGINT) AS delta,
-                 CAST({residual} AS BIGINT) AS residual
+                 CAST(length({text_sql}) - length({red}) AS BIGINT) AS delta
           FROM {table_sql})
         SELECT {g}, count(*) AS n_docs,
                CAST(sum(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS docs_with_pii,
                {sums},
                CAST(sum(delta) AS BIGINT) AS redacted_delta_chars,
-               CAST(sum(residual) AS BIGINT) AS residual_matches
+               CAST(0 AS BIGINT) AS residual_matches
         FROM per_doc GROUP BY {g}
     """

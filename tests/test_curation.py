@@ -238,6 +238,12 @@ def test_curate_images_funnel(spark, images_df):
         .unionByName(variant("zz_tiny", w=2, h=2))
         .unionByName(variant("zz_wide", w=400, h=20))  # 8000 px, 20:1 aspect
         .unionByName(variant("zz_exactdup"))  # byte-identical to `first`
+        # NULL metadata must fail CLOSED (bad_format), never fall
+        # through every NULL-skipping gate to 'kept' — regression for
+        # the fail-open bug (NULL fmt on a byte-duplicate shipped both
+        # copies)
+        .unionByName(variant("zz_nullfmt", fmt=None))
+        .unionByName(variant("zz_nullw", w=None))
         # precedence: bad fmt AND tiny -> bad_format wins
         .unionByName(variant("zz_both", fmt="tiff", w=1, h=1))
     )
@@ -253,6 +259,8 @@ def test_curate_images_funnel(spark, images_df):
     assert out["zz_tiny"]["reason"] == "too_small"
     assert out["zz_wide"]["reason"] == "bad_aspect"
     assert out["zz_both"]["reason"] == "bad_format"
+    assert out["zz_nullfmt"]["reason"] == "bad_format"
+    assert out["zz_nullw"]["reason"] == "bad_format"
     assert out["zz_exactdup"]["reason"] == "exact_dup"
     assert out[first["image_id"]]["reason"] != "exact_dup"  # canonical survives
 
