@@ -1352,12 +1352,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus-side cost is one explode + two hash aggs — linear at any
     # scale (operators/curation.py).
     def q46(spark, sf):
-        from ariadne_spark.operators.curation import decontaminate
+        from ariadne_spark.operators.curation import (
+            bloom_decontaminate,
+            decontaminate,
+        )
 
         d = _t(spark, sf, "documents")
         bench = d.where(F.col("doc_id") % 10 == 0)
         corpus = d.where(F.col("doc_id") % 10 != 0)
-        return decontaminate(corpus, bench, n=4, min_hits=3)
+        exact = decontaminate(corpus, bench, n=4, min_hits=3)
+        # memory-bounded variant rides alongside: the benchmark gram
+        # set summarized as a <= m_bits-row Bloom table (the broadcast
+        # stays bounded however large the held-out set grows); its
+        # deterministic integer hashing makes even the false positives
+        # bit-identical across engines, so the approximate columns are
+        # oracle-checked exactly. bloom_hits >= n_contaminated_grams
+        # always (no false negatives; asserted in test_curation).
+        bloom = bloom_decontaminate(
+            corpus, bench, n=4, m_bits=1 << 16, k=3, min_hits=3
+        )
+        return exact.join(bloom, "doc_id")
 
     Q["q46_decontaminate"] = q46
 
@@ -2068,7 +2082,13 @@ def oracle_sql() -> dict[str, str]:
             ["shard"],
             "doc_id",
         ),
-        "q46_decontaminate": curation.decontaminate_sql(n=4, min_hits=3, bench_mod=10),
+        "q46_decontaminate": f"""
+            WITH exact AS ({curation.decontaminate_sql(n=4, min_hits=3, bench_mod=10)}),
+            bloom AS ({curation.bloom_decontaminate_sql(
+                n=4, m_bits=1 << 16, k=3, min_hits=3, bench_mod=10)})
+            SELECT exact.*, bloom.bloom_hits, bloom.bloom_contaminated
+            FROM exact JOIN bloom USING (doc_id)
+        """,
         "q47_repetition_stats": f"""
             WITH rep AS ({curation.repetition_stats_sql()}),
             cov AS ({curation.dup_ngram_coverage_sql(n=4)})

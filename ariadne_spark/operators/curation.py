@@ -160,6 +160,137 @@ def repetition_stats(
     )
 
 
+BLOOM_SALTS = (0, 271_828_182, 141_421_356, 577_215_664)  # one per hash fn
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    min_hits: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Memory-bounded twin of `decontaminate`: the benchmark's n-gram
+    set is summarized as a Bloom filter — the k hash positions each
+    gram occupies in an m_bits-slot table — so the broadcast side is
+    AT MOST m_bits rows no matter how many grams the benchmark holds.
+    `decontaminate` broadcasts the distinct grams themselves, which is
+    right while benchmarks are small; when the held-out set is itself
+    web-scale (dedup-against-another-crawl, multi-benchmark unions),
+    the Bloom side stays bounded and only the false-positive rate
+    ((k·B/m)^k for B benchmark grams) moves.
+
+    -> (id, bloom_hits, bloom_contaminated): per corpus doc, how many
+    of its distinct grams the filter claims are in the benchmark
+    (bloom_hits >= the exact count ALWAYS — Bloom filters have no
+    false negatives — asserted in tests), and the >= min_hits verdict.
+
+    Deterministic integer hashing end to end (rolling string
+    fingerprint -> k salted mixes), so the filter's bit pattern — and
+    therefore every false positive — is bit-identical across engines,
+    partitionings, and cluster sizes: the driver oracle-checks the
+    approximate operator exactly, same contract as the sketches.
+    """
+    from ariadne_spark.functions.sketch import M31, mix_col, rolling_fp_col
+
+    assert k <= len(BLOOM_SALTS), f"at most {len(BLOOM_SALTS)} hash fns"
+
+    def positions(fp: Column) -> list[Column]:
+        return [
+            _idivc(mix_col(fp + F.lit(BLOOM_SALTS[j])) * F.lit(m_bits), F.lit(M31))
+            for j in range(k)
+        ]
+
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    bfp = rolling_fp_col(F.col("gram"))
+    bloom = (
+        bench_grams.select(F.explode(F.array(*positions(bfp))).alias("pos"))
+        .distinct()
+        .withColumn("present", F.lit(1).cast("long"))
+    )
+
+    cg = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    cfp = rolling_fp_col(F.col("gram"))
+    probe = cg.select(
+        id_col, "gram", F.explode(F.array(*positions(cfp))).alias("pos")
+    )
+    per_gram = (
+        probe.join(F.broadcast(bloom), "pos", "left")
+        .groupBy(id_col, "gram")
+        .agg((F.sum(F.coalesce("present", F.lit(0))) == F.lit(k)).alias("hit"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum(F.col("hit").cast("long")).alias("bloom_hits")
+    )
+    base = corpus.select(id_col).join(per_doc, id_col, "left")
+    hits = F.coalesce(F.col("bloom_hits"), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        hits.alias("bloom_hits"),
+        (hits >= min_hits).cast("long").alias("bloom_contaminated"),
+    )
+
+
+def bloom_decontaminate_sql(
+    n: int = 4,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    min_hits: int = 3,
+    bench_mod: int = 10,
+) -> str:
+    """DuckDB oracle for bloom_decontaminate() with benchmark =
+    documents where doc_id % bench_mod == 0 (the driver-entry split)."""
+    from ariadne_spark.functions.sketch import M31, mix_sql, rolling_fp_sql
+
+    g = sql_word_ngrams("text", n)
+    # the 64-op rolling fingerprint materializes ONCE per gram stream
+    # (bfp/cfp CTEs); only the cheap salted mixes expand per hash fn
+    fp = rolling_fp_sql("gram")
+    bpos = " UNION ALL ".join(
+        f"SELECT (({mix_sql(f'fpv + {BLOOM_SALTS[j]}')}) * {m_bits})"
+        f" // {M31} AS pos FROM bfp"
+        for j in range(k)
+    )
+    return f"""
+        WITH all_grams AS (
+          SELECT doc_id, unnest({g}) AS gram FROM documents),
+        bgrams AS (
+          SELECT DISTINCT gram FROM all_grams WHERE doc_id % {bench_mod} = 0),
+        bfp AS (SELECT ({fp}) AS fpv FROM bgrams),
+        bloom_pos AS (SELECT DISTINCT pos FROM ({bpos})),
+        cgrams AS (
+          SELECT DISTINCT doc_id, gram FROM all_grams
+          WHERE doc_id % {bench_mod} <> 0),
+        cfp AS (SELECT doc_id, gram, ({fp}) AS fpv FROM cgrams),
+        cpos AS ({" UNION ALL ".join(
+            f"SELECT doc_id, gram, (({mix_sql(f'fpv + {BLOOM_SALTS[j]}')})"
+            f" * {m_bits}) // {M31} AS pos FROM cfp"
+            for j in range(k))}),
+        per_gram AS (
+          SELECT doc_id, gram,
+                 CAST(sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = {k}
+                      AS BIGINT) AS hit
+          FROM cpos LEFT JOIN bloom_pos b USING (pos)
+          GROUP BY doc_id, gram),
+        per_doc AS (
+          SELECT doc_id, CAST(sum(hit) AS BIGINT) AS bloom_hits
+          FROM per_gram GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(bloom_hits, 0) AS BIGINT) AS bloom_hits,
+               CAST(coalesce(bloom_hits, 0) >= {min_hits} AS BIGINT)
+                 AS bloom_contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0) d
+        LEFT JOIN per_doc USING (doc_id)
+    """
+
+
 def dup_ngram_coverage(
     docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -308,3 +308,51 @@ def test_dup_ngram_coverage_matches_python_oracle(spark, docs_df):
     # fixture sanity: the overlap pair (docs 0/4) must actually fire
     assert got[0][1] > 0 and got[4][1] > 0
     assert got[1] == (0, 0, 0)  # 2-word doc: no 4-grams
+
+
+def test_bloom_decontaminate_properties(spark, docs_df):
+    """Bloom decontamination: no false negatives vs the exact operator
+    at any m; a saturated (tiny-m) filter flags every gram; output is
+    parallelism-invariant."""
+    from ariadne_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    bench = docs_df.where(F.col("doc_id") == 0)
+    corpus = docs_df.where(F.col("doc_id") != 0)
+    exact = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in decontaminate(corpus, bench, n=4, min_hits=2).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["bloom_hits"]
+        for r in bloom_decontaminate(
+            corpus, bench, n=4, m_bits=1 << 16, k=3, min_hits=2
+        ).collect()
+    }
+    assert set(bloom) == set(exact)  # corpus-sized output
+    for d, e in exact.items():
+        assert bloom[d] >= e, f"false negative on doc {d}"
+
+    # m_bits=1 saturates the filter: every position is occupied, so
+    # every gram of every doc "hits" — the false-positive ceiling
+    sat = {
+        r["doc_id"]: (r["bloom_hits"], r["bloom_contaminated"])
+        for r in bloom_decontaminate(
+            corpus, bench, n=4, m_bits=1, k=3, min_hits=1
+        ).collect()
+    }
+    for did, text in DOCS[1:]:
+        n_grams = len(set(py_ngrams(text, 4)))
+        assert sat[did] == (n_grams, int(n_grams >= 1)), did
+
+    # parallelism invariance (approximation included)
+    b7 = {
+        r["doc_id"]: r["bloom_hits"]
+        for r in bloom_decontaminate(
+            corpus.repartition(7), bench.repartition(3),
+            n=4, m_bits=1 << 16, k=3, min_hits=2,
+        ).collect()
+    }
+    assert b7 == bloom
