@@ -398,6 +398,28 @@ def rolling_fp_col(col: Column, n_chars: int = 16) -> Column:
     return (fp * F.lit(31) + F.length(col)) % F.lit(M31)
 
 
+def rolling_fp_py(s: str, n_chars: int = 16) -> int:
+    """Pure-python twin of `rolling_fp_col`/`rolling_fp_sql` (same
+    ASCII-only contract) — the executable definition the property test
+    pins both engines against for ALL inputs."""
+    fp = 0
+    for i in range(n_chars):
+        fp = (fp * 31 + (ord(s[i]) if i < len(s) else 0)) % M31
+    rev = s[::-1]
+    for i in range(n_chars):
+        fp = (fp * 31 + (ord(rev[i]) if i < len(rev) else 0)) % M31
+    return (fp * 31 + len(s)) % M31
+
+
+def mix_py(x: int) -> int:
+    """Pure-python twin of `mix_col`/`mix_sql` (scalar)."""
+    v = x % M31
+    for a, sh in _MIX_ROUNDS:
+        v = (v * a + 12345) % M31
+        v = v ^ (v >> sh)
+    return v
+
+
 def rolling_fp_sql(col: str, n_chars: int = 16) -> str:
     """DuckDB twin of `rolling_fp_col` (same ASCII-only contract)."""
     fp = "CAST(0 AS BIGINT)"

@@ -161,3 +161,39 @@ def test_sql_word_ngrams_matches_python_for_all_inputs(words, n):
         f"SELECT {sql_word_ngrams('t', n)} FROM (SELECT ? AS t)", [text]
     ).fetchone()[0]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine string-fingerprint bridge (everything sketch/Bloom/
+# sampling hangs off rolling_fp + mix): DuckDB == python for ALL
+# ASCII inputs, not just fixture rows. Spark == DuckDB on the same
+# expressions is pinned by the oracle-checked entries (q25, q42, q46).
+# ---------------------------------------------------------------------------
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=64
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(s=ascii_text)
+def test_rolling_fp_duckdb_equals_python(s):
+    import duckdb
+
+    from ariadne_spark.functions.sketch import rolling_fp_py, rolling_fp_sql
+
+    got = duckdb.connect().execute(
+        f"SELECT {rolling_fp_sql('s')} FROM (SELECT ? AS s)", [s]
+    ).fetchone()[0]
+    assert got == rolling_fp_py(s), repr(s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=st.integers(min_value=0, max_value=2**62 - 1))
+def test_mix_duckdb_equals_python(x):
+    import duckdb
+
+    from ariadne_spark.functions.sketch import mix_py, mix_sql
+
+    got = duckdb.connect().execute(f"SELECT {mix_sql(str(x))}").fetchone()[0]
+    assert got == mix_py(x)
