@@ -1389,14 +1389,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ariadne_spark.operators.curation import (
             dup_ngram_coverage,
             repetition_stats,
+            token_dup_coverage,
         )
 
         d = _t(spark, sf, "documents")
-        return repetition_stats(d).join(
-            dup_ngram_coverage(d, n=4).select(
-                "doc_id", "n_grams", "dup_gram_permille"
-            ),
-            "doc_id",
+        return (
+            repetition_stats(d)
+            .join(
+                dup_ngram_coverage(d, n=4).select(
+                    "doc_id", "n_grams", "dup_gram_permille"
+                ),
+                "doc_id",
+            )
+            # position-level variant: permille of TOKENS inside any
+            # cross-doc duplicated 4-gram (interval union, so
+            # overlapping shared windows don't double-count)
+            .join(
+                token_dup_coverage(d, n=4).select(
+                    "doc_id", "dup_tokens", "token_dup_permille"
+                ),
+                "doc_id",
+            )
         )
 
     Q["q47_repetition_stats"] = q47
@@ -2091,9 +2104,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q47_repetition_stats": f"""
             WITH rep AS ({curation.repetition_stats_sql()}),
-            cov AS ({curation.dup_ngram_coverage_sql(n=4)})
-            SELECT rep.*, cov.n_grams, cov.dup_gram_permille
-            FROM rep JOIN cov USING (doc_id)
+            cov AS ({curation.dup_ngram_coverage_sql(n=4)}),
+            tok AS ({curation.token_dup_coverage_sql(n=4)})
+            SELECT rep.*, cov.n_grams, cov.dup_gram_permille,
+                   tok.dup_tokens, tok.token_dup_permille
+            FROM rep JOIN cov USING (doc_id) JOIN tok USING (doc_id)
         """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,

@@ -356,6 +356,89 @@ def dup_ngram_coverage_sql(n: int = 4) -> str:
     """
 
 
+def token_dup_coverage(
+    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, n_words, dup_tokens, token_dup_permille): the
+    position-level duplication metric — what fraction of a document's
+    TOKENS sit inside at least one cross-document duplicated word
+    n-gram (RefinedWeb's 'fraction of characters in duplicated
+    n-grams', arXiv:2306.01116 §G, at token granularity). Finer than
+    `dup_ngram_coverage`: overlapping duplicated windows union their
+    positions instead of double-counting grams, so a doc whose whole
+    body is one long shared passage reports ~1000 permille however
+    many windows the passage spans.
+
+    Plan: posexplode windows -> hash-agg for the cross-doc gram set ->
+    one gram-keyed equi-join -> explode each duplicated window's n
+    covered positions -> distinct + per-doc count. Work is linear in
+    total windows plus n x duplicated windows; nothing pairwise. The
+    interval union is exact (distinct positions), not an
+    approximation.
+    """
+    ws_len = F.size(F.split(F.col(text_col), " ")).cast("long")
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, n)).alias("i0", "gram"),
+    )
+    dup = (
+        wins.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        wins.join(dup, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("i0") + 1, F.col("i0") + F.lit(n))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    per_doc = cov.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dup_tokens"))
+    base = docs.select(id_col, ws_len.alias("n_words")).join(per_doc, id_col, "left")
+    dt = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        "n_words",
+        dt.alias("dup_tokens"),
+        _idivc(dt * F.lit(1000), F.col("n_words")).alias("token_dup_permille"),
+    )
+
+
+def token_dup_coverage_sql(n: int = 4) -> str:
+    """DuckDB oracle for token_dup_coverage() over the documents view.
+    Windows enumerate via LATERAL UNNEST over a per-row range — same
+    1-based positions as the Spark posexplode+sequence form."""
+    return f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wins AS (
+          SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+          FROM ws, UNNEST(CASE WHEN len(w) >= {n}
+                               THEN range(1, len(w) - {n - 2})
+                               ELSE [] END) AS t(i)),
+        dup AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM wins)
+          GROUP BY gram HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, p
+          FROM wins JOIN dup USING (gram),
+               UNNEST(range(i, i + {n})) AS u(p)),
+        per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+          FROM cov GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               (coalesce(dup_tokens, 0) * 1000)
+                   // len(string_split(text, ' ')) AS token_dup_permille
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
+
+
 def decontaminate_sql(n: int = 4, min_hits: int = 3, bench_mod: int = 10) -> str:
     """DuckDB oracle for decontaminate() with benchmark =
     documents where doc_id % bench_mod == 0 (the driver-entry split)."""

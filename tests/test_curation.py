@@ -356,3 +356,42 @@ def test_bloom_decontaminate_properties(spark, docs_df):
         ).collect()
     }
     assert b7 == bloom
+
+
+def test_token_dup_coverage_matches_python_oracle(spark, docs_df):
+    """Position-level duplication: interval UNION of covered tokens
+    (overlapping shared windows don't double-count); intra-doc-only
+    repeats don't cover anything; sub-n docs report 0."""
+    from ariadne_spark.operators.curation import token_dup_coverage
+
+    n = 4
+    wins = {
+        d: [(i + 1, " ".join(t.split(" ")[i : i + n]))
+            for i in range(max(0, len(t.split(" ")) - n + 1))]
+        for d, t in DOCS
+    }
+    gram_docs = {}
+    for d, ws in wins.items():
+        for _i, g in ws:
+            gram_docs.setdefault(g, set()).add(d)
+    dup_grams = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    got = {
+        r["doc_id"]: (r["n_words"], r["dup_tokens"], r["token_dup_permille"])
+        for r in token_dup_coverage(docs_df, n=n).collect()
+    }
+    assert set(got) == {d for d, _ in DOCS}
+    for d, t in DOCS:
+        nw = len(t.split(" "))
+        covered = set()
+        for i, g in wins[d]:
+            if g in dup_grams:
+                covered.update(range(i, i + n))
+        want = (nw, len(covered), len(covered) * 1000 // nw)
+        assert got[d] == want, (d, got[d], want)
+    # the overlap pair (docs 0/4) shares 'the quick brown fox jumps
+    # over' -> 3 windows covering tokens 1..6 (union, not 12)
+    assert got[0][1] == 6 and got[4][1] == 6
+    # the spam doc repeats grams only WITHIN itself... but doc 3 is
+    # 8x'spam' so its grams exist nowhere else: zero coverage
+    assert got[3][1] == 0
+    assert got[1] == (2, 0, 0)  # sub-n doc
