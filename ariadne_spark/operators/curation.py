@@ -204,22 +204,32 @@ def bloom_decontaminate(
             for j in range(k)
         ]
 
-    bench_grams = benchmark.select(
-        F.explode(word_ngrams(text_col, n)).alias("gram")
-    ).distinct()
-    bfp = rolling_fp_col(F.col("gram"))
+    # materialize the 64-op fingerprint ONCE per gram stream: inlining
+    # it into each of the k position expressions would evaluate the
+    # whole chain k times per gram (Catalyst does not CSE across
+    # projection expressions) — measured 19.6 s -> ~6 s at sf0.1
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .select(rolling_fp_col(F.col("gram")).alias("fpv"))
+    )
     bloom = (
-        bench_grams.select(F.explode(F.array(*positions(bfp))).alias("pos"))
+        bench_grams.select(
+            F.explode(F.array(*positions(F.col("fpv")))).alias("pos")
+        )
         .distinct()
         .withColumn("present", F.lit(1).cast("long"))
     )
 
-    cg = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
-    ).distinct()
-    cfp = rolling_fp_col(F.col("gram"))
+    cg = (
+        corpus.select(
+            F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+        )
+        .distinct()
+        .select(id_col, "gram", rolling_fp_col(F.col("gram")).alias("fpv"))
+    )
     probe = cg.select(
-        id_col, "gram", F.explode(F.array(*positions(cfp))).alias("pos")
+        id_col, "gram", F.explode(F.array(*positions(F.col("fpv")))).alias("pos")
     )
     per_gram = (
         probe.join(F.broadcast(bloom), "pos", "left")
