@@ -66,17 +66,26 @@ def pii_stats(
     Output columns: group_cols, n_docs, docs_with_pii, n_email, n_ipv4,
     n_phone, redacted_delta_chars, residual_matches (all long).
     """
+    # materialize the chained-regex redaction ONCE per row: inlining
+    # `red` into the residual counts and the length delta would run
+    # the full replace chain 4x per row (Catalyst does not CSE across
+    # projection expressions — same fix as the Bloom fingerprint)
     counts = pii_counts(text)
-    red = redact(text)
+    staged = df.select(
+        *group_cols,
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        F.length(text).cast("long").alias("len0"),
+        redact(text).alias("red"),
+    )
     residual = F.lit(0).cast("long")
     for _, pat, _ in PII_PATTERNS:
         residual = residual + F.size(
-            F.regexp_extract_all(red, F.lit(pat), F.lit(0))
+            F.regexp_extract_all(F.col("red"), F.lit(pat), F.lit(0))
         ).cast("long")
-    per_doc = df.select(
+    per_doc = staged.select(
         *group_cols,
-        *[c.alias(f"n_{k}") for k, c in counts.items()],
-        (F.length(text) - F.length(red)).cast("long").alias("delta"),
+        *[F.col(f"n_{k}") for k, _, _ in PII_PATTERNS],
+        (F.col("len0") - F.length("red")).cast("long").alias("delta"),
         residual.alias("residual"),
     )
     any_pii = sum(F.col(f"n_{k}") for k, _, _ in PII_PATTERNS)
