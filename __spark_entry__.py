@@ -1389,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ariadne_spark.operators.curation import (
             dup_ngram_coverage,
             repetition_stats,
+            strip_dup_spans,
             token_dup_coverage,
         )
 
@@ -1407,6 +1408,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(
                 token_dup_coverage(d, n=4).select(
                     "doc_id", "dup_tokens", "token_dup_permille"
+                ),
+                "doc_id",
+            )
+            # the TRANSFORM the metrics feed (ExactSubstr-style span
+            # removal): every covered token stripped, rebuilt text
+            # hash-checked byte-identically against the DuckDB twin
+            .join(
+                strip_dup_spans(d, n=4).select(
+                    "doc_id", "kept_tokens", "clean_text"
                 ),
                 "doc_id",
             )
@@ -2105,10 +2115,13 @@ def oracle_sql() -> dict[str, str]:
         "q47_repetition_stats": f"""
             WITH rep AS ({curation.repetition_stats_sql()}),
             cov AS ({curation.dup_ngram_coverage_sql(n=4)}),
-            tok AS ({curation.token_dup_coverage_sql(n=4)})
+            tok AS ({curation.token_dup_coverage_sql(n=4)}),
+            strip AS ({curation.strip_dup_spans_sql(n=4)})
             SELECT rep.*, cov.n_grams, cov.dup_gram_permille,
-                   tok.dup_tokens, tok.token_dup_permille
+                   tok.dup_tokens, tok.token_dup_permille,
+                   strip.kept_tokens, strip.clean_text
             FROM rep JOIN cov USING (doc_id) JOIN tok USING (doc_id)
+                 JOIN strip USING (doc_id)
         """,
         "q17_dedup_exact": """
             SELECT lang, CAST(n_chars AS BIGINT) // 50 AS size_bucket,

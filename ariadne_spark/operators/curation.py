@@ -449,6 +449,120 @@ def token_dup_coverage_sql(n: int = 4) -> str:
     """
 
 
+def strip_dup_spans(
+    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, n_words, kept_tokens, clean_text): REWRITE each document
+    with every token inside a cross-document duplicated word n-gram
+    removed — the transform counterpart of `token_dup_coverage`'s
+    metric (ExactSubstr-style dedup, Lee et al. 2022 arXiv:2107.06499,
+    word-granular). A document that is entirely shared passage comes
+    back empty; surviving tokens keep their original order.
+
+    Plan shape (linear, nothing pairwise): the covered-position set is
+    the same explode + gram-keyed equi-join as token_dup_coverage; the
+    rewrite is one posexplode of words, a left-anti join against the
+    covered positions, and one per-doc hash agg whose reassembly
+    (sort_array over (pos, word) structs -> array_join) is entirely
+    JVM-side — no Python, deterministic at any parallelism.
+
+    Reference analog: ariadne drops the duplicated construct and keeps
+    the remainder when re-indexing a changed file (delete-then-insert,
+    `packages/core/src/resolve_references/registries/definition.ts:99-103`).
+    """
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, n)).alias("i0", "gram"),
+    )
+    dup = (
+        wins.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        wins.join(dup, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("i0") + 1, F.col("i0") + F.lit(n))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("i0", "word"),
+    ).select(id_col, (F.col("i0") + 1).alias("p"), "word")
+    kept = (
+        words.join(cov, [id_col, "p"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("p"), F.col("word")))
+                    ),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    ws_len = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        docs.select(id_col, ws_len.alias("n_words"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def strip_dup_spans_sql(n: int = 4) -> str:
+    """DuckDB oracle for strip_dup_spans() over the documents view —
+    byte-identical clean_text (string_agg ORDER BY position rebuilds
+    the same single-space join as Spark's sort_array + array_join)."""
+    return f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wins AS (
+          SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+          FROM ws, UNNEST(CASE WHEN len(w) >= {n}
+                               THEN range(1, len(w) - {n - 2})
+                               ELSE [] END) AS t(i)),
+        dup AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM wins)
+          GROUP BY gram HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, p
+          FROM wins JOIN dup USING (gram),
+               UNNEST(range(i, i + {n})) AS u(p)),
+        words AS (
+          SELECT doc_id, i AS p, w[i] AS word
+          FROM ws, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        kept AS (
+          SELECT wd.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                 string_agg(wd.word, ' ' ORDER BY wd.p) AS clean_text
+          FROM words wd LEFT JOIN cov
+            ON wd.doc_id = cov.doc_id AND wd.p = cov.p
+          WHERE cov.p IS NULL
+          GROUP BY wd.doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               coalesce(clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN kept USING (doc_id)
+    """
+
+
 def decontaminate_sql(n: int = 4, min_hits: int = 3, bench_mod: int = 10) -> str:
     """DuckDB oracle for decontaminate() with benchmark =
     documents where doc_id % bench_mod == 0 (the driver-entry split)."""

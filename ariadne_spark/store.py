@@ -58,12 +58,19 @@ class Manifest:
     table: str
     snapshot_id: int
     parent_id: int | None
-    # key(str) -> {"path": str, "n_rows": int, "fingerprint": int}
+    # key(str) -> {"path": str, "n_rows": int, "fingerprint": int,
+    #              "stats": {col: {"min": v, "max": v, "nulls": n}}}
+    # ("stats" present only for columns in stats_cols at write time)
     partitions: dict[str, dict] = field(default_factory=dict)
     schema_json: str | None = None
     # partition-key column name, recorded so maintenance operations
     # (compact) need no out-of-band knowledge of the table layout
     key: str | None = None
+    # zone-map columns: per-partition min/max/null-count collected at
+    # write time (Iceberg manifest column stats). Recorded so every
+    # subsequent overwrite/compact keeps collecting the same stats
+    # without out-of-band knowledge.
+    stats_cols: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -74,6 +81,7 @@ class Manifest:
                 "partitions": self.partitions,
                 "schema_json": self.schema_json,
                 "key": self.key,
+                "stats_cols": self.stats_cols,
             },
             sort_keys=True,
         )
@@ -83,29 +91,103 @@ class Manifest:
         d = json.loads(s)
         return Manifest(
             d["table"], d["snapshot_id"], d["parent_id"], d["partitions"],
-            d.get("schema_json"), d.get("key"),
+            d.get("schema_json"), d.get("key"), d.get("stats_cols"),
         )
 
 
-def partition_summary(df: DataFrame, key: str) -> dict[str, dict]:
-    """key -> {n_rows, fingerprint} in ONE pass (order-independent)."""
+# Zone-map stat values are bounded in size so manifests stay small at
+# any row count: strings are truncated to this many characters (min ->
+# plain prefix, still a valid lower bound; max -> prefix with the last
+# character bumped, a strict upper bound — Iceberg's truncate(16)
+# transform with the same bump rule).
+_STAT_STR_CAP = 64
+
+
+def _stat_lower(v):
+    """Serialize a column MIN as a JSON-safe lower bound (or None =
+    unknown, which pruning treats as unbounded-below)."""
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        import math
+
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        return v[:_STAT_STR_CAP]
+    return None  # unorderable/unknown type: no bound
+
+
+def _stat_upper(v):
+    """Serialize a column MAX as a JSON-safe upper bound. A truncated
+    string prefix is NOT an upper bound of the original (\"bbb...\" >
+    \"bb\"), so the last representable character of the prefix is bumped;
+    if every character is already U+10FFFF the bound is unknown (None)."""
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        import math
+
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        if len(v) <= _STAT_STR_CAP:
+            return v
+        p = v[:_STAT_STR_CAP]
+        for i in range(len(p) - 1, -1, -1):
+            c = ord(p[i])
+            if c < 0x10FFFF:
+                nc = c + 1
+                if 0xD800 <= nc <= 0xDFFF:  # skip the surrogate gap
+                    nc = 0xE000
+                return p[:i] + chr(nc)
+        return None
+    return None
+
+
+def partition_summary(
+    df: DataFrame, key: str, stats_cols: list[str] | None = None
+) -> dict[str, dict]:
+    """key -> {n_rows, fingerprint} in ONE pass (order-independent).
+
+    With `stats_cols`, the same pass also collects per-partition
+    min/max/null-count zone maps for those columns (all aggregates are
+    order- and parallelism-independent, so manifests stay bit-identical
+    across cluster sizes). The shuffle stays tiny: one row per
+    (partition, mapper) after map-side partial aggregation."""
     cols = [c for c in df.columns]
     row_hash = F.xxhash64(*[F.col(c) for c in cols])
-    rows = (
-        df.groupBy(key)
-        .agg(
-            F.count("*").alias("n"),
-            # sum of uint64 hashes mod 2^64 via two 32-bit halves (avoids
-            # signed-long overflow while staying deterministic)
-            F.sum(F.shiftrightunsigned(row_hash, 32)).alias("hi"),
-            F.sum(row_hash.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
-        )
-        .collect()
-    )
+    aggs = [
+        F.count("*").alias("n"),
+        # sum of uint64 hashes mod 2^64 via two 32-bit halves (avoids
+        # signed-long overflow while staying deterministic)
+        F.sum(F.shiftrightunsigned(row_hash, 32)).alias("hi"),
+        F.sum(row_hash.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+    ]
+    for c in stats_cols or []:
+        assert c in df.columns, f"stats column {c!r} not in {df.columns}"
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+        ]
+    rows = df.groupBy(key).agg(*aggs).collect()
     out = {}
     for r in rows:
         fp = ((int(r["hi"]) << 32) + int(r["lo"])) % FINGERPRINT_MOD
-        out[str(r[key])] = {"n_rows": int(r["n"]), "fingerprint": fp}
+        entry = {"n_rows": int(r["n"]), "fingerprint": fp}
+        if stats_cols:
+            entry["stats"] = {
+                c: {
+                    "min": _stat_lower(r[f"__min_{c}"]),
+                    "max": _stat_upper(r[f"__max_{c}"]),
+                    "nulls": int(r[f"__nul_{c}"]),
+                }
+                for c in stats_cols
+            }
+        out[str(r[key])] = entry
     return out
 
 
@@ -301,6 +383,7 @@ class SnapshotStore:
                 table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(target.partitions), schema_json=target.schema_json,
                 key=target.key or cur.key,
+                stats_cols=target.stats_cols or cur.stats_cols,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -366,6 +449,7 @@ class SnapshotStore:
             m = Manifest(
                 table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(cur.partitions), schema_json=evolved.json(), key=cur.key,
+                stats_cols=cur.stats_cols,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -424,7 +508,10 @@ class SnapshotStore:
             df, table, key, base.snapshot_id + 1, sort_cols,
             max_records_per_file,
         )
-        summary = self._summarize_written(vdir, key)
+        # compaction refreshes zone maps too: partitions written before
+        # stats were enabled gain them here (content is identical, so
+        # the recomputed stats describe exactly the committed rows)
+        summary = self._summarize_written(vdir, key, base.stats_cols)
         rel = os.path.relpath(vdir, self.root)
         # identity gate: the rewrite must not change any row of any
         # partition. Pre-evolution partitions are fingerprinted over
@@ -463,7 +550,7 @@ class SnapshotStore:
             m = Manifest(
                 table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(cur.partitions), schema_json=cur.schema_json,
-                key=cur.key,
+                key=cur.key, stats_cols=cur.stats_cols,
             )
             for k in sel:
                 if k in moved or k not in cur.partitions:
@@ -536,7 +623,9 @@ class SnapshotStore:
         w.partitionBy("__pk").parquet(vdir)
         return vdir
 
-    def _summarize_written(self, vdir: str, key: str) -> dict[str, dict]:
+    def _summarize_written(
+        self, vdir: str, key: str, stats_cols: list[str] | None = None
+    ) -> dict[str, dict]:
         """Partition summary computed from the parquet just written —
         NOT from the input plan. Summarizing the input DataFrame would
         execute its full lineage a second time (the stage join/agg plan
@@ -545,15 +634,26 @@ class SnapshotStore:
         fingerprints what is actually stored."""
         if not any(e.startswith("__pk=") for e in os.listdir(vdir)):
             return {}  # zero-row write: partitionBy emits no dirs
-        return partition_summary(self.spark.read.parquet(vdir).drop("__pk"), key)
+        return partition_summary(
+            self.spark.read.parquet(vdir).drop("__pk"), key, stats_cols
+        )
 
     def write_table(
         self, df: DataFrame, table: str, key: str, sort_cols=None,
         max_records_per_file: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Full write -> snapshot 0 (or next id if the table exists).
         Re-snapshots of an existing table are cast to its committed
         schema so physical types never drift across snapshots.
+
+        `stats_cols` opts the table into zone-map column stats: per-
+        partition min/max/null-count recorded in the manifest (collected
+        in the same summarize pass, so it costs no extra scan) and used
+        by `prune_keys`/`read(where=...)` to skip partitions before any
+        file is even listed. Once set, the column list is remembered in
+        the manifest and every subsequent overwrite/compact keeps the
+        stats current.
 
         Concurrency: data is written ONCE; on a lost commit race the
         manifest is re-pointed at the new current (a full write
@@ -564,11 +664,14 @@ class SnapshotStore:
         base_schema = prev_m.schema_json if prev_m else None
         df = self._conform(df, base_schema)
         schema_json = df.schema.json()
+        eff_stats = stats_cols if stats_cols is not None else (
+            prev_m.stats_cols if prev_m else None
+        )
         sid = 0 if prev_m is None else prev_m.snapshot_id + 1
         vdir = self._write_partition_data(
             df, table, key, sid, sort_cols, max_records_per_file
         )
-        summary = self._summarize_written(vdir, key)
+        summary = self._summarize_written(vdir, key, eff_stats)
         rel = os.path.relpath(vdir, self.root)
         for _ in range(COMMIT_RETRIES):
             cur = self.manifest(table)
@@ -581,7 +684,7 @@ class SnapshotStore:
             sid = 0 if cur is None else cur.snapshot_id + 1
             m = Manifest(
                 table, sid, None if cur is None else cur.snapshot_id,
-                schema_json=schema_json, key=key,
+                schema_json=schema_json, key=key, stats_cols=eff_stats,
             )
             for k, s in summary.items():
                 m.partitions[k] = {"path": f"{rel}/__pk={k}", **s}
@@ -627,7 +730,7 @@ class SnapshotStore:
             df, table, key, base.snapshot_id + 1, sort_cols,
             max_records_per_file,
         )
-        summary = self._summarize_written(vdir, key)
+        summary = self._summarize_written(vdir, key, base.stats_cols)
         rel = os.path.relpath(vdir, self.root)
         touched = set(keys or []) | set(summary)
         for _ in range(COMMIT_RETRIES):
@@ -646,7 +749,7 @@ class SnapshotStore:
             m = Manifest(
                 table, cur.snapshot_id + 1, cur.snapshot_id, dict(cur.partitions),
                 schema_json=cur.schema_json or df.schema.json(),
-                key=cur.key or key,
+                key=cur.key or key, stats_cols=cur.stats_cols,
             )
             for k in touched:
                 m.partitions.pop(k, None)
@@ -658,17 +761,70 @@ class SnapshotStore:
 
     # -- reads -------------------------------------------------------------
 
+    def prune_keys(
+        self,
+        table: str,
+        where: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> list[str]:
+        """Zone-map pruning (Iceberg manifest column-stats filtering):
+        return the partition keys whose recorded min/max stats can
+        possibly satisfy ALL the given inclusive range predicates
+        `{col: (lo, hi)}` (None bound = unbounded). Metadata-only — no
+        file is listed or opened, so at 10^5+ partitions the non-
+        matching data dirs cost nothing (vs parquet footer min/max,
+        which Spark consults only after listing and opening each file).
+
+        Conservative by construction: a partition missing stats for a
+        predicate column (written before stats were enabled, or an
+        unorderable type) is KEPT. A partition whose column is all-NULL
+        is pruned — a range predicate never matches NULL (SQL
+        semantics, matching the residual filter `read` applies)."""
+        m = self.manifest(table, snapshot_id)
+        assert m is not None, f"table {table} has no snapshot"
+        out = []
+        for k, part in m.partitions.items():
+            stats = part.get("stats") or {}
+            keep = True
+            for col, (lo, hi) in where.items():
+                s = stats.get(col)
+                if s is None:
+                    continue  # no stats: cannot exclude
+                if s["min"] is None and s["max"] is None:
+                    if s.get("nulls", 0) >= part["n_rows"]:
+                        keep = False  # all-NULL column never matches a range
+                        break
+                    continue  # unknown bounds (e.g. truncation overflow)
+                if hi is not None and s["min"] is not None and s["min"] > hi:
+                    keep = False
+                    break
+                if lo is not None and s["max"] is not None and s["max"] < lo:
+                    keep = False
+                    break
+            if keep:
+                out.append(k)
+        return sorted(out)
+
     def read(
         self,
         table: str,
         snapshot_id: int | None = None,
         keys: list[str] | None = None,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: current), optionally pruned to a
         partition-key subset — metadata-level partition pruning: only
-        the selected partitions' files are listed at all."""
+        the selected partitions' files are listed at all.
+
+        `where={col: (lo, hi)}` additionally zone-map-prunes partitions
+        via `prune_keys` AND applies the residual inclusive-range filter,
+        so the result is exactly the full scan filtered — the pruning is
+        an optimization, never a semantics change."""
         m = self.manifest(table, snapshot_id)
         assert m is not None, f"table {table} has no snapshot"
+        if where:
+            zone = set(self.prune_keys(table, where, snapshot_id))
+            keys = [k for k in (keys if keys is not None else m.partitions) if k in zone]
         sel = m.partitions if keys is None else {k: m.partitions[k] for k in keys if k in m.partitions}
         paths = [self._abs_path(p["path"]) for p in sel.values()]
         from pyspark.sql.types import StructType
@@ -676,17 +832,27 @@ class SnapshotStore:
         if not paths:
             # every selected partition was deleted: empty frame, real schema
             assert m.schema_json, f"no partitions and no schema for {table}"
-            return self.spark.createDataFrame(
+            df = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(m.schema_json))
             )
-        if m.schema_json:
+        elif m.schema_json:
             # serve the snapshot's COMMITTED schema, not a sampled file's
             # (Iceberg read-time schema projection): column order/types are
             # snapshot-stable, and files written before an `add_column`
             # evolution yield NULL for the added column instead of failing
             target = StructType.fromJson(json.loads(m.schema_json))
-            return self.spark.read.schema(target).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+            df = self.spark.read.schema(target).parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)
+        for col, (lo, hi) in (where or {}).items():
+            # residual filter: the surviving partitions may still hold
+            # out-of-range rows (zone maps are partition-granular); the
+            # predicate also pushes down to the parquet row-group level
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def diff(self, table: str, from_sid: int | None, to_sid: int) -> list[str]:
         """Changed/added/removed partition keys between two snapshots —

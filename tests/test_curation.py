@@ -395,3 +395,60 @@ def test_token_dup_coverage_matches_python_oracle(spark, docs_df):
     # 8x'spam' so its grams exist nowhere else: zero coverage
     assert got[3][1] == 0
     assert got[1] == (2, 0, 0)  # sub-n doc
+
+
+def test_strip_dup_spans_python_and_duckdb_oracle(spark, docs_df):
+    """Span REMOVAL (the transform the coverage metric feeds): every
+    token inside a cross-doc duplicated 4-gram stripped, survivors keep
+    original order, fully-shared docs come back empty. clean_text is
+    byte-identical across python, Spark, and DuckDB."""
+    from ariadne_spark.operators.curation import (
+        strip_dup_spans,
+        strip_dup_spans_sql,
+    )
+
+    n = 4
+    # python oracle: covered-position union, then rebuild
+    wins = {
+        d: [(i + 1, " ".join(t.split(" ")[i : i + n]))
+            for i in range(max(0, len(t.split(" ")) - n + 1))]
+        for d, t in DOCS
+    }
+    gram_docs = {}
+    for d, ws in wins.items():
+        for _i, g in ws:
+            gram_docs.setdefault(g, set()).add(d)
+    dup_grams = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, t in DOCS:
+        toks = t.split(" ")
+        covered = set()
+        for i, g in wins[d]:
+            if g in dup_grams:
+                covered.update(range(i, i + n))
+        kept = [w for p, w in enumerate(toks, 1) if p not in covered]
+        want[d] = (len(toks), len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["kept_tokens"], r["clean_text"])
+        for r in strip_dup_spans(docs_df, n=n).collect()
+    }
+    assert got == want
+    # docs 0/4 share 'the quick brown fox jumps over': tokens 1..6 gone
+    assert got[0][2] == "the lazy dog"
+    assert got[4][2] == "a sleeping cat"
+    # intra-doc-only repetition survives intact; sub-n docs untouched
+    assert got[3][2] == DOCS[3][1]
+    assert got[1][2] == "one two"
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}')" for d, t in DOCS)
+        + ") AS v(doc_id, text)"
+    )
+    sql = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(strip_dup_spans_sql(n=n)).fetchall()
+    }
+    assert sql == want

@@ -1,0 +1,148 @@
+"""Zone-map column stats + manifest-level range pruning.
+
+The Iceberg manifest-column-stats analog (`store.prune_keys` /
+`store.read(where=...)`): per-partition min/max/null-count recorded at
+write time, partitions whose stats exclude a range predicate skipped
+before any file is listed. The reference's counterpart is the eager
+multi-index maintenance that makes probes metadata-cheap
+(`packages/core/src/resolve_references/registries/definition.ts:26-90`).
+
+Every pruned read is compared against the full-scan-then-filter oracle:
+pruning must be an optimization only, never a semantics change.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ariadne_spark.store import (
+    SnapshotStore,
+    _stat_lower,
+    _stat_upper,
+    _STAT_STR_CAP,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "store"))
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _frame(spark, n_parts=4, rows_per=50):
+    """Partition p{i} carries v in [i*1000, i*1000 + rows_per) — disjoint
+    ranges so zone maps can discriminate exactly."""
+    rows = [
+        (f"p{i}", i * 1000 + j, f"s{i:02d}_{j:04d}")
+        for i in range(n_parts)
+        for j in range(rows_per)
+    ]
+    return _mk(spark, rows, "k string, v long, s string")
+
+
+def test_range_read_matches_full_filter_and_prunes(spark, store):
+    df = _frame(spark)
+    store.write_table(df, "t", key="k", stats_cols=["v", "s"])
+
+    pruned = store.prune_keys("t", {"v": (1000, 2049)})
+    assert pruned == ["p1", "p2"]
+
+    got = store.read("t", where={"v": (1000, 2049)})
+    want = store.read("t").filter((F.col("v") >= 1000) & (F.col("v") <= 2049))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+    # the pruned read must not even list the excluded partitions' files
+    files = got.inputFiles()
+    assert files and all("__pk=p1" in f or "__pk=p2" in f for f in files)
+
+    # open bounds
+    assert store.prune_keys("t", {"v": (3000, None)}) == ["p3"]
+    assert store.prune_keys("t", {"v": (None, 10)}) == ["p0"]
+    # conjunction of two columns: contradictory ranges prune everything
+    assert store.prune_keys("t", {"v": (0, 10), "s": ("s03", None)}) == []
+    empty = store.read("t", where={"v": (99999, None)})
+    assert empty.count() == 0 and empty.columns == ["k", "v", "s"]
+
+
+def test_string_truncation_bounds_are_safe(spark, store):
+    # partition q's max string is 'b'*100: a naive 64-char prefix
+    # truncation ('b'*64) would WRONGLY prune the range ['b'*70, None)
+    long_max = "b" * 100
+    df = _mk(
+        spark,
+        [("q", "a" * 100), ("q", long_max), ("r", "zz")],
+        "k string, s string",
+    )
+    store.write_table(df, "t", key="k", stats_cols=["s"])
+    m = store.manifest("t")
+    st = m.partitions["q"]["stats"]["s"]
+    assert st["min"] == "a" * _STAT_STR_CAP  # prefix: valid lower bound
+    assert st["max"] == "b" * (_STAT_STR_CAP - 1) + "c"  # bumped upper bound
+    assert "q" in store.prune_keys("t", {"s": ("b" * 70, None)})
+    got = store.read("t", where={"s": ("b" * 70, None)})
+    assert sorted(r["s"] for r in got.collect()) == [long_max, "zz"]
+    # and the bound still prunes what it can: nothing above the bump
+    assert store.prune_keys("t", {"s": ("c", None)}) == ["r"]
+
+
+def test_stat_bound_helpers():
+    assert _stat_lower("x" * 200) == "x" * _STAT_STR_CAP
+    assert _stat_upper("x") == "x"
+    assert _stat_upper(chr(0x10FFFF) * 100) is None  # unbumpable: unknown
+    assert _stat_upper(float("nan")) is None
+    assert _stat_lower(7) == 7 and _stat_upper(7.5) == 7.5
+
+
+def test_nulls_and_missing_stats_are_conservative(spark, store):
+    df = _mk(
+        spark,
+        [("a", None), ("a", None), ("b", 5), ("b", None), ("c", 9)],
+        "k string, v long",
+    )
+    store.write_table(df, "t", key="k", stats_cols=["v"])
+    # all-NULL partition: a range predicate can never match -> pruned
+    assert store.prune_keys("t", {"v": (0, 100)}) == ["b", "c"]
+    # partially-NULL partition kept; result matches SQL filter semantics
+    got = store.read("t", where={"v": (0, 6)})
+    assert [(r["k"], r["v"]) for r in got.collect()] == [("b", 5)]
+    # predicate on a column with no recorded stats: keep everything
+    assert store.prune_keys("t", {"k": ("a", "a")}) == ["a", "b", "c"]
+
+
+def test_overwrite_inherits_stats_cols_and_keeps_untouched(spark, store):
+    store.write_table(_frame(spark), "t", key="k", stats_cols=["v"])
+    m0 = store.manifest("t")
+    upd = _mk(spark, [("p1", 777_000, "new")], "k string, v long, s string")
+    store.overwrite_partitions(upd, "t", key="k")
+    m1 = store.manifest("t")
+    assert m1.stats_cols == ["v"]
+    # touched partition: fresh stats; untouched: identical entry carried
+    assert m1.partitions["p1"]["stats"]["v"] == {
+        "min": 777_000, "max": 777_000, "nulls": 0,
+    }
+    assert m1.partitions["p0"] == m0.partitions["p0"]
+    assert store.prune_keys("t", {"v": (777_000, None)}) == ["p1"]
+    # time travel prunes with the OLD snapshot's stats
+    assert store.prune_keys(
+        "t", {"v": (1000, 1001)}, snapshot_id=m0.snapshot_id
+    ) == ["p1"]
+
+
+def test_compact_backfills_stats_on_pre_stats_snapshots(spark, store):
+    store.write_table(_frame(spark), "t", key="k")  # no stats yet
+    assert store.manifest("t").partitions["p0"].get("stats") is None
+    # conservative before stats exist
+    assert len(store.prune_keys("t", {"v": (0, 10)})) == 4
+    # enable stats via a metadata-equivalent full rewrite path: re-snapshot
+    store.write_table(store.read("t"), "t", key="k", stats_cols=["v"])
+    # drop back to a stats-less manifest entry via add_column (metadata
+    # only, entries carried) then compact: rewrite refreshes zone maps
+    store.add_column("t", "extra", "bigint")
+    store.compact("t")
+    m = store.manifest("t")
+    assert m.partitions["p0"]["stats"]["v"] == {"min": 0, "max": 49, "nulls": 0}
+    assert store.prune_keys("t", {"v": (0, 10)}) == ["p0"]
+    got = store.read("t", where={"v": (1010, 1020)})
+    assert got.count() == 11 and "extra" in got.columns
