@@ -1102,11 +1102,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("double").alias("min_psnr"),
         )
 
+        # ViT patch extraction rides in the same entry: one summary row
+        # per fmt; n_pixel_violations counts images whose decoded patch
+        # grid disagrees with the STORED (w, h) columns — an independent
+        # dims-vs-decode cross-check (numpy tile oracle per patch lives
+        # in tests/test_decode.py)
+        from ariadne_spark.operators.decode import patchify
+
+        P = 16
+        pat = (
+            patchify(images, patch=P)
+            .groupBy("image_id")
+            .agg(F.count(F.lit(1)).alias("n_patches"))
+            .join(images.select("image_id", "fmt", "w", "h"), "image_id", "right")
+            .groupBy("fmt")
+            .agg(
+                F.sum(F.coalesce(F.col("n_patches"), F.lit(0))).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("n_patches"), F.lit(0))
+                        != (F.col("w") / P).cast("int") * (F.col("h") / P).cast("int"),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_pixel_violations"),
+            )
+            .select(F.lit("patchify").alias("stage"), "*")
+            .select(
+                "stage", "fmt", F.col("n_rows").cast("long"),
+                F.col("n_pixel_violations").cast("long"),
+                F.lit(0).cast("long").alias("n_caption_violations"),
+                F.lit(0).cast("long").alias("n_phash_violations"),
+                F.lit(None).cast("double").alias("min_psnr"),
+            )
+        )
+
         out = (
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
             .unionByName(pad(vid, "video", "fvid"))
             .unionByName(cur)
+            .unionByName(pat)
         )
         bad = out.where(
             (F.col("n_pixel_violations") > 0)

@@ -193,3 +193,87 @@ def resize_images(images: DataFrame, max_side: int) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, RESIZED_SCHEMA
     )
+
+
+PATCH_SCHEMA = (
+    "image_id string, prow int, pcol int, "
+    "sum_r long, sum_g long, sum_b long, patch_bytes binary"
+)
+
+
+def np_patch_sums(px: np.ndarray, p: int) -> np.ndarray:
+    """(H, W, 3) uint8 -> (nh, nw, 3) int64 per-patch channel sums over
+    the top-left-aligned patch grid (remainder rows/cols dropped —
+    ViT-style non-overlapping p x p tiling). Integer sums, not float
+    means, so the output is bit-exact on every platform."""
+    nh, nw = px.shape[0] // p, px.shape[1] // p
+    core = px[: nh * p, : nw * p].astype(np.int64)
+    return core.reshape(nh, p, nw, p, 3).sum(axis=(1, 3))
+
+
+def patchify(
+    images: DataFrame, patch: int = 16, emit_pixels: bool = False
+) -> DataFrame:
+    """ViT-style patch extraction: decode -> split into non-overlapping
+    `patch` x `patch` tiles (top-left aligned; right/bottom remainder
+    dropped) -> one output row per tile with integer-exact per-channel
+    pixel sums, plus the raw HxWx3 patch buffer when `emit_pixels`
+    (the tensor a vision-training dataloader consumes; row-major RGB
+    uint8, reconstructable via np.frombuffer(...).reshape(p, p, 3)).
+
+    One mapInPandas pass, zero shuffles; fanout is (w//p)*(h//p) rows
+    per image, decided per row by data, so the op scales like decode
+    itself. The per-image numpy work is a single reshape+sum — no
+    per-pixel or per-patch Python. Sums (not means) keep every column
+    integer so downstream aggregates stay oracle-exact.
+
+    Reference analog: the capture extraction that turns one parsed file
+    into many typed sub-records
+    (`packages/core/src/index_single_file/query_code_tree/query_code_tree.ts:44-55`).
+    """
+
+    def run(iterator):
+        for pdf in iterator:
+            ids, prs, pcs = [], [], []
+            srs, sgs, sbs, blobs = [], [], [], []
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                nh, nw = px.shape[0] // patch, px.shape[1] // patch
+                if nh == 0 or nw == 0:
+                    continue  # image smaller than one patch: no rows
+                n = nh * nw
+                sums = np_patch_sums(px, patch).reshape(n, 3)
+                ids.extend([img_id] * n)
+                prs.append(np.repeat(np.arange(nh, dtype=np.int32), nw))
+                pcs.append(np.tile(np.arange(nw, dtype=np.int32), nh))
+                srs.append(sums[:, 0])
+                sgs.append(sums[:, 1])
+                sbs.append(sums[:, 2])
+                if emit_pixels:
+                    # (nh, p, nw, p, 3) -> (n, p, p, 3) contiguous tiles
+                    tiles = np.ascontiguousarray(
+                        px[: nh * patch, : nw * patch]
+                        .reshape(nh, patch, nw, patch, 3)
+                        .transpose(0, 2, 1, 3, 4)
+                    ).reshape(n, -1)
+                    blobs.extend(t.tobytes() for t in tiles)
+                else:
+                    blobs.extend([None] * n)
+            cat = lambda xs, dt: (  # noqa: E731
+                np.concatenate(xs) if xs else np.array([], dtype=dt)
+            )
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "prow": cat(prs, np.int32),
+                    "pcol": cat(pcs, np.int32),
+                    "sum_r": cat(srs, np.int64),
+                    "sum_g": cat(sgs, np.int64),
+                    "sum_b": cat(sbs, np.int64),
+                    "patch_bytes": blobs,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, PATCH_SCHEMA
+    )

@@ -163,3 +163,61 @@ def test_resize_nearest_identity_and_downscale():
     half = np_resize_nearest(px, 3, 2)
     assert half.shape == (2, 3, 3)
     assert (half == px[::2][:, ::2]).all()
+
+
+def test_patchify_matches_numpy_oracle(spark, images_df):
+    """ViT patch grid: per-patch integer channel sums + raw tile bytes
+    equal a direct numpy decode->reshape oracle for every patch of a
+    sample; patch count is (w//p)*(h//p); parallelism-invariant."""
+    import numpy as np
+
+    from ariadne_spark.functions.codecs import decode_image
+    from ariadne_spark.operators.decode import np_patch_sums, patchify
+
+    P = 16
+    sample = images_df.orderBy("image_id").limit(12).cache()
+    got = {
+        (r["image_id"], r["prow"], r["pcol"]): (
+            r["sum_r"], r["sum_g"], r["sum_b"], bytes(r["patch_bytes"]),
+        )
+        for r in patchify(sample, patch=P, emit_pixels=True).collect()
+    }
+    n_expected = 0
+    for r in sample.collect():
+        px = decode_image(bytes(r["bytes"]), r["fmt"])
+        nh, nw = px.shape[0] // P, px.shape[1] // P
+        n_expected += nh * nw
+        sums = np_patch_sums(px, P)
+        for pr in range(nh):
+            for pc in range(nw):
+                tile = px[pr * P : (pr + 1) * P, pc * P : (pc + 1) * P]
+                want = (
+                    int(sums[pr, pc, 0]), int(sums[pr, pc, 1]),
+                    int(sums[pr, pc, 2]), tile.tobytes(),
+                )
+                assert got[(r["image_id"], pr, pc)] == want
+                # the emitted buffer reconstructs the tile tensor
+                back = np.frombuffer(want[3], dtype=np.uint8).reshape(P, P, 3)
+                assert (back == tile).all()
+                assert back.sum(axis=(0, 1)).tolist() == list(want[:3])
+    assert len(got) == n_expected and n_expected > 0
+
+    # parallelism invariance (stats path, no pixel payload)
+    a = sorted(map(tuple, patchify(sample, patch=P).drop("patch_bytes").collect()))
+    b = sorted(map(tuple, patchify(
+        sample.repartition(7), patch=P).drop("patch_bytes").collect()))
+    assert a == b
+
+
+def test_patchify_sub_patch_images_and_remainder():
+    """Images smaller than one patch emit no rows; remainders drop."""
+    import numpy as np
+
+    from ariadne_spark.operators.decode import np_patch_sums
+
+    px = np.arange(11 * 18 * 3, dtype=np.uint8).reshape(11, 18, 3)
+    s = np_patch_sums(px, 8)  # 11//8=1 row, 18//8=2 cols
+    assert s.shape == (1, 2, 3)
+    assert (s[0, 0] == px[:8, :8].astype(np.int64).sum(axis=(0, 1))).all()
+    assert (s[0, 1] == px[:8, 8:16].astype(np.int64).sum(axis=(0, 1))).all()
+    assert np_patch_sums(px, 32).shape == (0, 0, 3)
