@@ -1136,12 +1136,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+        # aspect-ratio bucketing + batch assembly rides along: one row
+        # per occupied bucket; violations count batches that are not
+        # exactly batch_size (must be zero — partial tails are dropped
+        # by construction); python bucket/batch oracle in
+        # tests/test_batching.py
+        from ariadne_spark.operators.batching import bucket_batches
+
+        BS = 8
+        bat = (
+            bucket_batches(images.select("image_id", "w", "h"), batch_size=BS)
+            .groupBy("bucket_w", "bucket_h", "batch_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .groupBy("bucket_w", "bucket_h")
+            .agg(
+                F.sum("__n").alias("n_rows"),
+                F.sum(F.when(F.col("__n") != BS, 1).otherwise(0)).alias(
+                    "n_pixel_violations"
+                ),
+            )
+            .select(
+                F.lit("aspect_batch").alias("stage"),
+                F.concat_ws(
+                    ":", F.col("bucket_w").cast("string"),
+                    F.col("bucket_h").cast("string"),
+                ).alias("fmt"),
+                F.col("n_rows").cast("long"),
+                F.col("n_pixel_violations").cast("long"),
+                F.lit(0).cast("long").alias("n_caption_violations"),
+                F.lit(0).cast("long").alias("n_phash_violations"),
+                F.lit(None).cast("double").alias("min_psnr"),
+            )
+        )
+
         out = (
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
             .unionByName(pad(vid, "video", "fvid"))
             .unionByName(cur)
             .unionByName(pat)
+            .unionByName(bat)
         )
         bad = out.where(
             (F.col("n_pixel_violations") > 0)
