@@ -1346,7 +1346,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang").alias("key"),
             F.col("fpb").alias("bucket"),
         )
-        return strat.unionByName(temp_rows)
+        # third policy: deterministic global shuffle + shard layout
+        # (mix-ordered, RNG-free — the training-order complement of the
+        # two keep/drop policies); key = shard, bucket = position
+        from ariadne_spark.operators.curation import shuffle_shards
+
+        shuf = shuffle_shards(d, n_shards=8).select(
+            F.lit("shuffle").alias("policy"),
+            "doc_id",
+            F.col("shard").cast("string").alias("key"),
+            F.col("pos").alias("bucket"),
+        )
+        return strat.unionByName(temp_rows).unionByName(shuf)
 
     Q["q42_sampling_policies"] = q42
 
@@ -2125,6 +2136,9 @@ def oracle_sql() -> dict[str, str]:
                                         ELSE 1000 END
             UNION ALL
             SELECT 'temperature', doc_id, lang, fpb FROM temp
+            UNION ALL
+            SELECT 'shuffle', doc_id, CAST(shard AS VARCHAR), pos
+            FROM ({curation.shuffle_shards_sql(n_shards=8)})
         """,
         "q43_sketch_suite": f"""
             WITH est AS ({sketch}),

@@ -1123,3 +1123,58 @@ def pack_sequences_sql(
                  AS n_bins
         FROM cum
     """
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, shard:long, pos:long): deterministic global training-data
+    shuffle + shard layout. Each row's order key is the 4-round integer
+    mix of its id (`sketch.mix_col` — the repo's cross-engine hash), so
+    the "random" order is reproducible on any engine, partitioning, or
+    cluster size, with no RNG state to ship. Rows land in shard
+    mix % n_shards and are ordered within the shard by (mix, id) —
+    the id tie-break makes mix collisions harmless.
+
+    Scale shape: dataloader shuffling at corpus scale never needs one
+    global dense sequence (that would be a single-partition window);
+    shard-local positions are the layout real pipelines consume
+    (shards ~ files), and the windows parallelize across shards. One
+    hash-partition shuffle; choose n_shards so a shard is ~file-sized
+    (corpus_rows / n_shards ~ 10^6).
+
+    Reference analog: deterministic processing order derived from
+    content, not arrival (`packages/core/src/index_single_file/scopes/
+    scopes.ts:148-191` sorts captures by location+priority before the
+    order-dependent pass).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.sketch import mix_col
+
+    assert n_shards > 0
+    k = mix_col(F.col(id_col).cast("long"))
+    out = docs.select(F.col(id_col), k.alias("__k"))
+    out = out.withColumn("shard", (F.col("__k") % n_shards).cast("long"))
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("__k", id_col)
+    ) - 1
+    return out.select(
+        id_col, "shard", pos.cast("long").alias("pos")
+    )
+
+
+def shuffle_shards_sql(n_shards: int) -> str:
+    """DuckDB twin of shuffle_shards() over the documents view."""
+    from ..functions.sketch import mix_sql
+
+    k = mix_sql("doc_id")
+    return f"""
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                    - 1 AS BIGINT) AS pos
+        FROM (SELECT doc_id, {k} AS k, ({k}) % {n_shards} AS shard
+              FROM documents)
+    """

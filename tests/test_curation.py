@@ -452,3 +452,36 @@ def test_strip_dup_spans_python_and_duckdb_oracle(spark, docs_df):
         for r in duck.execute(strip_dup_spans_sql(n=n)).fetchall()
     }
     assert sql == want
+
+
+def test_shuffle_shards_python_oracle_and_invariance(spark, docs_df):
+    """Deterministic shuffle: order key is the shared 4-round integer
+    mix, shards = mix % n, positions dense per shard; identical at any
+    parallelism and equal to the pure-python layout."""
+    from ariadne_spark.functions.sketch import mix_py
+    from ariadne_spark.operators.curation import shuffle_shards
+
+    N = 3
+    got = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(docs_df, n_shards=N).collect()
+    )
+    by_shard = {}
+    for d, _t in DOCS:
+        k = mix_py(d)
+        by_shard.setdefault(k % N, []).append((k, d))
+    want = []
+    for s, ks in by_shard.items():
+        for pos, (_k, d) in enumerate(sorted(ks)):
+            want.append((d, s, pos))
+    assert got == sorted(want)
+    # dense positions 0..n-1 within each shard
+    for s in {r[1] for r in got}:
+        assert sorted(p for _d, sh, p in got if sh == s) == list(
+            range(sum(1 for _d, sh, _p in got if sh == s))
+        )
+    got2 = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(docs_df.repartition(11), n_shards=N).collect()
+    )
+    assert got2 == got
