@@ -197,3 +197,54 @@ def test_mix_duckdb_equals_python(x):
 
     got = duckdb.connect().execute(f"SELECT {mix_sql(str(x))}").fetchone()[0]
     assert got == mix_py(x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(WORD, min_size=1, max_size=10), min_size=1, max_size=5),
+    st.integers(2, 4),
+)
+def test_strip_dup_spans_sql_matches_python_for_all_corpora(doc_words, n):
+    """Property: the DuckDB duplicate-span-removal twin (q47's oracle
+    side) equals the pure-python definition for EVERY small corpus and
+    n — covered-position union, order preservation, sub-n docs, fully-
+    shared docs. Small alphabet + short words force heavy cross-doc
+    gram collisions, the regime where interval union and double-count
+    bugs live. (Spark == DuckDB on real data is pinned by the
+    oracle-checked q47 entry and test_curation's 3-way case.)"""
+    import duckdb
+
+    from ariadne_spark.operators.curation import strip_dup_spans_sql
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    wins = {
+        d: [(i + 1, " ".join(t.split(" ")[i : i + n]))
+            for i in range(max(0, len(t.split(" ")) - n + 1))]
+        for d, t in docs
+    }
+    gram_docs: dict[str, set[int]] = {}
+    for d, ws in wins.items():
+        for _i, g in ws:
+            gram_docs.setdefault(g, set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, t in docs:
+        toks = t.split(" ")
+        cov: set[int] = set()
+        for i, g in wins[d]:
+            if g in dup:
+                cov.update(range(i, i + n))
+        kept = [w for p, w in enumerate(toks, 1) if p not in cov]
+        want[d] = (len(toks), len(kept), " ".join(kept))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}')" for d, t in docs)
+        + ") AS v(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(strip_dup_spans_sql(n=n)).fetchall()
+    }
+    assert got == want
