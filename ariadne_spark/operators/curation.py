@@ -1125,10 +1125,14 @@ def pack_sequences_sql(
     """
 
 
+EPOCH_SALT = 2_654_435_761  # Knuth multiplicative constant
+
+
 def shuffle_shards(
     docs: DataFrame,
     n_shards: int,
     id_col: str = "doc_id",
+    epoch: int = 0,
 ) -> DataFrame:
     """-> (id, shard:long, pos:long): deterministic global training-data
     shuffle + shard layout. Each row's order key is the 4-round integer
@@ -1145,6 +1149,11 @@ def shuffle_shards(
     hash-partition shuffle; choose n_shards so a shard is ~file-sized
     (corpus_rows / n_shards ~ 10^6).
 
+    `epoch` re-shuffles for multi-epoch training: the mix input is
+    offset by epoch * EPOCH_SALT, so each epoch gets an independent
+    but equally reproducible order from the same ids — no shuffle
+    state to persist between epochs.
+
     Reference analog: deterministic processing order derived from
     content, not arrival (`packages/core/src/index_single_file/scopes/
     scopes.ts:148-191` sorts captures by location+priority before the
@@ -1154,8 +1163,8 @@ def shuffle_shards(
 
     from ..functions.sketch import mix_col
 
-    assert n_shards > 0
-    k = mix_col(F.col(id_col).cast("long"))
+    assert n_shards > 0 and epoch >= 0
+    k = mix_col(F.col(id_col).cast("long") + F.lit(epoch * EPOCH_SALT))
     out = docs.select(F.col(id_col), k.alias("__k"))
     out = out.withColumn("shard", (F.col("__k") % n_shards).cast("long"))
     pos = F.row_number().over(
@@ -1166,11 +1175,11 @@ def shuffle_shards(
     )
 
 
-def shuffle_shards_sql(n_shards: int) -> str:
+def shuffle_shards_sql(n_shards: int, epoch: int = 0) -> str:
     """DuckDB twin of shuffle_shards() over the documents view."""
     from ..functions.sketch import mix_sql
 
-    k = mix_sql("doc_id")
+    k = mix_sql(f"(doc_id + {epoch * EPOCH_SALT})")
     return f"""
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)

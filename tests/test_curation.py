@@ -485,3 +485,28 @@ def test_shuffle_shards_python_oracle_and_invariance(spark, docs_df):
         for r in shuffle_shards(docs_df.repartition(11), n_shards=N).collect()
     )
     assert got2 == got
+
+
+def test_shuffle_shards_epochs_reshuffle_reproducibly(spark, docs_df):
+    """Each epoch yields a different order from the same ids; every
+    epoch is itself reproducible and matches the python mix oracle."""
+    from ariadne_spark.functions.sketch import mix_py
+    from ariadne_spark.operators.curation import EPOCH_SALT, shuffle_shards
+
+    def layout(epoch):
+        return sorted(
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in shuffle_shards(docs_df, n_shards=2, epoch=epoch).collect()
+        )
+
+    e0, e1 = layout(0), layout(1)
+    assert e0 != e1  # epochs actually reshuffle
+    assert layout(1) == e1  # and reproducibly so
+    by = {}
+    for d, _t in DOCS:
+        k = mix_py(d + 1 * EPOCH_SALT)
+        by.setdefault(k % 2, []).append((k, d))
+    want = sorted(
+        (d, s, p) for s, ks in by.items() for p, (_k, d) in enumerate(sorted(ks))
+    )
+    assert e1 == want
