@@ -295,8 +295,13 @@ class SpatialPipeline:
         """Cold build: index every partition (≅ `load_project` cold path,
         `packages/core/src/project/load_project.ts:67-150`)."""
         meta = images.select(*META_COLS).withColumn("pk", _pk_col())
+        # zone maps on the coordinate columns: bounding-box reads prune
+        # partitions from manifest stats alone (stats_cols is remembered
+        # in the manifest, so every incremental overwrite and compaction
+        # keeps the stats current — see read_bbox)
         in_sid = self.store.write_table(
-            meta, "images_indexed", "pk", sort_cols=_zorder_cols()
+            meta, "images_indexed", "pk", sort_cols=_zorder_cols(),
+            stats_cols=["lon_u", "lat_u"],
         )
         self._sync_id_index(in_sid, buckets=None, dead_ids=None, changed_meta=None)
         self._run_stages(in_sid, None)
@@ -449,6 +454,22 @@ class SpatialPipeline:
             self.store.expire_snapshots(t, keep_last=keep_last)
             out[t] = sid
         return out
+
+    def read_bbox(
+        self, lon_lo: int, lon_hi: int, lat_lo: int, lat_hi: int
+    ):
+        """Bounding-box read of images_indexed (microdegree coords,
+        inclusive). Partitions whose manifest lon/lat zone maps exclude
+        the box are skipped before any file is listed; survivors get
+        the exact residual filter (and, files being morton-sorted via
+        sort_cols, parquet row-group min/max prunes below the partition
+        too). The metadata-first probe the reference gets from its
+        eager location indexes (`packages/core/src/resolve_references/
+        registries/definition.ts:26-90` location_to_symbol)."""
+        return self.store.read(
+            "images_indexed",
+            where={"lon_u": (lon_lo, lon_hi), "lat_u": (lat_lo, lat_hi)},
+        )
 
     # -- verification ------------------------------------------------------
 

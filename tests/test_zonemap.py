@@ -146,3 +146,53 @@ def test_compact_backfills_stats_on_pre_stats_snapshots(spark, store):
     assert store.prune_keys("t", {"v": (0, 10)}) == ["p0"]
     got = store.read("t", where={"v": (1010, 1020)})
     assert got.count() == 11 and "extra" in got.columns
+
+
+def test_pipeline_bbox_read_uses_zone_maps(spark, tmp_path):
+    """images_indexed carries lon/lat zone maps from full_build on;
+    read_bbox == full-scan filter, prunes at least one partition via
+    manifest stats, and the stats survive an incremental update +
+    compaction (stats_cols is remembered in the manifest)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ariadne_spark.operators.incremental import SpatialPipeline
+    from ariadne_spark.synth.images import IMAGES_SCHEMA, generate_rows
+    from ariadne_spark.synth.regions import generate_regions
+
+    def imgs(ids):
+        pdf = generate_rows(np.asarray(ids)).to_pandas()
+        return spark.createDataFrame(pdf, schema=IMAGES_SCHEMA).drop("bytes")
+
+    p = SpatialPipeline(
+        spark, str(tmp_path / "zm"), generate_regions(), max_z=7, knn_res=5
+    )
+    p.full_build(imgs(np.arange(600)))
+    assert p.store.manifest("images_indexed").stats_cols == ["lon_u", "lat_u"]
+
+    box = (40_000_000, 90_000_000, 10_000_000, 60_000_000)
+    got = p.read_bbox(*box)
+    want = p.store.read("images_indexed").filter(
+        (F.col("lon_u") >= box[0]) & (F.col("lon_u") <= box[1])
+        & (F.col("lat_u") >= box[2]) & (F.col("lat_u") <= box[3])
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    pruned = p.store.prune_keys(
+        "images_indexed", {"lon_u": (box[0], box[1]), "lat_u": (box[2], box[3])}
+    )
+    n_parts = len(p.store.manifest("images_indexed").partitions)
+    assert 0 < len(pruned) < n_parts  # stats actually exclude partitions
+
+    # update + maintain: stats stay current without re-opting-in
+    upd = imgs(np.arange(600, 650))
+    p.update(upd)
+    p.maintain()
+    m = p.store.manifest("images_indexed")
+    assert m.stats_cols == ["lon_u", "lat_u"]
+    assert all("stats" in part for part in m.partitions.values())
+    got2 = p.read_bbox(*box)
+    want2 = p.store.read("images_indexed").filter(
+        (F.col("lon_u") >= box[0]) & (F.col("lon_u") <= box[1])
+        & (F.col("lat_u") >= box[2]) & (F.col("lat_u") <= box[3])
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
