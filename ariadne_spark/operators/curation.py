@@ -1154,6 +1154,10 @@ def shuffle_shards(
     but equally reproducible order from the same ids — no shuffle
     state to persist between epochs.
 
+    `id_col` must be numeric (castable to long); string ids should be
+    fingerprinted first (`sketch.rolling_fp_col`) — under ANSI SQL a
+    non-numeric cast fails loudly rather than silently NULLing.
+
     Reference analog: deterministic processing order derived from
     content, not arrival (`packages/core/src/index_single_file/scopes/
     scopes.ts:148-191` sorts captures by location+priority before the
