@@ -60,7 +60,6 @@ def bucket_expr(
 def aspect_buckets(
     images: DataFrame,
     ladder: list[tuple[int, int]] | None = None,
-    id_col: str = "image_id",
 ) -> DataFrame:
     """images(+w, h) -> + (bucket:int, bucket_w:int, bucket_h:int)."""
     lad = ladder or DEFAULT_LADDER
@@ -93,7 +92,7 @@ def bucket_batches(
     from ..functions.cells import idiv
 
     assert batch_size > 0
-    out = aspect_buckets(images, ladder, id_col).withColumn(
+    out = aspect_buckets(images, ladder).withColumn(
         "__rn",
         (
             F.row_number().over(Window.partitionBy("bucket").orderBy(id_col))

@@ -366,6 +366,59 @@ def dup_ngram_coverage_sql(n: int = 4) -> str:
     """
 
 
+def _covered_positions(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """-> distinct (id, p): 1-based token positions inside at least one
+    CROSS-document duplicated word n-gram — the covered-position union
+    shared by the coverage metric (`token_dup_coverage`) and the
+    removal transform (`strip_dup_spans`), kept in one place so their
+    semantics can never drift apart. Linear plan: posexplode windows ->
+    hash-agg cross-doc gram set -> one gram-keyed equi-join -> explode
+    each duplicated window's n positions -> distinct."""
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, n)).alias("i0", "gram"),
+    )
+    dup = (
+        wins.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    return (
+        wins.join(dup, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("i0") + 1, F.col("i0") + F.lit(n))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+
+
+def _covered_positions_ctes(n: int) -> str:
+    """DuckDB twin of `_covered_positions` as the shared CTE prefix
+    (ws/wins/dup/cov) used by both oracle builders."""
+    return f"""
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wins AS (
+          SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+          FROM ws, UNNEST(CASE WHEN len(w) >= {n}
+                               THEN range(1, len(w) - {n - 2})
+                               ELSE [] END) AS t(i)),
+        dup AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM wins)
+          GROUP BY gram HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, p
+          FROM wins JOIN dup USING (gram),
+               UNNEST(range(i, i + {n})) AS u(p))"""
+
+
 def token_dup_coverage(
     docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -387,28 +440,7 @@ def token_dup_coverage(
     approximation.
     """
     ws_len = F.size(F.split(F.col(text_col), " ")).cast("long")
-    wins = docs.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(text_col, n)).alias("i0", "gram"),
-    )
-    dup = (
-        wins.select(id_col, "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    cov = (
-        wins.join(dup, "gram")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("i0") + 1, F.col("i0") + F.lit(n))
-            ).alias("p"),
-        )
-        .distinct()
-    )
+    cov = _covered_positions(docs, n, id_col, text_col)
     per_doc = cov.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dup_tokens"))
     base = docs.select(id_col, ws_len.alias("n_words")).join(per_doc, id_col, "left")
     dt = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
@@ -425,19 +457,7 @@ def token_dup_coverage_sql(n: int = 4) -> str:
     Windows enumerate via LATERAL UNNEST over a per-row range — same
     1-based positions as the Spark posexplode+sequence form."""
     return f"""
-        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        wins AS (
-          SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS gram
-          FROM ws, UNNEST(CASE WHEN len(w) >= {n}
-                               THEN range(1, len(w) - {n - 2})
-                               ELSE [] END) AS t(i)),
-        dup AS (
-          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM wins)
-          GROUP BY gram HAVING count(*) >= 2),
-        cov AS (
-          SELECT DISTINCT doc_id, p
-          FROM wins JOIN dup USING (gram),
-               UNNEST(range(i, i + {n})) AS u(p)),
+        WITH {_covered_positions_ctes(n)},
         per_doc AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
           FROM cov GROUP BY doc_id)
@@ -470,28 +490,7 @@ def strip_dup_spans(
     the remainder when re-indexing a changed file (delete-then-insert,
     `packages/core/src/resolve_references/registries/definition.ts:99-103`).
     """
-    wins = docs.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(text_col, n)).alias("i0", "gram"),
-    )
-    dup = (
-        wins.select(id_col, "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    cov = (
-        wins.join(dup, "gram")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("i0") + 1, F.col("i0") + F.lit(n))
-            ).alias("p"),
-        )
-        .distinct()
-    )
+    cov = _covered_positions(docs, n, id_col, text_col)
     words = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("i0", "word"),
@@ -532,19 +531,7 @@ def strip_dup_spans_sql(n: int = 4) -> str:
     byte-identical clean_text (string_agg ORDER BY position rebuilds
     the same single-space join as Spark's sort_array + array_join)."""
     return f"""
-        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        wins AS (
-          SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS gram
-          FROM ws, UNNEST(CASE WHEN len(w) >= {n}
-                               THEN range(1, len(w) - {n - 2})
-                               ELSE [] END) AS t(i)),
-        dup AS (
-          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM wins)
-          GROUP BY gram HAVING count(*) >= 2),
-        cov AS (
-          SELECT DISTINCT doc_id, p
-          FROM wins JOIN dup USING (gram),
-               UNNEST(range(i, i + {n})) AS u(p)),
+        WITH {_covered_positions_ctes(n)},
         words AS (
           SELECT doc_id, i AS p, w[i] AS word
           FROM ws, UNNEST(range(1, len(w) + 1)) AS t(i)),
@@ -1126,6 +1113,7 @@ def pack_sequences_sql(
 
 
 EPOCH_SALT = 2_654_435_761  # Knuth multiplicative constant
+ORDER_SALT = 1_588_635_695  # decorrelates the low half of the order key
 
 
 def shuffle_shards(
@@ -1135,12 +1123,15 @@ def shuffle_shards(
     epoch: int = 0,
 ) -> DataFrame:
     """-> (id, shard:long, pos:long): deterministic global training-data
-    shuffle + shard layout. Each row's order key is the 4-round integer
-    mix of its id (`sketch.mix_col` — the repo's cross-engine hash), so
-    the "random" order is reproducible on any engine, partitioning, or
-    cluster size, with no RNG state to ship. Rows land in shard
-    mix % n_shards and are ordered within the shard by (mix, id) —
-    the id tie-break makes mix collisions harmless.
+    shuffle + shard layout. Each row's order key is a 62-BIT composite
+    of two 4-round integer mixes of its id (`sketch.mix_col`, the
+    repo's cross-engine hash: high = mix(x), low = mix(x + ORDER_SALT))
+    so the "random" order is reproducible on any engine, partitioning,
+    or cluster size with no RNG state to ship — and collision groups
+    stay negligible at 10^10+ rows, where a single 31-bit mix would
+    collide ~5x per value and the id tie-break would leak crawl-order
+    runs back into the training order. Rows land in shard
+    key % n_shards and order within the shard by (key, id).
 
     Scale shape: dataloader shuffling at corpus scale never needs one
     global dense sequence (that would be a single-partition window);
@@ -1165,10 +1156,12 @@ def shuffle_shards(
     """
     from pyspark.sql.window import Window
 
-    from ..functions.sketch import mix_col
+    from ..functions.sketch import M31, mix_col
 
     assert n_shards > 0 and epoch >= 0
-    k = mix_col(F.col(id_col).cast("long") + F.lit(epoch * EPOCH_SALT))
+    x = F.col(id_col).cast("long") + F.lit(epoch * EPOCH_SALT)
+    # 62-bit key: both halves < 2^31, product+sum < 2^62 (DuckDB-safe)
+    k = mix_col(x) * F.lit(M31) + mix_col(x + F.lit(ORDER_SALT))
     out = docs.select(F.col(id_col), k.alias("__k"))
     out = out.withColumn("shard", (F.col("__k") % n_shards).cast("long"))
     pos = F.row_number().over(
@@ -1181,9 +1174,13 @@ def shuffle_shards(
 
 def shuffle_shards_sql(n_shards: int, epoch: int = 0) -> str:
     """DuckDB twin of shuffle_shards() over the documents view."""
-    from ..functions.sketch import mix_sql
+    from ..functions.sketch import M31, mix_sql
 
-    k = mix_sql(f"(doc_id + {epoch * EPOCH_SALT})")
+    xs = f"(doc_id + {epoch * EPOCH_SALT})"
+    k = (
+        f"({mix_sql(xs)} * {M31} + "
+        f"{mix_sql(f'({xs} + {ORDER_SALT})')})"
+    )
     return f"""
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)

@@ -782,11 +782,21 @@ class SnapshotStore:
         semantics, matching the residual filter `read` applies)."""
         m = self.manifest(table, snapshot_id)
         assert m is not None, f"table {table} has no snapshot"
+        return self._prune_manifest(m, where)
+
+    @staticmethod
+    def _prune_manifest(m: Manifest, where: dict[str, tuple]) -> list[str]:
+        """Pruning core over an ALREADY-RESOLVED manifest — `read`
+        must prune against the exact snapshot it serves (re-resolving
+        here could see a newer concurrent commit and prune with the
+        wrong stats)."""
         out = []
         for k, part in m.partitions.items():
             stats = part.get("stats") or {}
             keep = True
             for col, (lo, hi) in where.items():
+                if lo is None and hi is None:
+                    continue  # unbounded predicate: no residual filter
                 s = stats.get(col)
                 if s is None:
                     continue  # no stats: cannot exclude
@@ -823,7 +833,10 @@ class SnapshotStore:
         m = self.manifest(table, snapshot_id)
         assert m is not None, f"table {table} has no snapshot"
         if where:
-            zone = set(self.prune_keys(table, where, snapshot_id))
+            # prune against THIS resolved manifest (a fresh prune_keys
+            # call could race a concurrent commit onto newer stats and
+            # drop rows from the snapshot actually being served)
+            zone = set(self._prune_manifest(m, where))
             keys = [k for k in (keys if keys is not None else m.partitions) if k in zone]
         sel = m.partitions if keys is None else {k: m.partitions[k] for k in keys if k in m.partitions}
         paths = [self._abs_path(p["path"]) for p in sel.values()]

@@ -458,8 +458,8 @@ def test_shuffle_shards_python_oracle_and_invariance(spark, docs_df):
     """Deterministic shuffle: order key is the shared 4-round integer
     mix, shards = mix % n, positions dense per shard; identical at any
     parallelism and equal to the pure-python layout."""
-    from ariadne_spark.functions.sketch import mix_py
-    from ariadne_spark.operators.curation import shuffle_shards
+    from ariadne_spark.functions.sketch import M31, mix_py
+    from ariadne_spark.operators.curation import ORDER_SALT, shuffle_shards
 
     N = 3
     got = sorted(
@@ -468,7 +468,7 @@ def test_shuffle_shards_python_oracle_and_invariance(spark, docs_df):
     )
     by_shard = {}
     for d, _t in DOCS:
-        k = mix_py(d)
+        k = mix_py(d) * M31 + mix_py(d + ORDER_SALT)
         by_shard.setdefault(k % N, []).append((k, d))
     want = []
     for s, ks in by_shard.items():
@@ -490,8 +490,12 @@ def test_shuffle_shards_python_oracle_and_invariance(spark, docs_df):
 def test_shuffle_shards_epochs_reshuffle_reproducibly(spark, docs_df):
     """Each epoch yields a different order from the same ids; every
     epoch is itself reproducible and matches the python mix oracle."""
-    from ariadne_spark.functions.sketch import mix_py
-    from ariadne_spark.operators.curation import EPOCH_SALT, shuffle_shards
+    from ariadne_spark.functions.sketch import M31, mix_py
+    from ariadne_spark.operators.curation import (
+        EPOCH_SALT,
+        ORDER_SALT,
+        shuffle_shards,
+    )
 
     def layout(epoch):
         return sorted(
@@ -504,7 +508,8 @@ def test_shuffle_shards_epochs_reshuffle_reproducibly(spark, docs_df):
     assert layout(1) == e1  # and reproducibly so
     by = {}
     for d, _t in DOCS:
-        k = mix_py(d + 1 * EPOCH_SALT)
+        x = d + 1 * EPOCH_SALT
+        k = mix_py(x) * M31 + mix_py(x + ORDER_SALT)
         by.setdefault(k % 2, []).append((k, d))
     want = sorted(
         (d, s, p) for s, ks in by.items() for p, (_k, d) in enumerate(sorted(ks))

@@ -109,6 +109,10 @@ def test_nulls_and_missing_stats_are_conservative(spark, store):
     assert [(r["k"], r["v"]) for r in got.collect()] == [("b", 5)]
     # predicate on a column with no recorded stats: keep everything
     assert store.prune_keys("t", {"k": ("a", "a")}) == ["a", "b", "c"]
+    # fully-unbounded predicate adds no residual filter, so it must not
+    # prune either — even the all-NULL partition's rows are served
+    assert store.prune_keys("t", {"v": (None, None)}) == ["a", "b", "c"]
+    assert store.read("t", where={"v": (None, None)}).count() == 5
 
 
 def test_overwrite_inherits_stats_cols_and_keeps_untouched(spark, store):
