@@ -470,7 +470,11 @@ def token_dup_coverage_sql(n: int = 4) -> str:
 
 
 def strip_dup_spans(
-    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span: int | None = None,
 ) -> DataFrame:
     """-> (id, n_words, kept_tokens, clean_text): REWRITE each document
     with every token inside a cross-document duplicated word n-gram
@@ -479,18 +483,43 @@ def strip_dup_spans(
     word-granular). A document that is entirely shared passage comes
     back empty; surviving tokens keep their original order.
 
+    `min_span` reproduces the paper's length threshold (they remove
+    only duplicated substrings of >= 50 tokens): covered positions are
+    grouped into MAXIMAL consecutive runs per document (gaps-and-
+    islands: run id = p - rank(p), a per-doc window) and only runs of
+    at least `min_span` tokens are removed — short incidental overlaps
+    survive. None (default) removes every covered token (any covered
+    run is >= n long by construction, so min_span <= n is a no-op).
+
     Plan shape (linear, nothing pairwise): the covered-position set is
     the same explode + gram-keyed equi-join as token_dup_coverage; the
     rewrite is one posexplode of words, a left-anti join against the
     covered positions, and one per-doc hash agg whose reassembly
     (sort_array over (pos, word) structs -> array_join) is entirely
-    JVM-side — no Python, deterministic at any parallelism.
+    JVM-side — no Python, deterministic at any parallelism. The
+    min_span window partitions by document, so its state is bounded by
+    document length like every other per-doc stage.
 
     Reference analog: ariadne drops the duplicated construct and keeps
     the remainder when re-indexing a changed file (delete-then-insert,
     `packages/core/src/resolve_references/registries/definition.ts:99-103`).
     """
     cov = _covered_positions(docs, n, id_col, text_col)
+    if min_span is not None and min_span > n:
+        from pyspark.sql.window import Window
+
+        run = (
+            F.col("p")
+            - F.row_number().over(Window.partitionBy(id_col).orderBy("p"))
+        ).alias("run")
+        runs = cov.select(id_col, "p", run)
+        big = (
+            runs.groupBy(id_col, "run")
+            .agg(F.count(F.lit(1)).alias("__len"))
+            .where(F.col("__len") >= min_span)
+            .select(id_col, "run")
+        )
+        cov = runs.join(big, [id_col, "run"]).select(id_col, "p")
     words = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("i0", "word"),
@@ -526,21 +555,37 @@ def strip_dup_spans(
     )
 
 
-def strip_dup_spans_sql(n: int = 4) -> str:
+def strip_dup_spans_sql(n: int = 4, min_span: int | None = None) -> str:
     """DuckDB oracle for strip_dup_spans() over the documents view —
     byte-identical clean_text (string_agg ORDER BY position rebuilds
     the same single-space join as Spark's sort_array + array_join)."""
+    if min_span is not None and min_span > n:
+        cov_final = f"""
+        runs AS (
+          SELECT doc_id, p,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS run
+          FROM cov),
+        big AS (
+          SELECT doc_id, run FROM runs
+          GROUP BY doc_id, run HAVING count(*) >= {min_span}),
+        cov2 AS (
+          SELECT runs.doc_id, runs.p FROM runs JOIN big USING (doc_id, run)),"""
+        cov_name = "cov2"
+    else:
+        cov_final = ""
+        cov_name = "cov"
     return f"""
-        WITH {_covered_positions_ctes(n)},
+        WITH {_covered_positions_ctes(n)},{cov_final}
         words AS (
           SELECT doc_id, i AS p, w[i] AS word
           FROM ws, UNNEST(range(1, len(w) + 1)) AS t(i)),
         kept AS (
           SELECT wd.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
                  string_agg(wd.word, ' ' ORDER BY wd.p) AS clean_text
-          FROM words wd LEFT JOIN cov
-            ON wd.doc_id = cov.doc_id AND wd.p = cov.p
-          WHERE cov.p IS NULL
+          FROM words wd LEFT JOIN {cov_name} cv
+            ON wd.doc_id = cv.doc_id AND wd.p = cv.p
+          WHERE cv.p IS NULL
           GROUP BY wd.doc_id)
         SELECT d.doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

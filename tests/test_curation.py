@@ -515,3 +515,80 @@ def test_shuffle_shards_epochs_reshuffle_reproducibly(spark, docs_df):
         (d, s, p) for s, ks in by.items() for p, (_k, d) in enumerate(sorted(ks))
     )
     assert e1 == want
+
+
+def test_strip_dup_spans_min_span_threshold(spark):
+    """min_span reproduces the Lee-et-al length gate: only maximal
+    covered runs >= min_span tokens are removed; shorter incidental
+    overlaps survive. Python islands oracle + DuckDB twin parity."""
+    from ariadne_spark.operators.curation import (
+        strip_dup_spans,
+        strip_dup_spans_sql,
+    )
+
+    n = 2
+    shared_long = "p q r s t u"         # 6-token shared passage
+    shared_short = "x y"                # 2-token incidental overlap
+    docs = [
+        (0, f"a1 {shared_long} b1 {shared_short} c1"),
+        (1, f"a2 {shared_long} b2 {shared_short} c2"),
+        (2, "unrelated words only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def oracle(min_span):
+        wins = {
+            d: [(i + 1, " ".join(t.split(" ")[i : i + n]))
+                for i in range(max(0, len(t.split(" ")) - n + 1))]
+            for d, t in docs
+        }
+        gd = {}
+        for d, ws in wins.items():
+            for _i, g in ws:
+                gd.setdefault(g, set()).add(d)
+        dup = {g for g, ds in gd.items() if len(ds) >= 2}
+        out = {}
+        for d, t in docs:
+            toks = t.split(" ")
+            cov = set()
+            for i, g in wins[d]:
+                if g in dup:
+                    cov.update(range(i, i + n))
+            if min_span:
+                keepcov = set()
+                run = []
+                for p in sorted(cov) + [10**9]:
+                    if run and p != run[-1] + 1:
+                        if len(run) >= min_span:
+                            keepcov.update(run)
+                        run = []
+                    run.append(p)
+                cov = keepcov
+            kept = [w for p, w in enumerate(toks, 1) if p not in cov]
+            out[d] = (len(toks), len(kept), " ".join(kept))
+        return out
+
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}')" for d, t in docs)
+        + ") AS v(doc_id, text)"
+    )
+    for ms in (None, 4):
+        want = oracle(ms)
+        got = {
+            r["doc_id"]: (r["n_words"], r["kept_tokens"], r["clean_text"])
+            for r in strip_dup_spans(df, n=n, min_span=ms).collect()
+        }
+        assert got == want, (ms, got, want)
+        sql = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duck.execute(strip_dup_spans_sql(n=n, min_span=ms)).fetchall()
+        }
+        assert sql == want, ms
+    # with the gate, the short shared pair survives; without it, not
+    assert "x y" in oracle(4)[0][2] and "x y" not in oracle(None)[0][2]
+    # the long shared passage is removed either way
+    assert "p q" not in oracle(4)[0][2]
