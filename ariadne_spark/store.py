@@ -350,8 +350,11 @@ class SnapshotStore:
         self.backend.write_advisory(self._head_path(m.table), str(m.snapshot_id))
         return True
 
-    def manifest(self, table: str, snapshot_id: int | None = None) -> Manifest | None:
-        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
+    def manifest(self, table: str, snapshot_id=None) -> Manifest | None:
+        """Manifest of a snapshot: by int id, by TAG NAME (str), or the
+        current one (None) — every reader (`read`, `prune_keys`, `diff`)
+        resolves through here, so tags address them all."""
+        sid = self._resolve_sid(table, snapshot_id)
         if sid is None:
             return None
         with open(self._manifest_path(table, sid)) as fh:
@@ -366,6 +369,52 @@ class SnapshotStore:
             for f in os.listdir(f"{self.root}/manifests")
             if f.startswith(f"{table}.") and f.endswith(".json")
         )
+
+    # -- tags ----------------------------------------------------------------
+
+    def _tag_path(self, table: str, name: str) -> str:
+        assert "/" not in name and "." not in name, f"bad tag name {name!r}"
+        return f"{self.root}/manifests/{table}.tag.{name}"
+
+    def tag(self, table: str, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg `CREATE TAG`):
+        tagged snapshots survive `expire_snapshots`, and reads can
+        address them by name (`read(table, snapshot_id='name')`) — the
+        release/audit handle ("the corpus we trained run X on"). Tags
+        are created with the backend's exclusive-create CAS, so two
+        writers racing for one name resolve like commits do; re-tagging
+        an existing name raises (drop it first: tags are immutable
+        pointers, not branches). Returns the pinned snapshot id."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
+        assert sid is not None, f"table {table} has no snapshot"
+        assert os.path.exists(self._manifest_path(table, sid)), (
+            f"no snapshot {sid} for {table}"
+        )
+        if not self.backend.create_exclusive(self._tag_path(table, name), str(sid)):
+            raise CommitConflict(f"tag {name!r} already exists on {table}")
+        return sid
+
+    def tags(self, table: str) -> dict[str, int]:
+        """name -> snapshot id for every tag on the table."""
+        prefix = f"{table}.tag."
+        out = {}
+        for f in os.listdir(f"{self.root}/manifests"):
+            if f.startswith(prefix):
+                with open(f"{self.root}/manifests/{f}") as fh:
+                    out[f[len(prefix):]] = int(fh.read().strip())
+        return out
+
+    def drop_tag(self, table: str, name: str) -> None:
+        os.remove(self._tag_path(table, name))
+
+    def _resolve_sid(self, table: str, snapshot_id) -> int | None:
+        """Accepts an int snapshot id, a tag name (str), or None
+        (current)."""
+        if isinstance(snapshot_id, str):
+            t = self.tags(table)
+            assert snapshot_id in t, f"no tag {snapshot_id!r} on {table}"
+            return t[snapshot_id]
+        return snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
 
     def rollback(self, table: str, snapshot_id: int) -> int:
         """Roll back by committing a NEW snapshot whose partition set
@@ -402,7 +451,9 @@ class SnapshotStore:
         head = self.current_snapshot_id(table)
         assert head is not None, f"table {table} has no snapshot"
         sids = self.snapshot_ids(table)
-        keep = set(sids[-keep_last:]) | {head}
+        # tagged snapshots are pinned (Iceberg: tags exempt snapshots
+        # from expiration) — their manifests AND data dirs survive
+        keep = set(sids[-keep_last:]) | {head} | set(self.tags(table).values())
         referenced = set()
         for s in keep:
             m = self.manifest(table, s)
@@ -765,7 +816,7 @@ class SnapshotStore:
         self,
         table: str,
         where: dict[str, tuple],
-        snapshot_id: int | None = None,
+        snapshot_id: int | str | None = None,
     ) -> list[str]:
         """Zone-map pruning (Iceberg manifest column-stats filtering):
         return the partition keys whose recorded min/max stats can
@@ -818,7 +869,7 @@ class SnapshotStore:
     def read(
         self,
         table: str,
-        snapshot_id: int | None = None,
+        snapshot_id: int | str | None = None,
         keys: list[str] | None = None,
         where: dict[str, tuple] | None = None,
     ) -> DataFrame:

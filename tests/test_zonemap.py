@@ -200,3 +200,41 @@ def test_pipeline_bbox_read_uses_zone_maps(spark, tmp_path):
         & (F.col("lat_u") >= box[2]) & (F.col("lat_u") <= box[3])
     )
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_snapshot_tags_pin_and_survive_expiration(spark, store):
+    """Iceberg-tag analog: tags name snapshots for reads, exempt them
+    from expire_snapshots, are immutable (re-tag raises), and dropping
+    a tag releases the pin."""
+    from ariadne_spark.store import CommitConflict
+
+    store.write_table(_frame(spark, n_parts=2), "t", key="k")
+    s0 = store.current_snapshot_id("t")
+    sid = store.tag("t", "v1")
+    assert sid == s0 and store.tags("t") == {"v1": s0}
+
+    upd = _mk(spark, [("p0", 9, "z")], "k string, v long, s string")
+    store.overwrite_partitions(upd, "t", key="k")
+    s1 = store.current_snapshot_id("t")
+    assert s1 != s0
+
+    # read by tag name == read by pinned id
+    by_tag = sorted(map(tuple, store.read("t", snapshot_id="v1").collect()))
+    by_id = sorted(map(tuple, store.read("t", snapshot_id=s0).collect()))
+    assert by_tag == by_id and len(by_tag) == 100
+
+    # expiration keeps the tagged snapshot AND its data
+    store.expire_snapshots("t", keep_last=1)
+    assert store.read("t", snapshot_id="v1").count() == 100
+    assert store.read("t").count() == 51  # current: p0 replaced by 1 row
+
+    # immutable: re-tagging the name raises
+    with pytest.raises(CommitConflict):
+        store.tag("t", "v1", snapshot_id=s1)
+
+    # drop releases the pin; expiration then reclaims the old snapshot
+    store.drop_tag("t", "v1")
+    store.expire_snapshots("t", keep_last=1)
+    assert store.tags("t") == {}
+    with pytest.raises(FileNotFoundError):
+        store.manifest("t", s0)
