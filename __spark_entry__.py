@@ -1547,7 +1547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-partition cumulative sum scalable to 10^12 docs — and the
     # layout is bit-identical at any parallelism.
     def q49(spark, sf):
-        from ariadne_spark.operators.curation import pack_sequences
+        from ariadne_spark.operators.curation import (
+            pack_boundaries,
+            pack_sequences,
+        )
 
         d = _t(spark, sf, "documents")
         words = (
@@ -1558,7 +1561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sharded = d.select(
             (F.col("doc_id") % 4).alias("shard"), "doc_id", words.alias("w")
         )
-        return pack_sequences(sharded, F.col("w"), 512, ["shard"], "doc_id")
+        # fragment grain: per-doc stream positions JOINED with the
+        # per-window boundary index (which slice of each ctx window
+        # belongs to which doc — the attention-mask metadata); both
+        # relations recomputed independently in the DuckDB oracle
+        p = pack_sequences(sharded, F.col("w"), 512, ["shard"], "doc_id")
+        b = pack_boundaries(sharded, F.col("w"), 512, ["shard"], "doc_id")
+        return p.join(b, ["shard", "doc_id"])
 
     Q["q49_pack_sequences"] = q49
 
@@ -2179,15 +2188,22 @@ def oracle_sql() -> dict[str, str]:
             "t",
             ["lang"],
         ),
-        "q49_pack_sequences": curation.pack_sequences_sql(
-            "(SELECT doc_id % 4 AS shard, doc_id,"
-            " length(text) - length(replace(text, ' ', '')) + 1 AS w"
-            " FROM documents)",
-            "w",
-            512,
-            ["shard"],
-            "doc_id",
-        ),
+        "q49_pack_sequences": f"""
+            WITH p AS ({curation.pack_sequences_sql(
+                "(SELECT doc_id % 4 AS shard, doc_id,"
+                " length(text) - length(replace(text, ' ', '')) + 1 AS w"
+                " FROM documents)",
+                "w", 512, ["shard"], "doc_id",
+            )}),
+            b AS ({curation.pack_boundaries_sql(
+                "(SELECT doc_id % 4 AS shard, doc_id,"
+                " length(text) - length(replace(text, ' ', '')) + 1 AS w"
+                " FROM documents)",
+                "w", 512, ["shard"], "doc_id",
+            )})
+            SELECT p.*, b.bin, b.start_in_bin, b.frag_len
+            FROM p JOIN b USING (shard, doc_id)
+        """,
         "q46_decontaminate": f"""
             WITH exact AS ({curation.decontaminate_sql(n=4, min_hits=3, bench_mod=10)}),
             bloom AS ({curation.bloom_decontaminate_sql(

@@ -1129,6 +1129,75 @@ def pack_greedy(
     return base.groupBy(*pack_cols).applyInPandas(pack, out_schema)
 
 
+def pack_boundaries(
+    df: DataFrame,
+    tokens: Column,
+    ctx: int,
+    pack_cols: list[str],
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """-> (pack_cols..., bin, order_col, start_in_bin, frag_len): the
+    per-window DOCUMENT-BOUNDARY index for `pack_sequences`' layout —
+    one row per (context window, document fragment), saying which slice
+    of each window belongs to which document. This is the metadata a
+    packed-pretraining loader needs to reset attention / mask loss at
+    document boundaries inside a window (e.g. block-diagonal attention
+    over packed sequences); without it the windows are opaque token
+    runs.
+
+    Derivation is pure column math over pack_sequences' per-doc stream
+    positions plus one explode over each doc's first_bin..last_bin
+    range — fanout equals the true fragment count (docs + window
+    crossings), so cost stays linear in windows. Per (group, bin) the
+    fragments tile [0, ctx) exactly (the trailing bin tiles up to the
+    stream end) — asserted in tests.
+    """
+    p = pack_sequences(df, tokens, ctx, pack_cols, order_col)
+    out = p.select(
+        *pack_cols,
+        order_col,
+        "tokens",
+        "start_tok",
+        F.explode(
+            F.sequence(F.col("first_bin"), F.col("last_bin"))
+        ).alias("bin"),
+    )
+    gs = F.col("bin").cast("long") * F.lit(ctx)
+    frag_start = F.greatest(F.col("start_tok"), gs)
+    frag_end = F.least(F.col("start_tok") + F.col("tokens"), gs + F.lit(ctx))
+    return out.select(
+        *pack_cols,
+        "bin",
+        order_col,
+        (frag_start - gs).cast("long").alias("start_in_bin"),
+        (frag_end - frag_start).cast("long").alias("frag_len"),
+    )
+
+
+def pack_boundaries_sql(
+    table_sql: str,
+    tokens_sql: str,
+    ctx: int,
+    pack_cols: list[str],
+    order_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `pack_boundaries` (same fragments)."""
+    g = ", ".join(pack_cols)
+    inner = pack_sequences_sql(table_sql, tokens_sql, ctx, pack_cols, order_col)
+    return f"""
+        WITH p AS ({inner}),
+        frag AS (
+          SELECT {g}, {order_col}, tokens, start_tok, b.bin
+          FROM p, UNNEST(range(first_bin, last_bin + 1)) AS b(bin))
+        SELECT {g}, CAST(bin AS BIGINT) AS bin, {order_col},
+               CAST(greatest(start_tok, bin * {ctx}) - bin * {ctx}
+                    AS BIGINT) AS start_in_bin,
+               CAST(least(start_tok + tokens, (bin + 1) * {ctx})
+                    - greatest(start_tok, bin * {ctx}) AS BIGINT) AS frag_len
+        FROM frag
+    """
+
+
 def pack_sequences_sql(
     table_sql: str,
     tokens_sql: str,

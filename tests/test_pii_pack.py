@@ -274,3 +274,53 @@ def test_pack_sequences_stream_is_gapless(spark):
     for r in rows:
         assert r["start_tok"] == pos.get(r["shard"], 0)
         pos[r["shard"]] = r["start_tok"] + r["tokens"]
+
+
+def test_pack_boundaries_tile_windows_exactly(spark):
+    """Fragment index invariants: per (shard, bin) the fragments tile
+    [0, ctx) contiguously with no gaps/overlaps (trailing bin tiles up
+    to the stream end); python oracle equality; repartition-invariant."""
+    from ariadne_spark.operators.curation import pack_boundaries
+
+    ctx = 7
+    rows = [(i % 2, i, (i * 2654435761 % 9) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, w long")
+
+    got = sorted(
+        (r["shard"], r["bin"], r["doc_id"], r["start_in_bin"], r["frag_len"])
+        for r in pack_boundaries(df, F.col("w"), ctx, ["shard"], "doc_id").collect()
+    )
+
+    # python oracle: concat docs per shard in doc_id order, slice
+    want = []
+    streams = {}
+    for s, d, w in sorted(rows, key=lambda r: (r[0], r[1])):
+        start = streams.get(s, 0)
+        streams[s] = start + w
+        b0, b1 = start // ctx, (start + w - 1) // ctx
+        for b in range(b0, b1 + 1):
+            fs, fe = max(start, b * ctx), min(start + w, (b + 1) * ctx)
+            want.append((s, b, d, fs - b * ctx, fe - fs))
+    assert got == sorted(want)
+
+    # tiling: within each (shard, bin), fragments cover [0, X) exactly
+    from collections import defaultdict
+    per_bin = defaultdict(list)
+    for s, b, _d, st, ln in got:
+        per_bin[(s, b)].append((st, ln))
+    for (s, b), frags in per_bin.items():
+        frags.sort()
+        pos = 0
+        for st, ln in frags:
+            assert st == pos and ln > 0, (s, b, frags)
+            pos = st + ln
+        full = streams[s] // ctx  # bins strictly before this are full
+        assert pos == (ctx if b < full else streams[s] - full * ctx)
+
+    got2 = sorted(
+        (r["shard"], r["bin"], r["doc_id"], r["start_in_bin"], r["frag_len"])
+        for r in pack_boundaries(
+            df.repartition(9), F.col("w"), ctx, ["shard"], "doc_id"
+        ).collect()
+    )
+    assert got2 == got
