@@ -476,13 +476,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["q21_embedding_topk"] = q21
 
     # text — token counts per lang (whitespace tokens, exact arithmetic)
+    # ... plus the RAG chunking layout (curation.chunk_docs, 64-word
+    # windows every 48 words) aggregated per lang: kind='chunks' rows
+    # reuse the stats columns as n_docs:=n_chunks, sum_words:=sum of
+    # per-chunk token counts, sum_chars:=sum of rebuilt chunk-text
+    # lengths — any slice/clamp boundary error shifts the sums, so the
+    # chunk relation is hash-checked at the aggregate grain here and
+    # at the per-chunk grain in tests/test_curation.py
     def q22(spark, sf):
+        from ariadne_spark.operators.curation import chunk_docs
+
         d = _t(spark, sf, "documents")
         words = (
             F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
             + 1
         ).cast("long")
-        return (
+        stats = (
             d.select("lang", words.alias("words"), F.col("n_chars").cast("long").alias("nc"))
             .groupBy("lang")
             .agg(
@@ -490,7 +499,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.sum("words").alias("sum_words"),
                 F.sum("nc").alias("sum_chars"),
             )
+            .select(F.lit("stats").alias("kind"), "*")
         )
+        chunks = (
+            chunk_docs(
+                d.select("doc_id", "lang", "text"),
+                chunk=64,
+                stride=48,
+                id_cols=("doc_id", "lang"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("sum_words"),
+                F.sum(F.length("chunk_text").cast("long")).alias("sum_chars"),
+            )
+            .select(F.lit("chunks").alias("kind"), "*")
+        )
+        return stats.unionByName(chunks)
 
     Q["q22_token_stats"] = q22
 
@@ -806,10 +832,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 900000 (~cosine 0.9 on unit vectors); distributed block-matmul
     # (same plan family as q21 — no driver collect), exact integer
     # arithmetic; a<b orientation lands each pair in exactly one block
+    # ... plus the CLIP-score-style image-text alignment gate
+    # (curation.alignment_filter): vectors pair as (even vec_id = image
+    # embedding, vec_id+1 = caption embedding) and kind='align' rows
+    # carry EVERY pair with its integer-exact cosine>=0.2 verdict —
+    # both the kept and the dropped side of the gate are hash-checked,
+    # so the decimal/HUGEINT cross-multiplied threshold is pinned at
+    # the flip boundary
     def q38(spark, sf):
+        from ariadne_spark.operators.curation import alignment_filter
         from ariadne_spark.operators.exact_sim import exact_neardup_pairs
 
-        return exact_neardup_pairs(_t(spark, sf, "embeddings"), threshold=900_000)
+        emb = _t(spark, sf, "embeddings")
+        nd = exact_neardup_pairs(emb, threshold=900_000).select(
+            F.lit("neardup").alias("kind"),
+            "a",
+            "b",
+            "dot_q",
+            F.lit(True).alias("aligned"),
+        )
+        img = emb.where(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("a"), F.col("embedding").alias("img_vec")
+        )
+        txt = emb.select(
+            (F.col("vec_id") - 1).alias("a"), F.col("embedding").alias("txt_vec")
+        )
+        al = alignment_filter(img.join(txt, "a"), threshold_permille=200).select(
+            F.lit("align").alias("kind"),
+            "a",
+            (F.col("a") + 1).alias("b"),
+            "dot_q",
+            "aligned",
+        )
+        return nd.unionByName(al)
 
     Q["q38_embedding_neardup"] = q38
 
@@ -2252,12 +2307,17 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT src, dst, dot_q, rank FROM ranked WHERE rank <= 3
         """,
-        "q22_token_stats": """
-            SELECT lang, count(*) AS n_docs,
+        "q22_token_stats": f"""
+            SELECT 'stats' AS kind, lang, count(*) AS n_docs,
                    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
                         AS BIGINT) AS sum_words,
                    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'chunks' AS kind, lang, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_words,
+                   CAST(sum(length(chunk_text)) AS BIGINT) AS sum_chars
+            FROM ({curation.chunk_docs_sql(64, 48)}) GROUP BY lang
         """,
         "q23_quality_score": """
             SELECT doc_id,
@@ -2381,16 +2441,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.a, p.b, p.band, l.cluster_id
             FROM pairs p JOIN lab l ON p.a = l.src
         """,
-        "q38_embedding_neardup": """
+        "q38_embedding_neardup": f"""
             WITH q AS (
               SELECT vec_id,
                      list_transform(embedding,
                                     x -> CAST(round(x * 1000) AS BIGINT)) AS qv
-              FROM embeddings)
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+                     CAST(list_dot_product(a.qv, a.qv) AS BIGINT) AS na,
+                     CAST(list_dot_product(b.qv, b.qv) AS BIGINT) AS nb
+              FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+              WHERE a.vec_id % 2 = 0)
+            SELECT 'neardup' AS kind, a.vec_id AS a, b.vec_id AS b,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q,
+                   TRUE AS aligned
             FROM q a JOIN q b ON a.vec_id < b.vec_id
             WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 900000
+            UNION ALL
+            SELECT 'align' AS kind, a, b, dot AS dot_q,
+                   {curation.alignment_gate_sql('dot', 'na', 'nb', 200)} AS aligned
+            FROM pairs
         """,
         "q33_rollup_grouping": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

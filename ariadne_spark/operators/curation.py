@@ -1302,3 +1302,138 @@ def shuffle_shards_sql(n_shards: int, epoch: int = 0) -> str:
         FROM (SELECT doc_id, {k} AS k, ({k}) % {n_shards} AS shard
               FROM documents)
     """
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """-> id_cols + (chunk_idx, start_tok, n_tok, chunk_text): RAG-style
+    sliding-window document chunking — every `stride` words, emit the
+    next `chunk`-word window (the last window may be shorter; windows
+    overlap by `chunk - stride` words so no retrieval boundary splits
+    a fact). One explode over `ceil(words/stride)` starts per doc —
+    fanout is the true chunk count, cost linear in total output tokens,
+    all JVM-side column expressions (split/sequence/slice/array_join),
+    zero shuffles, so the plan is a pure pipelined scan at any corpus
+    size.
+
+    Chunk starts are `sequence(0, n_words-1, stride)` — exactly the
+    starts `< n_words` (Spark's sequence is inclusive-end, the DuckDB
+    twin's `range(0, n_words, stride)` exclusive-end: same list). A
+    doc's words are `split(text, ' ')` (never empty — '' -> ['']), so
+    the start list is never empty and every doc yields >= 1 chunk.
+
+    Reference analog: the fixed-size body windows ariadne's scope
+    indexer walks when a definition body exceeds one capture span
+    (`packages/core/src/index_single_file/scopes/scopes.ts:148-191`
+    processes captures in deterministic location order) — here the
+    window is the retrieval unit instead of the capture unit.
+    """
+    assert chunk >= 1 and 1 <= stride <= chunk
+    ws = F.split(F.col(text_col), " ")
+    starts = F.expr(
+        f"sequence(0, size(split({text_col}, ' ')) - 1, {stride})"
+    )
+    rows = docs.select(
+        *id_cols, ws.alias("__ws"), F.explode(starts).alias("__st")
+    )
+    st = F.col("__st").cast("long")
+    return rows.select(
+        *id_cols,
+        # __st is always a multiple of stride, so / is exact
+        (st / stride).cast("long").alias("chunk_idx"),
+        st.alias("start_tok"),
+        F.least(F.lit(chunk).cast("long"), F.size("__ws") - st).alias("n_tok"),
+        F.array_join(F.slice("__ws", F.col("__st") + 1, chunk), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def chunk_docs_sql(chunk: int = 64, stride: int = 48) -> str:
+    """DuckDB twin of chunk_docs() over the documents view (chunk
+    grain, including lang for the q22 per-lang aggregate). DuckDB list
+    slicing is 1-based inclusive-end and clamps at the list end, so
+    `ws[st+1 : st+chunk]` == Spark `slice(ws, st+1, chunk)`."""
+    return f"""
+        SELECT doc_id, lang, st // {stride} AS chunk_idx,
+               CAST(st AS BIGINT) AS start_tok,
+               CAST(least({chunk}, len(ws) - st) AS BIGINT) AS n_tok,
+               array_to_string(ws[st + 1 : st + {chunk}], ' ') AS chunk_text
+        FROM (SELECT doc_id, lang, ws, unnest(range(0, len(ws), {stride})) AS st
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                    FROM documents))
+    """
+
+
+def alignment_filter(
+    pairs: DataFrame,
+    img_col: str = "img_vec",
+    txt_col: str = "txt_vec",
+    threshold_permille: int = 200,
+) -> DataFrame:
+    """-> input + (dot_q, na_q, nb_q, aligned): CLIP-score-style
+    image-text alignment gate — keep a pair iff the cosine between its
+    image embedding and its caption embedding is >= threshold/1000 (the
+    LAION-style curation gate for paired multimodal corpora; LAION-400M
+    used CLIP cosine >= 0.3).
+
+    The gate is float-free past quantization: components quantize to
+    `round(x*1000)::long` (the repo's shared embedding scale), and
+    `cos >= t/1000` is evaluated as the cross-multiplied integer
+    comparison
+
+        dot > 0  AND  10^6 * dot^2 >= t^2 * |a|^2 * |b|^2
+
+    computed in decimal(38,0) (Spark) / HUGEINT (DuckDB) so it is
+    EXACT for any vector norm — no sqrt, no float compare, identical
+    on every engine and at any parallelism. NULL vectors fail closed
+    (aligned = false, dot/norms NULL).
+
+    Pure column expressions (zip_with + aggregate), no UDF, no join:
+    cost is one linear pass over the pair table.
+
+    Reference analog: resolution confidence gating — a candidate edge
+    is kept only above a confidence bar, `Resolution{confidence}`
+    (`packages/types/src/symbol_references.ts:270-298`).
+    """
+    assert 0 <= threshold_permille <= 1000
+    t = threshold_permille
+
+    def qv(c: str) -> Column:
+        return F.transform(F.col(c), lambda x: F.round(x * 1000).cast("long"))
+
+    zero = F.lit(0).cast("long")
+    add = lambda acc, v: acc + v
+    dot = F.aggregate(
+        F.zip_with(qv(img_col), qv(txt_col), lambda x, y: x * y), zero, add
+    )
+    na = F.aggregate(F.transform(qv(img_col), lambda x: x * x), zero, add)
+    nb = F.aggregate(F.transform(qv(txt_col), lambda x: x * x), zero, add)
+    D = lambda c: c.cast("decimal(38,0)")
+    gate = (F.col("dot_q") > 0) & (
+        D(F.col("dot_q")) * D(F.col("dot_q")) * F.lit(1_000_000).cast("decimal(38,0)")
+        >= F.lit(t * t).cast("decimal(38,0)") * D(F.col("na_q")) * D(F.col("nb_q"))
+    )
+    return (
+        pairs.withColumn("dot_q", dot)
+        .withColumn("na_q", na)
+        .withColumn("nb_q", nb)
+        .withColumn("aligned", F.coalesce(gate, F.lit(False)))
+    )
+
+
+def alignment_gate_sql(
+    dot: str, na: str, nb: str, threshold_permille: int
+) -> str:
+    """DuckDB twin of alignment_filter's integer cosine gate as an
+    expression fragment over precomputed quantized dot/norm columns."""
+    t = threshold_permille
+    return (
+        f"COALESCE({dot} > 0 AND CAST({dot} AS HUGEINT) * {dot} * 1000000"
+        f" >= CAST({t * t} AS HUGEINT) * {na} * {nb}, FALSE)"
+    )

@@ -592,3 +592,162 @@ def test_strip_dup_spans_min_span_threshold(spark):
     assert "x y" in oracle(4)[0][2] and "x y" not in oracle(None)[0][2]
     # the long shared passage is removed either way
     assert "p q" not in oracle(4)[0][2]
+
+
+def py_chunks(text: str, chunk: int, stride: int):
+    ws = text.split(" ")
+    out = []
+    for st in range(0, len(ws), stride):
+        piece = ws[st : st + chunk]
+        out.append((st // stride, st, len(piece), " ".join(piece)))
+    return out
+
+
+CHUNK_DOCS = [
+    # adversarial layouts for the slide/clamp math: shorter-than-chunk,
+    # exactly one window, exact multiple of stride, trailing partial,
+    # empty string ('' -> [''], one 1-token chunk), multi-space runs
+    # (empty tokens preserved), single word
+    (0, "a b c d e f g h i j"),
+    (1, "one two three four"),
+    (2, " ".join(f"w{i}" for i in range(8))),   # len == 2*stride at stride 4
+    (3, " ".join(f"w{i}" for i in range(11))),  # trailing partial window
+    (4, ""),
+    (5, "x  y   z"),
+    (6, "solo"),
+]
+
+
+def test_chunk_docs_python_oracle(spark):
+    """chunk_docs == the plain python sliding-window definition, per
+    chunk (idx, start, length, rebuilt text), on adversarial layouts."""
+    from ariadne_spark.operators.curation import chunk_docs
+
+    df = spark.createDataFrame(CHUNK_DOCS, "doc_id long, text string")
+    got = sorted(
+        map(tuple, chunk_docs(df, chunk=6, stride=4).collect())
+    )
+    want = sorted(
+        (did, idx, st, n, txt)
+        for did, text in CHUNK_DOCS
+        for idx, st, n, txt in py_chunks(text, 6, 4)
+    )
+    assert got == want
+    # every doc chunks (even the empty string), and overlapping windows
+    # tile the word stream: consecutive starts differ by exactly stride
+    by_doc = {}
+    for did, idx, st, n, txt in got:
+        by_doc.setdefault(did, []).append(st)
+    assert set(by_doc) == {d for d, _ in CHUNK_DOCS}
+    for sts in by_doc.values():
+        sts.sort()
+        assert sts[0] == 0
+        assert all(b - a == 4 for a, b in zip(sts, sts[1:]))
+
+
+def test_chunk_docs_parallelism_invariance(spark):
+    from ariadne_spark.operators.curation import chunk_docs
+
+    df = spark.createDataFrame(CHUNK_DOCS, "doc_id long, text string")
+    a = sorted(map(tuple, chunk_docs(df.repartition(1), chunk=6, stride=4).collect()))
+    b = sorted(map(tuple, chunk_docs(df.repartition(7), chunk=6, stride=4).collect()))
+    assert a == b
+
+
+def py_align(a: list[float], b: list[float], t: int):
+    # Spark/DuckDB round() is HALF_UP away from zero; the fixture
+    # values are exact binary fractions so x*1000 never lands on .5
+    qa = [int(round(x * 1000)) for x in a]
+    qb = [int(round(x * 1000)) for x in b]
+    dot = sum(x * y for x, y in zip(qa, qb))
+    na = sum(x * x for x in qa)
+    nb = sum(x * x for x in qb)
+    return dot, na, nb, dot > 0 and dot * dot * 1_000_000 >= t * t * na * nb
+
+
+def test_alignment_filter_python_oracle_and_boundary(spark):
+    """alignment_filter == exact integer cosine gate, INCLUDING the
+    exact flip boundary: [3,4]x[4,3] has cosine exactly 24/25 = 0.96,
+    so t=960 keeps it (>=) and t=961 drops it — pinning that the
+    decimal cross-multiplication is exact, not float-approximate."""
+    from ariadne_spark.operators.curation import alignment_filter
+
+    rows = [
+        (0, [3.0, 4.0], [4.0, 3.0]),       # cos == 0.96 exactly
+        (1, [1.0, 0.0], [1.0, 0.0]),       # identical: cos == 1
+        (2, [1.0, 0.0], [0.0, 1.0]),       # orthogonal: dot == 0 -> False
+        (3, [1.0, 0.0], [-1.0, 0.0]),      # opposite: dot < 0 -> False
+        (4, [0.5, 0.25], [0.5, 0.25]),     # exact binary fractions
+        (5, [1.0, 1.0], None),             # NULL vector -> fail closed
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, img_vec array<float>, txt_vec array<float>"
+    )
+    for t in (960, 961):
+        got = {
+            r["pair_id"]: (r["dot_q"], r["na_q"], r["nb_q"], r["aligned"])
+            for r in alignment_filter(df, threshold_permille=t).collect()
+        }
+        for pid, a, b in rows:
+            if b is None:
+                assert got[pid][3] is False  # fail-closed NULL gate
+                continue
+            assert got[pid] == py_align(a, b, t), (pid, t)
+    assert got[0][3] is False  # t=961 drops the 0.96 pair
+    kept_960 = {
+        r["pair_id"]
+        for r in alignment_filter(df, threshold_permille=960).collect()
+        if r["aligned"]
+    }
+    assert kept_960 == {0, 1, 4}
+
+
+def test_alignment_filter_duckdb_parity_on_noisy_floats(spark):
+    """Spark and DuckDB agree pair-by-pair (dot, norms, verdict) on
+    irregular float vectors incl. negatives — the engines' round() and
+    the HUGEINT-vs-decimal gate arithmetic line up bit-identically."""
+    import duckdb as _dd
+
+    from ariadne_spark.operators.curation import (
+        alignment_filter,
+        alignment_gate_sql,
+    )
+
+    vals = [
+        (i, [((i * 7 + j * 13) % 29 - 14) / 9.0 for j in range(8)],
+            [((i * 11 + j * 5) % 31 - 15) / 7.0 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        vals, "pair_id long, img_vec array<float>, txt_vec array<float>"
+    )
+    got = sorted(
+        (r["pair_id"], r["dot_q"], r["na_q"], r["nb_q"], r["aligned"])
+        for r in alignment_filter(df, threshold_permille=300).collect()
+    )
+    duck = _dd.connect()
+    duck.execute(
+        "CREATE TABLE v (pair_id BIGINT, img_vec FLOAT[], txt_vec FLOAT[])"
+    )
+    duck.executemany("INSERT INTO v VALUES (?, ?, ?)", vals)
+    gate = alignment_gate_sql("dot", "na", "nb", 300)
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                """
+        WITH q AS (SELECT pair_id,
+                list_transform(img_vec, x -> CAST(round(x*1000) AS BIGINT)) qa,
+                list_transform(txt_vec, x -> CAST(round(x*1000) AS BIGINT)) qb
+              FROM v),
+        m AS (SELECT pair_id,
+                CAST(list_dot_product(qa, qb) AS BIGINT) dot,
+                CAST(list_dot_product(qa, qa) AS BIGINT) na,
+                CAST(list_dot_product(qb, qb) AS BIGINT) nb FROM q)
+        SELECT pair_id, dot, na, nb, """
+                + gate
+                + " FROM m"
+            ).fetchall(),
+        )
+    )
+    assert got == want

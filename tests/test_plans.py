@@ -205,15 +205,39 @@ def test_pii_redact_plan_is_jvm_regex_scan(spark, Q):
     assert "phash" not in read_schema and "n_chars" not in read_schema
 
 
-def test_pack_sequences_plan_single_window_shuffle(spark, Q):
-    """q49 packing: ONE hash-partition Exchange (the per-shard window)
-    and per-partition cumulative sums — no join, no UDF, everything
-    else column math."""
-    p = plan(Q["q49_pack_sequences"](spark, SF_DIR))
+def test_pack_sequences_op_plan_single_window_shuffle(spark):
+    """The pack_sequences OPERATOR alone: ONE hash-partition Exchange
+    (the per-shard window) and per-partition cumulative sums — no
+    join, no UDF, everything else column math."""
+    from ariadne_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    sharded = docs.select(
+        (F.col("doc_id") % 4).alias("shard"), "doc_id", words.alias("w")
+    )
+    p = plan(pack_sequences(sharded, F.col("w"), 512, ["shard"], "doc_id"))
     assert "Window" in p
     n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
     assert n_exchanges == 1, p
     assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pack_entry_plan_two_windows_broadcast_join(spark, Q):
+    """q49 at the fragment grain (pack_sequences JOIN pack_boundaries):
+    exactly one Exchange per window branch — the per-shard windows are
+    the ONLY shuffles — and the per-(window, fragment) boundary index,
+    tiny next to the doc stream, joins back as a BROADCAST, never a
+    sort-merge shuffle. No UDF anywhere."""
+    p = plan(Q["q49_pack_sequences"](spark, SF_DIR))
+    assert "Window" in p
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges == 2, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
@@ -224,3 +248,34 @@ def test_repetition_stats_is_explode_plus_hashagg(spark, Q):
     assert "Generate" in p and "explode" in p and "HashAggregate" in p
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_chunk_docs_plan_is_shuffle_free_scan(spark):
+    """RAG chunking: pure pipelined generate-over-scan — zero
+    Exchanges, zero python eval, and the documents scan prunes to the
+    two needed columns (doc_id, text)."""
+    from ariadne_spark.operators.curation import chunk_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(chunk_docs(docs.select("doc_id", "text"), chunk=64, stride=48))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_alignment_filter_plan_is_jvm_column_math(spark):
+    """CLIP-alignment gate: the gate itself adds NO join, NO shuffle
+    and NO python eval on top of the pair table — one linear pass of
+    higher-order column functions."""
+    from ariadne_spark.operators.curation import alignment_filter
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("img_vec"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    p = plan(alignment_filter(pairs))
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
