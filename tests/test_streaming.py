@@ -449,3 +449,52 @@ def test_stateful_distinct_sketch_equals_batch(spark, tmp_path):
     truth = {"vocab_en": 9_000, "vocab_de": 4_000, "one_batch": 6_000}
     for g, n in truth.items():
         assert abs(got[g] - n) / n < 0.10, (g, got[g], n)
+
+
+def test_stateless_chunk_docs_stream_equals_batch(spark, tmp_path):
+    """chunk_docs is stateless column math, so the SAME expressions run
+    unchanged under readStream: chunking a document stream file-by-file
+    (append mode, no state, no watermark) emits exactly the batch
+    chunking of the union — per-chunk, regardless of how the corpus is
+    split into micro-batches."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.curation import chunk_docs
+
+    sf = "/root/testdata/sf0.01"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 300)
+    )
+
+    drop = tmp_path / "chunk_drop"
+    drop.mkdir()
+    for i, cond in enumerate(
+        [F.col("doc_id") < 100,
+         (F.col("doc_id") >= 100) & (F.col("doc_id") < 200),
+         F.col("doc_id") >= 200]
+    ):
+        docs.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            str(drop / f"chunk_{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "chunk_*"))
+    )
+    query = (
+        chunk_docs(stream, chunk=64, stride=48)
+        .writeStream.format("memory")
+        .queryName("chunk_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM chunk_out").collect()))
+    want = sorted(map(tuple, chunk_docs(docs, chunk=64, stride=48).collect()))
+    assert got == want and len(want) > 0
