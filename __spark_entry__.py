@@ -468,10 +468,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-block top-ks. Exact, and no driver-side collect of the corpus
     # (the round-1 plan broadcast a driver-collected matrix: hard driver
     # memory ceiling). ann_topk/ann_ivf (x13) remain the subquadratic paths.
+    # ... plus the sparse lexical half of the retrieval suite
+    # (operators/retrieval.py): kind='sparse' rows are BM25 top-3 docs
+    # per query (queries = every doc with doc_id % 97 == 0, scored over
+    # its distinct tokens, self excluded) with the milli-integer BM25
+    # formula — scores land in dot_q so the whole retrieval relation
+    # (dense embedding top-k + sparse keyword top-k) hash-checks as one.
     def q21(spark, sf):
         from ariadne_spark.operators.exact_sim import exact_topk
+        from ariadne_spark.operators.retrieval import bm25_topk
 
-        return exact_topk(_t(spark, sf, "embeddings"), k=3)
+        dense = exact_topk(_t(spark, sf, "embeddings"), k=3).select(
+            F.lit("dense").alias("kind"), "src", "dst", "dot_q", "rank"
+        )
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        sparse = bm25_topk(
+            d,
+            d.where(F.col("doc_id") % 97 == 0).select(
+                F.col("doc_id").alias("query_id"), "text"
+            ),
+            k=3,
+            exclude_self=True,
+        ).select(
+            F.lit("sparse").alias("kind"),
+            F.col("query_id").alias("src"),
+            F.col("doc_id").alias("dst"),
+            F.col("score_q").alias("dot_q"),
+            "rank",
+        )
+        return dense.unionByName(sparse)
 
     Q["q21_embedding_topk"] = q21
 
@@ -698,16 +723,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["q31_salted_skew_join"] = q31
 
-    # streaming-concept analog — sessionization (gap > 600 s)
+    # streaming-concept analog — sessionization (gap > 600 s) ... plus
+    # semi-structured metadata extraction: events.props is a JSON
+    # sidecar (the WARC-header/metadata-blob shape of a crawl
+    # pipeline); `$.k` is pulled with the engine's native JSON path
+    # (Spark get_json_object, DuckDB json_extract_string — both NULL
+    # on a missing key, both skipped by SUM), cast to long, and
+    # aggregated per user so the extraction is hash-checked alongside
+    # the session counts. JVM-side expression, no UDF.
     def q32(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
         new_session = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+        meta_k = F.get_json_object(F.col("props"), "$.k").cast("long")
         return (
             e.withColumn("ns", new_session)
+            .withColumn("mk", meta_k)
             .groupBy("user_id")
-            .agg(F.sum("ns").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+            .agg(
+                F.sum("ns").cast("long").alias("n_sessions"),
+                F.count("*").alias("n_events"),
+                F.sum("mk").alias("sum_meta_k"),
+                F.count("mk").alias("n_meta"),
+            )
         )
 
     Q["q32_sessionize"] = q32
@@ -1947,7 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ariadne_spark.operators import curation, pii
+    from ariadne_spark.operators import curation, pii, retrieval
 
     geo = _DOCS_GEO_SQL
     cell8 = cells.sql_pack_cell(8, cells.sql_cell_x("lon_u", 8), cells.sql_cell_y("lat_u", 8))
@@ -2291,7 +2330,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CAST(bit_count(a.mask & b.mask) AS BIGINT) * 1000)
                       // CAST(bit_count(a.mask | b.mask) AS BIGINT) >= 900
         """,
-        "q21_embedding_topk": """
+        "q21_embedding_topk": f"""
             WITH q AS (
               SELECT vec_id,
                      list_transform(embedding,
@@ -2305,7 +2344,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT src, dst, dot_q, row_number() OVER (
                 PARTITION BY src ORDER BY dot_q DESC, dst) AS rank
               FROM pairs)
-            SELECT src, dst, dot_q, rank FROM ranked WHERE rank <= 3
+            SELECT 'dense' AS kind, src, dst, dot_q,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+            UNION ALL
+            SELECT 'sparse' AS kind, query_id AS src, doc_id AS dst,
+                   score_q AS dot_q, rank
+            FROM ({retrieval.bm25_sql(
+                "SELECT doc_id AS query_id, text FROM documents"
+                " WHERE doc_id % 97 = 0",
+                k=3,
+                exclude_self=True,
+            )})
         """,
         "q22_token_stats": f"""
             SELECT 'stats' AS kind, lang, count(*) AS n_docs,
@@ -2473,7 +2523,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q32_sessionize": """
             SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
-                   count(*) AS n_events FROM (
+                   count(*) AS n_events,
+                   CAST(sum(mk) AS BIGINT) AS sum_meta_k,
+                   CAST(count(mk) AS BIGINT) AS n_meta FROM (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                IS NULL
@@ -2481,7 +2533,8 @@ def oracle_sql() -> dict[str, str]:
                              - epoch_us(lag(ts) OVER (
                                  PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
                              > 600
-                          THEN 1 ELSE 0 END AS ns
+                          THEN 1 ELSE 0 END AS ns,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS mk
               FROM events) t
             GROUP BY user_id
         """,

@@ -1,0 +1,225 @@
+"""Sparse lexical retrieval: distributed BM25-family top-k.
+
+The missing retrieval half next to the dense paths (exact_sim block
+matmul, ann LSH/IVF/IVF-PQ): score documents against keyword queries
+through an inverted-postings relation — the operator a RAG pipeline
+uses for lexical recall and a training pipeline uses for hard-negative
+mining next to its embedding index.
+
+Scoring is the BM25 shape with ALL arithmetic in scaled integers
+(milli units, floor division), so scores — and therefore the kept
+top-k SET — are bit-identical across engines, partitionings, and
+cluster sizes: the same determinism-as-correctness contract as the
+sketches. The idf factor uses the rank-preserving integer surrogate
+``idf_s = (N*1000)//df`` (monotone in the true ln((N-df+.5)/(df+.5))
+for df < N/2, strictly monotone in df everywhere) instead of a float
+log; the tf saturation is the genuine BM25 Robertson form
+
+    tf_comp = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+evaluated in milli-integers. Every division is floor division on
+non-negative longs, identical in Spark (``idiv``) and DuckDB (``//``).
+
+Overflow envelope (int64): ``idf_s <= N*1000`` (1e15 at N=1e12 docs),
+``tf_comp_m <= (k1_m+1000)`` (~2200), so a per-term contribution is
+<= 2.2e15 and a 1000-term query sum stays < 2^63. The intermediate
+``tf*(k1_m+1000)*1000`` is <= 2.2e6*dl — safe to dl ~ 1e12 tokens.
+
+Scale shape (100 TB corpus): postings build is one explode + hash
+aggregation, linear in corpus tokens. The query side broadcasts
+(distinct query terms, then (query_id, term) pairs), so the only
+postings that ever shuffle are those whose term appears in some query
+— candidate volume is sum of matched postings, never pairwise in the
+corpus. Stopword-dense queries are bounded by ``max_df_permille``
+(drop terms present in more than that fraction of docs — the classic
+inverted-index stopword guard), which caps the worst posting list.
+Final ranking is one (query_id, doc_id) hash aggregation plus a
+per-query top-k window.
+
+Reference analog: ariadne's multi-candidate call resolution scores
+several candidate definitions for one reference and keeps the ranked
+best (packages/core/src/resolve_references/call_resolver.ts:391-463);
+here the "reference" is a keyword query, the candidates are documents
+sharing its terms, and the rank is BM25 instead of scope proximity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _idivc(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative long Columns (matches
+    DuckDB //). Unlike cells.idiv (double path, exact only < 2^53),
+    this divides in decimal(38,0): (a - a%b) is exactly divisible by
+    b, so the decimal quotient is integral and BigDecimal division is
+    exact at any int64 magnitude — idf products here reach ~2.2e18 at
+    N=1e12 docs, past double's 53-bit mantissa."""
+    d = lambda c: c.cast("decimal(38,0)")
+    return (d(a - (a % b)) / d(b)).cast("decimal(38,0)").cast("long")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    max_df_permille: int = 1000,
+    exclude_self: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """-> (query_id, doc_id, score_q, rank): integer-exact BM25 top-k
+    documents per query, deterministic tie-break on doc_id.
+
+    Terms are whitespace tokens (the corpus-wide tokenizer contract);
+    each DISTINCT query term contributes once (standard BM25 query
+    side). ``exclude_self=True`` drops doc_id == query_id rows before
+    ranking, for queries drawn from the corpus itself. Formula (all
+    floor divisions, milli-scaled):
+
+        avgdl_m = (total_tokens*1000) // N
+        dlr_m   = (dl*1000000) // avgdl_m
+        norm_m  = 1000 - b + (b*dlr_m)//1000
+        denom   = tf*1000 + (k1*norm_m)//1000
+        tfc_m   = (tf*(k1+1000)*1000) // denom
+        idf_s   = (N*1000) // df
+        score_q = sum over matched terms of (idf_s*tfc_m)//1000
+    """
+    assert 1 <= k and 0 < k1_milli and 0 <= b_milli <= 1000
+    assert 1 <= max_df_permille <= 1000
+
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("long").alias("dl"),
+        F.explode(ws).alias("term"),
+    )
+    postings = base.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    stats = docs.select(F.size(ws).cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.split(F.col(query_text_col), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    term_set = qterms.select("term").distinct()
+
+    # Only postings whose term some query mentions ever leave the map
+    # side; df is counted AFTER this filter but over ALL docs of each
+    # surviving term (the filter is term-complete), so it is exact.
+    cand = postings.join(F.broadcast(term_set), "term").withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+
+    lit = lambda v: F.lit(int(v)).cast("long")
+    cand = cand.crossJoin(F.broadcast(stats))
+    if max_df_permille < 1000:
+        cand = cand.where(
+            F.col("df_t") * lit(1000) <= lit(max_df_permille) * F.col("n_docs")
+        )
+    avgdl_m = _idivc(F.col("tot") * lit(1000), F.col("n_docs"))
+    dlr_m = _idivc(F.col("dl") * lit(1_000_000), avgdl_m)
+    norm_m = lit(1000 - b_milli) + _idivc(lit(b_milli) * dlr_m, lit(1000))
+    denom = F.col("tf") * lit(1000) + _idivc(lit(k1_milli) * norm_m, lit(1000))
+    tfc_m = _idivc(F.col("tf") * lit(k1_milli + 1000) * lit(1000), denom)
+    idf_s = _idivc(F.col("n_docs") * lit(1000), F.col("df_t"))
+    contrib = _idivc(idf_s * tfc_m, lit(1000))
+
+    scored = (
+        cand.select("term", "doc_id", contrib.alias("contrib"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_q"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("doc_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_q", "rank")
+    )
+
+
+def bm25_sql(
+    queries_sql: str,
+    k: int = 3,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    max_df_permille: int = 1000,
+    exclude_self: bool = False,
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB twin of bm25_topk over the documents view.
+
+    ``queries_sql`` must yield (query_id, text). Identical milli-
+    integer formula, `//` floor division (all operands non-negative),
+    same tie-break — byte-identical (query_id, doc_id, score_q, rank).
+    """
+    self_f = "AND c.doc_id <> q.query_id" if exclude_self else ""
+    df_f = (
+        f"WHERE df_t * 1000 <= {max_df_permille} * n_docs"
+        if max_df_permille < 1000
+        else ""
+    )
+    return f"""
+        WITH src AS ({docs_sql}),
+        docs_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(len(ws)) AS BIGINT) AS tot
+                  FROM docs_t),
+        postings AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                       unnest(ws) AS term
+                FROM docs_t)
+          GROUP BY doc_id, dl, term),
+        qt AS (SELECT DISTINCT query_id, unnest(string_split(text, ' ')) AS term
+               FROM ({queries_sql})),
+        cand0 AS (
+          SELECT p.*, CAST(count(*) OVER (PARTITION BY p.term) AS BIGINT) AS df_t
+          FROM postings p
+          WHERE p.term IN (SELECT term FROM qt)),
+        cand AS (
+          SELECT c.*, s.n_docs, s.tot,
+                 ((c.dl * 1000000) // ((s.tot * 1000) // s.n_docs)) AS dlr_m
+          FROM cand0 c CROSS JOIN stats s),
+        gated AS (SELECT * FROM cand {df_f}),
+        contribs AS (
+          SELECT term, doc_id,
+                 ((((n_docs * 1000) // df_t)
+                   * ((tf * {k1_milli + 1000} * 1000)
+                      // (tf * 1000
+                          + ({k1_milli} * (1000 - {b_milli}
+                                           + ({b_milli} * dlr_m) // 1000))
+                            // 1000)))
+                  // 1000) AS contrib
+          FROM gated),
+        scored AS (
+          SELECT q.query_id, c.doc_id,
+                 CAST(sum(c.contrib) AS BIGINT) AS score_q
+          FROM contribs c JOIN qt q USING (term)
+          WHERE TRUE {self_f}
+          GROUP BY q.query_id, c.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score_q,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, doc_id, score_q, rank FROM ranked WHERE rank <= {k}
+    """

@@ -279,3 +279,28 @@ def test_alignment_filter_plan_is_jvm_column_math(spark):
     p = plan(alignment_filter(pairs))
     assert "Exchange" not in p and "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_plan_broadcasts_query_side_no_cartesian(spark):
+    """Sparse retrieval: the query side (term set, then (query, term)
+    pairs) BROADCASTS onto the postings relation, so the only corpus
+    rows that shuffle are matched postings; the single
+    BroadcastNestedLoopJoin is the 1-row corpus-stats scalar. No
+    CartesianProduct, no SortMergeJoin, no python eval, and the
+    documents scan prunes to (doc_id, text)."""
+    from ariadne_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qs = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    p = plan(bm25_topk(docs, qs, k=3, exclude_self=True))
+    # formatted explain names each node twice (tree + details)
+    assert p.count("BroadcastHashJoin") == 4
+    assert p.count("BroadcastNestedLoopJoin") == 2  # 1-row stats only
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" not in read_schema
