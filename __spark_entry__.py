@@ -470,10 +470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # memory ceiling). ann_topk/ann_ivf (x13) remain the subquadratic paths.
     # ... plus the sparse lexical half of the retrieval suite
     # (operators/retrieval.py): kind='sparse' rows are BM25 top-3 docs
-    # per query (queries = every doc with doc_id % 97 == 0, scored over
-    # its distinct tokens, self excluded) with the milli-integer BM25
-    # formula — scores land in dot_q so the whole retrieval relation
-    # (dense embedding top-k + sparse keyword top-k) hash-checks as one.
+    # per query (queries = ~7 docs picked by a data-derived stride
+    # doc_id % max(n/6, 1) == 0, so the query COUNT is scale-invariant:
+    # the entry's cost doesn't grow with corpus size — this synth
+    # corpus is the all-stopword worst case where every query term
+    # matches every doc; scored over distinct tokens, self excluded)
+    # with the milli-integer BM25 formula — scores land in dot_q so the
+    # whole retrieval relation (dense embedding top-k + sparse keyword
+    # top-k) hash-checks as one.
     def q21(spark, sf):
         from ariadne_spark.operators.exact_sim import exact_topk
         from ariadne_spark.operators.retrieval import bm25_topk
@@ -482,11 +486,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("dense").alias("kind"), "src", "dst", "dot_q", "rank"
         )
         d = _t(spark, sf, "documents").select("doc_id", "text")
+        stride = F.greatest(
+            cells.idiv(F.col("n_docs"), 6), F.lit(1).cast("long")
+        )
+        qs = (
+            d.crossJoin(
+                F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+            )
+            .where(F.col("doc_id") % stride == 0)
+            .select(F.col("doc_id").alias("query_id"), "text")
+        )
         sparse = bm25_topk(
             d,
-            d.where(F.col("doc_id") % 97 == 0).select(
-                F.col("doc_id").alias("query_id"), "text"
-            ),
+            qs,
             k=3,
             exclude_self=True,
         ).select(
@@ -2352,7 +2364,8 @@ def oracle_sql() -> dict[str, str]:
                    score_q AS dot_q, rank
             FROM ({retrieval.bm25_sql(
                 "SELECT doc_id AS query_id, text FROM documents"
-                " WHERE doc_id % 97 = 0",
+                " WHERE doc_id %"
+                " greatest((SELECT count(*) // 6 FROM documents), 1) = 0",
                 k=3,
                 exclude_self=True,
             )})
