@@ -558,8 +558,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["q22_token_stats"] = q22
 
     # text — quality score (integer-scaled): word count, avg word length,
-    # stopword share of 'the'
+    # stopword share of 'the' ... plus MODEL-BASED quality filtering
+    # (curation.quality_classifier): the heuristic gate (quality >= 70)
+    # is the SEED that trains an integer token-polarity classifier
+    # (DCLM/FineWeb-Edu distillation stage), and every doc carries the
+    # model's milli-score + verdict next to the heuristic's — so the
+    # trained weights, the scoring join, and the keep boundary are all
+    # driver-hash-checked against the DuckDB twin.
     def q23(spark, sf):
+        from ariadne_spark.operators.curation import quality_classifier
+
         d = _t(spark, sf, "documents")
         text = F.col("text")
         words = (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1).cast(
@@ -574,7 +582,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             + F.when((the_count * 100) <= words * 20, F.lit(30)).otherwise(F.lit(0))
             + F.when(F.col("n_chars") >= 200, F.lit(30)).otherwise(F.lit(0))
         ).cast("long")
-        return d.select("doc_id", words.alias("words"), the_count.alias("the_count"), score.alias("quality"))
+        base = d.select(
+            "doc_id", words.alias("words"), the_count.alias("the_count"), score.alias("quality")
+        )
+        # threshold picked inside the sf0.01 score distribution so the
+        # driver hash-checks BOTH sides of the keep boundary
+        clf = quality_classifier(
+            d, seed_pred=score >= 70, min_df=2, threshold_milli=8000
+        )
+        return base.join(clf, "doc_id")
 
     Q["q23_quality_score"] = q23
 
@@ -2382,17 +2398,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(chunk_text)) AS BIGINT) AS sum_chars
             FROM ({curation.chunk_docs_sql(64, 48)}) GROUP BY lang
         """,
-        "q23_quality_score": """
-            SELECT doc_id,
-                   length(text) - length(replace(text, ' ', '')) + 1 AS words,
-                   (length(text) - length(replace(text, 'the', ''))) // 3 AS the_count,
-                   CAST(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
-                         THEN 40 ELSE 0 END
-                    + CASE WHEN ((length(text) - length(replace(text, 'the', ''))) // 3) * 100
-                                <= (length(text) - length(replace(text, ' ', '')) + 1) * 20
-                           THEN 30 ELSE 0 END
-                    + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END AS BIGINT) AS quality
-            FROM documents
+        "q23_quality_score": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) - length(replace(text, ' ', '')) + 1 AS words,
+                     (length(text) - length(replace(text, 'the', ''))) // 3 AS the_count,
+                     CAST(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+                           THEN 40 ELSE 0 END
+                      + CASE WHEN ((length(text) - length(replace(text, 'the', ''))) // 3) * 100
+                                  <= (length(text) - length(replace(text, ' ', '')) + 1) * 20
+                             THEN 30 ELSE 0 END
+                      + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END AS BIGINT) AS quality
+              FROM documents),
+            clf AS ({curation.quality_classifier_sql(
+                "(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20"
+                " THEN 40 ELSE 0 END"
+                " + CASE WHEN ((length(text) - length(replace(text, 'the', ''))) // 3) * 100"
+                " <= (length(text) - length(replace(text, ' ', '')) + 1) * 20"
+                " THEN 30 ELSE 0 END"
+                " + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END) >= 70",
+                min_df=2,
+                threshold_milli=8000,
+            )})
+            SELECT base.doc_id, words, the_count, quality, clf_milli, clf_keep
+            FROM base JOIN clf ON base.doc_id = clf.doc_id
         """,
         "q24_langid_heuristic": """
             WITH p AS (

@@ -1437,3 +1437,143 @@ def alignment_gate_sql(
         f"COALESCE({dot} > 0 AND CAST({dot} AS HUGEINT) * {dot} * 1000000"
         f" >= CAST({t * t} AS HUGEINT) * {na} * {nb}, FALSE)"
     )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    seed_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """-> (id, clf_milli, clf_keep): model-based quality filtering —
+    distill a document-level seed rule into a token-level linear
+    classifier, then score every document with it (the DCLM /
+    FineWeb-Edu pipeline stage, with the deterministic integer model
+    this repo's cross-engine parity rule requires instead of fastText).
+
+    Training (one pass): label each doc with `seed_pred`, explode its
+    DISTINCT tokens (presence/Bernoulli counts), and per token compute
+    document frequencies in each class. A token's weight is its
+    integer milli-polarity between the class RATES
+        rp = (1000·df_pos) // max(n_pos, 1)   (likewise rn)
+        w  = (2000·rp) // (rp + rn + 1) − 1000   ∈ [−1000, 1000]
+    — the shifted form keeps every numerator non-negative, so Spark's
+    (a − a%b)/b trunc-division and DuckDB's `//` agree, and every
+    intermediate stays ≤ 2·10⁶ regardless of corpus size (the rates
+    themselves stay < 2^53 up to 9·10¹² documents).
+
+    Scoring (one pass): distinct tokens per doc, joined to the weight
+    table, summed; `clf_keep` = score ≥ threshold_milli. Docs whose
+    tokens all miss the vocabulary score 0 (left join, coalesce).
+
+    Scale shape: training is explode + two hash aggs (map-side
+    combinable, shuffle bounded by vocab size); the 1-row class-count
+    table broadcasts; scoring is one explode + one join + one per-doc
+    hash agg. `min_df` prunes the long-tail vocabulary so the weight
+    table broadcasts (~10⁶ surviving tokens at web scale); nothing is
+    ever pairwise and no stage holds more than the vocabulary.
+
+    Reference analog: the reference scores resolution candidates with
+    a trained-registry of per-construct confidence weights
+    (`packages/core/src/resolve_references/call_resolver.ts:391-463`);
+    here the registry is induced from the seed split instead of
+    hand-written.
+    """
+    lab = docs.select(
+        F.col(id_col),
+        F.when(seed_pred, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("y"),
+        F.col(text_col),
+    )
+    cls = lab.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    toks = lab.select(
+        id_col, "y", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).distinct()
+    df = toks.groupBy("word").agg(
+        F.sum("y").cast("long").alias("df_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("df_neg"),
+    )
+    if min_df > 1:
+        df = df.where(F.col("df_pos") + F.col("df_neg") >= F.lit(min_df))
+    rp = _idivc(
+        F.col("df_pos") * F.lit(1000), F.greatest(F.col("n_pos"), F.lit(1))
+    )
+    rn = _idivc(
+        F.col("df_neg") * F.lit(1000), F.greatest(F.col("n_neg"), F.lit(1))
+    )
+    weights = (
+        df.crossJoin(F.broadcast(cls))
+        .select(
+            "word",
+            (_idivc(rp * F.lit(2000), rp + rn + F.lit(1)) - F.lit(1000)).alias(
+                "w"
+            ),
+        )
+    )
+    scored = (
+        lab.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .distinct()
+        .join(F.broadcast(weights), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("clf_milli")
+        )
+    )
+    return scored.select(
+        id_col,
+        "clf_milli",
+        (F.col("clf_milli") >= F.lit(threshold_milli)).alias("clf_keep"),
+    )
+
+
+def quality_classifier_sql(
+    seed_pred_sql: str,
+    min_df: int = 1,
+    threshold_milli: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of quality_classifier: same labels, same distinct-
+    presence counts, same shifted trunc-division weight formula, same
+    left-join/coalesce scoring — byte-identical scores and verdicts.
+    `seed_pred_sql` is the seed predicate over `table`'s columns."""
+    return f"""
+        WITH lab AS (
+            SELECT {id_col},
+                   CAST(CASE WHEN {seed_pred_sql} THEN 1 ELSE 0 END AS BIGINT) AS y,
+                   {text_col} AS _txt
+            FROM {table}),
+        cls AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                       CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM lab),
+        toks AS (SELECT DISTINCT {id_col}, y, word FROM (
+                   SELECT {id_col}, y,
+                          unnest(string_split(_txt, ' ')) AS word
+                   FROM lab)),
+        df AS (SELECT word, CAST(sum(y) AS BIGINT) AS df_pos,
+                      CAST(count(*) - sum(y) AS BIGINT) AS df_neg
+               FROM toks GROUP BY word
+               HAVING count(*) >= {min_df}),
+        wt AS (SELECT word,
+                      (2000 * ((df_pos * 1000) // greatest(n_pos, 1)))
+                        // (((df_pos * 1000) // greatest(n_pos, 1))
+                            + ((df_neg * 1000) // greatest(n_neg, 1)) + 1)
+                        - 1000 AS w
+               FROM df CROSS JOIN cls),
+        dw AS (SELECT DISTINCT {id_col}, word FROM (
+                 SELECT {id_col}, unnest(string_split(_txt, ' ')) AS word
+                 FROM lab)),
+        sc AS (SELECT dw.{id_col},
+                      CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS clf_milli
+               FROM dw LEFT JOIN wt USING (word)
+               GROUP BY dw.{id_col})
+        SELECT {id_col}, clf_milli,
+               clf_milli >= {threshold_milli} AS clf_keep
+        FROM sc
+    """

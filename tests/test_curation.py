@@ -751,3 +751,116 @@ def test_alignment_filter_duckdb_parity_on_noisy_floats(spark):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- classifier
+
+CLF_DOCS = [
+    # (doc_id, text, n_chars): seed = n_chars >= 100. Mixed-polarity
+    # vocabulary, an empty doc, a doc repeating one word (distinct-
+    # presence semantics must count it once), and a tie token 'good'
+    # appearing in both classes.
+    (0, "good clean prose with many fine words", 200),
+    (1, "spam spam buy now spam", 10),
+    (2, "good words and fine prose here", 180),
+    (3, "buy now now now", 5),
+    (4, "", 0),
+    (5, "good spam", 50),
+]
+
+
+def py_quality_classifier(rows, seed, min_df=1, threshold=0):
+    """Pure-python twin of curation.quality_classifier (trunc division
+    == DuckDB // on the non-negative operands the formula guarantees)."""
+    labs = {r[0]: (1 if seed(r) else 0) for r in rows}
+    n_pos = sum(labs.values())
+    n_neg = len(rows) - n_pos
+    df_pos: dict = {}
+    df_neg: dict = {}
+    for did, text, *_ in rows:
+        for w in set(text.split(" ")):
+            if labs[did]:
+                df_pos[w] = df_pos.get(w, 0) + 1
+            else:
+                df_neg[w] = df_neg.get(w, 0) + 1
+    weights = {}
+    for w in set(df_pos) | set(df_neg):
+        dp, dn = df_pos.get(w, 0), df_neg.get(w, 0)
+        if dp + dn < min_df:
+            continue
+        rp = (dp * 1000) // max(n_pos, 1)
+        rn = (dn * 1000) // max(n_neg, 1)
+        weights[w] = (2000 * rp) // (rp + rn + 1) - 1000
+    out = {}
+    for did, text, *_ in rows:
+        s = sum(weights.get(w, 0) for w in set(text.split(" ")))
+        out[did] = (s, s >= threshold)
+    return out
+
+
+def test_quality_classifier_python_oracle(spark):
+    from ariadne_spark.operators.curation import quality_classifier
+
+    df = spark.createDataFrame(CLF_DOCS, "doc_id long, text string, n_chars long")
+    for min_df, thr in [(1, 0), (2, 0), (1, 500)]:
+        got = {
+            r["doc_id"]: (r["clf_milli"], r["clf_keep"])
+            for r in quality_classifier(
+                df, F.col("n_chars") >= 100, min_df=min_df, threshold_milli=thr
+            ).collect()
+        }
+        want = py_quality_classifier(
+            CLF_DOCS, lambda r: r[2] >= 100, min_df=min_df, threshold=thr
+        )
+        assert got == want, (min_df, thr)
+
+
+def test_quality_classifier_duckdb_parity_and_one_class(spark):
+    import pandas as pd
+
+    from ariadne_spark.operators.curation import (
+        quality_classifier,
+        quality_classifier_sql,
+    )
+
+    df = spark.createDataFrame(CLF_DOCS, "doc_id long, text string, n_chars long")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(CLF_DOCS, columns=["doc_id", "text", "n_chars"]))
+    for pred_col, pred_sql in [
+        (F.col("n_chars") >= 100, "n_chars >= 100"),
+        (F.lit(True), "TRUE"),  # n_neg == 0: greatest() guard path
+        (F.lit(False), "FALSE"),  # n_pos == 0
+    ]:
+        got = (
+            quality_classifier(df, pred_col, min_df=2)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            con.execute(quality_classifier_sql(pred_sql, min_df=2))
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (got["clf_milli"].to_numpy() == want["clf_milli"].to_numpy()).all()
+        assert (got["clf_keep"].to_numpy() == want["clf_keep"].to_numpy()).all()
+
+
+def test_quality_classifier_parallelism_invariance(spark):
+    from ariadne_spark.operators.curation import quality_classifier
+
+    df = spark.createDataFrame(CLF_DOCS, "doc_id long, text string, n_chars long")
+    base = sorted(
+        map(tuple, quality_classifier(df, F.col("n_chars") >= 100).collect())
+    )
+    for n in (1, 7):
+        again = sorted(
+            map(
+                tuple,
+                quality_classifier(
+                    df.repartition(n), F.col("n_chars") >= 100
+                ).collect(),
+            )
+        )
+        assert again == base, n
