@@ -810,6 +810,82 @@ class SnapshotStore:
                 return m.snapshot_id
         raise CommitConflict(f"overwrite of {table} lost {COMMIT_RETRIES} commit races")
 
+    def merge_rows(
+        self,
+        updates: DataFrame,
+        table: str,
+        pk: str,
+        deletes: DataFrame | None = None,
+        sort_cols=None,
+        max_records_per_file: int | None = None,
+    ) -> int:
+        """Row-granular copy-on-write MERGE (Iceberg `MERGE INTO`
+        analog): every row of `updates` REPLACES the existing row with
+        the same `pk` (matched -> update) or is INSERTED if no such row
+        exists (not matched -> insert); `deletes` is an optional
+        one-column frame of pks to remove. Only the partitions that
+        actually contain an affected pk (plus the partitions the new
+        rows land in) are rewritten — everything else keeps pointing at
+        its old data files, and a partition emptied by deletes drops
+        out of the manifest entirely.
+
+        `pk` must be unique within `updates` (Iceberg raises on
+        multiple MERGE matches; so does this, before touching data).
+
+        Scale shape: locating the affected partitions is ONE
+        column-pruned scan of (pk, partition-key) semi-joined against
+        the broadcast update-pk set — linear in table size with a
+        2-column projection, and the collected result is O(touched
+        partitions), never O(rows). The rewrite then reads ONLY those
+        partitions, anti-joins the affected pks out, and unions the new
+        rows; commit concurrency (validate-and-rebase on a disjoint
+        partition set) is `overwrite_partitions`'s. A pk whose
+        partition-key value changes in `updates` moves partitions
+        correctly: its old partition is affected (drops the old copy),
+        its new one receives the row. For repeated point-merges the
+        `incremental.id_index` sidecar can replace the locating scan
+        with O(changed) bucket reads.
+
+        Reference analog: `Project.update_file`'s re-index of exactly
+        the rows of one changed file while every other file's index
+        rows survive untouched (`packages/core/src/project/project.ts:402-467`).
+        """
+        base = self.manifest(table)
+        assert base is not None, f"table {table} has no snapshot yet"
+        key = base.key
+        assert key, f"table {table} has no partition key recorded"
+        updates = self._conform(updates, base.schema_json)
+        dup = (
+            updates.groupBy(pk).count().where(F.col("count") > 1).limit(1).collect()
+        )
+        assert not dup, f"merge_rows: duplicate pk {dup[0][0]!r} in updates"
+        ids = updates.select(pk)
+        if deletes is not None:
+            ids = ids.unionByName(deletes.select(pk)).distinct()
+        old_keys = {
+            r[0]
+            for r in self.read(table, snapshot_id=base.snapshot_id)
+            .select(key, pk)
+            .join(F.broadcast(ids), pk, "left_semi")
+            .select(key)
+            .distinct()
+            .collect()
+        }
+        new_keys = {r[0] for r in updates.select(key).distinct().collect()}
+        affected = sorted(str(k) for k in old_keys | new_keys)
+        survivors = (
+            self.read(table, snapshot_id=base.snapshot_id, keys=affected)
+            .join(F.broadcast(ids), pk, "left_anti")
+        )
+        return self.overwrite_partitions(
+            survivors.unionByName(updates),
+            table,
+            key,
+            keys=affected,
+            sort_cols=sort_cols,
+            max_records_per_file=max_records_per_file,
+        )
+
     # -- reads -------------------------------------------------------------
 
     def prune_keys(

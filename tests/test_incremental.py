@@ -750,3 +750,103 @@ def test_commit_backend_seam_cas_win_lose(spark, tmp_path_factory):
     assert outcomes == [("t.0.json", True), ("t.1.json", False), ("t.2.json", True)]
     # every win refreshed the advisory HEAD through the seam
     assert [p.rsplit("/", 1)[-1] for p in be.advisory] == ["t.HEAD", "t.HEAD"]
+
+
+# ------------------------------------------------------------- merge_rows
+
+
+def _kv_df(spark, rows):
+    return spark.createDataFrame(rows, "pk long, part string, val long")
+
+
+def test_merge_rows_upsert_and_partition_granularity(spark, tmp_path_factory):
+    """MERGE semantics: matched rows replaced, unmatched inserted (incl.
+    a brand-new partition); untouched partitions keep their EXACT old
+    manifest entry (same data path + fingerprint — no rewrite)."""
+    from pyspark.sql import functions as F
+
+    st = SnapshotStore(spark, str(tmp_path_factory.mktemp("merge") / "s"))
+    st.write_table(
+        _kv_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)]),
+        "t", "part",
+    )
+    before = st.manifest("t").partitions
+    sid = st.merge_rows(
+        _kv_df(spark, [(2, "a", 21), (5, "d", 50)]), "t", pk="pk"
+    )
+    after = st.manifest("t").partitions
+    got = sorted(map(tuple, st.read("t").select("pk", "part", "val").collect()))
+    assert got == [(1, "a", 10), (2, "a", 21), (3, "b", 30), (4, "c", 40), (5, "d", 50)]
+    # b and c were untouched: identical manifest entries (no rewrite)
+    for k in ("b", "c"):
+        assert after[k] == before[k], k
+    assert after["a"] != before["a"]
+    assert st.diff("t", sid - 1, sid) == ["a", "d"]
+
+
+def test_merge_rows_delete_empties_partition(spark, tmp_path_factory):
+    st = SnapshotStore(spark, str(tmp_path_factory.mktemp("merge") / "s"))
+    st.write_table(
+        _kv_df(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]), "t", "part"
+    )
+    dels = spark.createDataFrame([(1,), (3,)], "pk long")
+    st.merge_rows(_kv_df(spark, [(2, "b", 21)]), "t", pk="pk", deletes=dels)
+    got = sorted(map(tuple, st.read("t").select("pk", "part", "val").collect()))
+    assert got == [(2, "b", 21)]
+    # partition a emptied by the delete: dropped from the manifest
+    assert sorted(st.manifest("t").partitions) == ["b"]
+
+
+def test_merge_rows_moves_row_across_partitions(spark, tmp_path_factory):
+    st = SnapshotStore(spark, str(tmp_path_factory.mktemp("merge") / "s"))
+    st.write_table(
+        _kv_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]), "t", "part"
+    )
+    st.merge_rows(_kv_df(spark, [(3, "a", 31)]), "t", pk="pk")
+    got = sorted(map(tuple, st.read("t").select("pk", "part", "val").collect()))
+    assert got == [(1, "a", 10), (2, "a", 20), (3, "a", 31)]
+    assert sorted(st.manifest("t").partitions) == ["a"]
+
+
+def test_merge_rows_rejects_duplicate_update_pks(spark, tmp_path_factory):
+    st = SnapshotStore(spark, str(tmp_path_factory.mktemp("merge") / "s"))
+    st.write_table(_kv_df(spark, [(1, "a", 10)]), "t", "part")
+    with pytest.raises(AssertionError, match="duplicate pk"):
+        st.merge_rows(
+            _kv_df(spark, [(1, "a", 11), (1, "a", 12)]), "t", pk="pk"
+        )
+
+
+def test_merge_rows_keeps_zone_map_stats_current(spark, tmp_path_factory):
+    st = SnapshotStore(spark, str(tmp_path_factory.mktemp("merge") / "s"))
+    st.write_table(
+        _kv_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        "t", "part", stats_cols=["val"],
+    )
+    st.merge_rows(_kv_df(spark, [(2, "a", 999)]), "t", pk="pk")
+    stats = st.manifest("t").partitions["a"]["stats"]["val"]
+    assert (stats["min"], stats["max"]) == (10, 999)
+    # and the zone maps still drive pruning after the merge
+    assert st.prune_keys("t", {"val": (500, None)}) == ["a"]
+
+
+def test_merge_rows_equals_cold_rebuild_fingerprints(spark, tmp_path_factory):
+    """North-rule idempotency at row grain: a sequence of merges equals
+    a cold write of the final logical content, fingerprint-for-
+    fingerprint."""
+    st = SnapshotStore(spark, str(tmp_path_factory.mktemp("merge") / "s"))
+    rows = [(i, "p" + str(i % 3), i * 10) for i in range(30)]
+    st.write_table(_kv_df(spark, rows), "t", "part")
+    st.merge_rows(
+        _kv_df(spark, [(5, "p2", 5555), (40, "p0", 400)]), "t", pk="pk",
+        deletes=spark.createDataFrame([(7,), (8,)], "pk long"),
+    )
+    final = {r[0]: r for r in rows if r[0] not in (5, 7, 8)}
+    final[5] = (5, "p2", 5555)
+    final[40] = (40, "p0", 400)
+    cold = SnapshotStore(spark, str(tmp_path_factory.mktemp("merge") / "cold"))
+    cold.write_table(_kv_df(spark, sorted(final.values())), "t", "part")
+    mf, cf = st.manifest("t").partitions, cold.manifest("t").partitions
+    assert sorted(mf) == sorted(cf)
+    for k in mf:
+        assert mf[k]["fingerprint"] == cf[k]["fingerprint"], k
