@@ -478,11 +478,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the milli-integer BM25 formula — scores land in dot_q so the
     # whole retrieval relation (dense embedding top-k + sparse keyword
     # top-k) hash-checks as one.
+    # ... and the HYBRID layer over both: kind='fused' rows are the
+    # reciprocal-rank fusion (retrieval.rrf_fuse, micro-integer RRF) of
+    # the dense and sparse top-3 lists on the shared query set (vec_id
+    # and doc_id share one id space), and kind='eval' rows are the
+    # retrieval metrics (retrieval.eval_topk): per query, the sparse
+    # system scored against the dense top-3 as truth — src=query,
+    # dst=hits@3, dot_q=mrr_micro, rank=recall_permille — so fusion
+    # math AND the eval metrics are both driver-hash-checked.
     def q21(spark, sf):
         from ariadne_spark.operators.exact_sim import exact_topk
-        from ariadne_spark.operators.retrieval import bm25_topk
+        from ariadne_spark.operators.retrieval import (
+            bm25_topk,
+            eval_topk,
+            rrf_fuse,
+        )
 
-        dense = exact_topk(_t(spark, sf, "embeddings"), k=3).select(
+        dense_r = exact_topk(_t(spark, sf, "embeddings"), k=3)
+        dense = dense_r.select(
             F.lit("dense").alias("kind"), "src", "dst", "dot_q", "rank"
         )
         d = _t(spark, sf, "documents").select("doc_id", "text")
@@ -496,19 +509,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("doc_id") % stride == 0)
             .select(F.col("doc_id").alias("query_id"), "text")
         )
-        sparse = bm25_topk(
-            d,
-            qs,
-            k=3,
-            exclude_self=True,
-        ).select(
+        sp = bm25_topk(d, qs, k=3, exclude_self=True)
+        sparse = sp.select(
             F.lit("sparse").alias("kind"),
             F.col("query_id").alias("src"),
             F.col("doc_id").alias("dst"),
             F.col("score_q").alias("dot_q"),
             "rank",
         )
-        return dense.unionByName(sparse)
+        dsub = dense_r.join(
+            F.broadcast(qs.select(F.col("query_id").alias("src"))),
+            "src",
+            "left_semi",
+        ).select(
+            F.col("src").alias("query_id"), F.col("dst").alias("doc_id"), "rank"
+        )
+        spr = sp.select("query_id", "doc_id", "rank")
+        fused_r = rrf_fuse([dsub, spr], k0=60, k=3)
+        fused = fused_r.select(
+            F.lit("fused").alias("kind"),
+            F.col("query_id").alias("src"),
+            F.col("doc_id").alias("dst"),
+            F.col("rrf_micro").alias("dot_q"),
+            "rank",
+        )
+
+        def ev_rows(kind, system, truth):
+            # eval rows: src=query, dst=hits@3, dot_q=mrr_micro,
+            # rank=recall_permille. Two variants so the metric is
+            # hash-checked on BOTH regimes: sparse-vs-dense (random
+            # embeddings -> zero agreement, pins the miss path) and
+            # dense-vs-fused-consensus (varied nonzero values).
+            return eval_topk(system, truth, k=3).select(
+                F.lit(kind).alias("kind"),
+                F.col("query_id").alias("src"),
+                F.col("hits").alias("dst"),
+                F.col("mrr_micro").alias("dot_q"),
+                F.col("recall_permille").alias("rank"),
+            )
+
+        return (
+            dense.unionByName(sparse)
+            .unionByName(fused)
+            .unionByName(ev_rows("eval", spr, dsub))
+            .unionByName(
+                ev_rows("eval_fused", dsub, fused_r.select("query_id", "doc_id", "rank"))
+            )
+        )
 
     Q["q21_embedding_topk"] = q21
 
@@ -2371,19 +2418,55 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
               SELECT src, dst, dot_q, row_number() OVER (
                 PARTITION BY src ORDER BY dot_q DESC, dst) AS rank
-              FROM pairs)
-            SELECT 'dense' AS kind, src, dst, dot_q,
-                   CAST(rank AS BIGINT) AS rank
-            FROM ranked WHERE rank <= 3
-            UNION ALL
-            SELECT 'sparse' AS kind, query_id AS src, doc_id AS dst,
-                   score_q AS dot_q, rank
-            FROM ({retrieval.bm25_sql(
+              FROM pairs),
+            dn AS (SELECT src, dst, dot_q, CAST(rank AS BIGINT) AS rank
+                   FROM ranked WHERE rank <= 3),
+            qset AS (SELECT doc_id AS query_id FROM documents
+                     WHERE doc_id %
+                       greatest((SELECT count(*) // 6 FROM documents), 1) = 0),
+            dsub AS (SELECT src AS query_id, dst AS doc_id, rank
+                     FROM dn JOIN qset ON dn.src = qset.query_id),
+            sp AS ({retrieval.bm25_sql(
                 "SELECT doc_id AS query_id, text FROM documents"
                 " WHERE doc_id %"
                 " greatest((SELECT count(*) // 6 FROM documents), 1) = 0",
                 k=3,
                 exclude_self=True,
+            )})
+            SELECT 'dense' AS kind, src, dst, dot_q, rank FROM dn
+            UNION ALL
+            SELECT 'sparse' AS kind, query_id AS src, doc_id AS dst,
+                   score_q AS dot_q, rank
+            FROM sp
+            UNION ALL
+            SELECT 'fused' AS kind, query_id AS src, doc_id AS dst,
+                   rrf_micro AS dot_q, rank
+            FROM ({retrieval.rrf_sql(
+                ["SELECT query_id, doc_id, rank FROM dsub",
+                 "SELECT query_id, doc_id, rank FROM sp"],
+                k0=60,
+                k=3,
+            )})
+            UNION ALL
+            SELECT 'eval' AS kind, query_id AS src, hits AS dst,
+                   mrr_micro AS dot_q, recall_permille AS rank
+            FROM ({retrieval.eval_sql(
+                "SELECT query_id, doc_id, rank FROM sp",
+                "SELECT query_id, doc_id, rank FROM dsub",
+                k=3,
+            )})
+            UNION ALL
+            SELECT 'eval_fused' AS kind, query_id AS src, hits AS dst,
+                   mrr_micro AS dot_q, recall_permille AS rank
+            FROM ({retrieval.eval_sql(
+                "SELECT query_id, doc_id, rank FROM dsub",
+                retrieval.rrf_sql(
+                    ["SELECT query_id, doc_id, rank FROM dsub",
+                     "SELECT query_id, doc_id, rank FROM sp"],
+                    k0=60,
+                    k=3,
+                ),
+                k=3,
             )})
         """,
         "q22_token_stats": f"""

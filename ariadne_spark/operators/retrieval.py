@@ -223,3 +223,125 @@ def bm25_sql(
           FROM scored)
         SELECT query_id, doc_id, score_q, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    k0: int = 60,
+    k: int = 3,
+) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack et al., SIGIR
+    2009): fuse N per-query rankings — each (query, doc, rank) — into
+    one by summing 10^6 // (k0 + rank) per (query, doc), micro-integer
+    so distinct ranks always score distinctly (the milli scale
+    collides: 1000//61 == 1000//62) and the fused order is
+    bit-identical across engines. -> (query, doc, rrf_micro, rank),
+    top-k per query, ties broken on doc.
+
+    Scale shape: one union (no join between systems), one hash agg on
+    (query, doc), one per-query top-k window — linear in the total
+    size of the input rankings, which are already top-k-bounded, so
+    the fusion costs O(queries·k·n_systems) however big the corpus
+    behind the rankings was.
+    """
+    u = rankings[0].select(query_col, doc_col, "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(query_col, doc_col, "rank"))
+    scored = u.groupBy(query_col, doc_col).agg(
+        F.sum(_idivc(F.lit(1000000), F.lit(k0) + F.col("rank")))
+        .cast("long")
+        .alias("rrf_micro")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_micro"), F.asc(doc_col)
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
+def rrf_sql(
+    ranking_sqls: list[str], k0: int = 60, k: int = 3
+) -> str:
+    """DuckDB twin of rrf_fuse: each fragment must yield
+    (query_id, doc_id, rank)."""
+    union = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, rank FROM ({s})" for s in ranking_sqls
+    )
+    return f"""
+        SELECT query_id, doc_id, rrf_micro,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+        FROM (SELECT query_id, doc_id,
+                     CAST(sum(1000000 // ({k0} + rank)) AS BIGINT) AS rrf_micro
+              FROM ({union}) GROUP BY query_id, doc_id)
+        QUALIFY rank <= {k}
+    """
+
+
+def eval_topk(
+    system: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Retrieval evaluation: per-query recall@k and MRR of a `system`
+    ranking against a `truth` ranking (both (query, doc, rank)) — the
+    metric relation an ANN/hybrid pipeline gates its index builds on
+    (e.g. approximate top-k scored against the exact top-k).
+
+    -> (query, n_truth, hits, recall_permille, mrr_micro), integer-
+    exact: recall = 1000·hits // n_truth, mrr = 10^6 // (system rank
+    of the first truth doc), 0 when no truth doc is retrieved. Queries
+    are driven from the truth side, so a system that misses a query
+    entirely still yields its zero row.
+
+    Scale shape: both sides are top-k-bounded; one (query, doc) equi
+    join + one per-query hash agg — O(queries·k), corpus-independent.
+    """
+    t = truth.where(F.col("rank") <= k).select(query_col, doc_col)
+    s = system.where(F.col("rank") <= k).select(query_col, doc_col, "rank")
+    j = t.join(s, [query_col, doc_col], "left")
+    agg = j.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("rank").cast("long").alias("hits"),
+        F.min("rank").alias("_minr"),
+    )
+    return agg.select(
+        query_col,
+        "n_truth",
+        "hits",
+        _idivc(F.col("hits") * F.lit(1000), F.col("n_truth")).alias(
+            "recall_permille"
+        ),
+        F.when(
+            F.col("_minr").isNotNull(),
+            _idivc(F.lit(1000000), F.col("_minr")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mrr_micro"),
+    )
+
+
+def eval_sql(system_sql: str, truth_sql: str, k: int = 3) -> str:
+    """DuckDB twin of eval_topk: fragments yield (query_id, doc_id,
+    rank)."""
+    return f"""
+        SELECT t.query_id,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(count(s.rank) AS BIGINT) AS hits,
+               (CAST(count(s.rank) AS BIGINT) * 1000) // count(*)
+                   AS recall_permille,
+               CAST(coalesce(1000000 // min(s.rank), 0) AS BIGINT)
+                   AS mrr_micro
+        FROM (SELECT query_id, doc_id FROM ({truth_sql}) WHERE rank <= {k}) t
+        LEFT JOIN (SELECT query_id, doc_id, rank FROM ({system_sql})
+                   WHERE rank <= {k}) s
+          ON t.query_id = s.query_id AND t.doc_id = s.doc_id
+        GROUP BY t.query_id
+    """

@@ -144,3 +144,121 @@ def test_tf_saturation_sublinear(spark):
     assert got[1] > got[0]  # more occurrences still score higher
     assert got[1] < 2 * got[0]  # but sublinearly (3x tf < 2x score)
     assert got == {d: s for _, d, s, _ in py_bm25(corpus, [10], self_ok=True)}
+
+
+# ------------------------------------------------------- fusion + eval
+
+R_A = [  # (query_id, doc_id, rank) — system A
+    (1, 10, 1), (1, 11, 2), (1, 12, 3),
+    (2, 20, 1), (2, 21, 2),
+]
+R_B = [  # system B: overlaps A on (1,11) and (2,20), disjoint otherwise
+    (1, 11, 1), (1, 13, 2),
+    (2, 22, 1), (2, 20, 2), (2, 23, 3),
+    (3, 30, 1),  # query only B knows
+]
+
+
+def py_rrf(rankings, k0=60, k=3):
+    from collections import defaultdict
+
+    s = defaultdict(int)
+    for r in rankings:
+        for q, d, rk in r:
+            s[(q, d)] += 1000000 // (k0 + rk)
+    out = {}
+    byq = defaultdict(list)
+    for (q, d), sc in s.items():
+        byq[q].append((-sc, d))
+    for q, lst in byq.items():
+        for i, (nsc, d) in enumerate(sorted(lst), 1):
+            if i <= k:
+                out[(q, d)] = (-nsc, i)
+    return out
+
+
+def test_rrf_fuse_python_oracle_and_duckdb(spark):
+    import duckdb
+
+    from ariadne_spark.operators.retrieval import rrf_fuse, rrf_sql
+
+    a = spark.createDataFrame(R_A, "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(R_B, "query_id long, doc_id long, rank long")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_micro"], r["rank"])
+        for r in rrf_fuse([a, b], k0=60, k=3).collect()
+    }
+    assert got == py_rrf([R_A, R_B])
+    # shared docs outrank single-system docs at equal single ranks
+    assert got[(1, 11)][1] == 1  # in both systems -> fused top
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("ra", pd.DataFrame(R_A, columns=["query_id", "doc_id", "rank"]))
+    con.register("rb", pd.DataFrame(R_B, columns=["query_id", "doc_id", "rank"]))
+    o = con.execute(
+        rrf_sql(["SELECT * FROM ra", "SELECT * FROM rb"], k0=60, k=3)
+    ).fetchdf()
+    oracle = {
+        (r.query_id, r.doc_id): (r.rrf_micro, r.rank) for r in o.itertuples()
+    }
+    assert oracle == got
+
+
+def test_eval_topk_python_oracle_and_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from ariadne_spark.operators.retrieval import eval_sql, eval_topk
+
+    truth = spark.createDataFrame(R_A, "query_id long, doc_id long, rank long")
+    system = spark.createDataFrame(R_B, "query_id long, doc_id long, rank long")
+    got = {
+        r["query_id"]: (
+            r["n_truth"], r["hits"], r["recall_permille"], r["mrr_micro"]
+        )
+        for r in eval_topk(system, truth, k=3).collect()
+    }
+    # q1: truth {10,11,12}, system hits {11} at rank 1 -> mrr 10^6
+    # q2: truth {20,21}, system hits {20} at rank 2 -> mrr 500000
+    # q3: not in truth -> absent (truth-driven)
+    assert got == {
+        1: (3, 1, 333, 1000000),
+        2: (2, 1, 500, 500000),
+    }
+    con = duckdb.connect()
+    con.register("ra", pd.DataFrame(R_A, columns=["query_id", "doc_id", "rank"]))
+    con.register("rb", pd.DataFrame(R_B, columns=["query_id", "doc_id", "rank"]))
+    o = con.execute(
+        eval_sql("SELECT * FROM rb", "SELECT * FROM ra", k=3)
+    ).fetchdf()
+    oracle = {
+        r.query_id: (r.n_truth, r.hits, r.recall_permille, r.mrr_micro)
+        for r in o.itertuples()
+    }
+    assert oracle == got
+
+
+def test_eval_topk_zero_hit_query(spark):
+    from ariadne_spark.operators.retrieval import eval_topk
+
+    truth = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank long")
+    system = spark.createDataFrame([(1, 99, 1)], "query_id long, doc_id long, rank long")
+    [r] = eval_topk(system, truth, k=3).collect()
+    assert (r["hits"], r["recall_permille"], r["mrr_micro"]) == (0, 0, 0)
+
+
+def test_rrf_fuse_parallelism_invariance(spark):
+    from ariadne_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(R_A, "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(R_B, "query_id long, doc_id long, rank long")
+    base = sorted(map(tuple, rrf_fuse([a, b]).collect()))
+    for n in (1, 7):
+        again = sorted(
+            map(
+                tuple,
+                rrf_fuse([a.repartition(n), b.repartition(n)]).collect(),
+            )
+        )
+        assert again == base, n
