@@ -390,6 +390,9 @@ class SnapshotStore:
         assert os.path.exists(self._manifest_path(table, sid)), (
             f"no snapshot {sid} for {table}"
         )
+        assert name not in self.branches(table), (
+            f"{name!r} is already a branch on {table} (one name namespace)"
+        )
         if not self.backend.create_exclusive(self._tag_path(table, name), str(sid)):
             raise CommitConflict(f"tag {name!r} already exists on {table}")
         return sid
@@ -407,13 +410,128 @@ class SnapshotStore:
     def drop_tag(self, table: str, name: str) -> None:
         os.remove(self._tag_path(table, name))
 
+    # -- branches ------------------------------------------------------------
+
+    def _branch_prefix(self, table: str, name: str) -> str:
+        assert "/" not in name and "." not in name, f"bad branch name {name!r}"
+        return f"{self.root}/manifests/{table}.branch.{name}."
+
+    def branch(self, table: str, name: str, snapshot_id: int | None = None) -> int:
+        """Create a MUTABLE named pointer at a snapshot (Iceberg
+        `CREATE BRANCH`): unlike a tag it can be re-pointed with
+        `move_branch`, so readers that pin `read(table, 'name')` follow
+        a controlled publication stream while writers keep committing
+        to the table's linear history. Built on the same exclusive-
+        create CAS as commits — each re-point is a NEW chained version
+        file, never an in-place mutate, so it is object-store safe and
+        two racing movers resolve deterministically (one wins, one gets
+        CommitConflict). Branch-referenced snapshots survive
+        `expire_snapshots` like tagged ones."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
+        assert sid is not None, f"table {table} has no snapshot"
+        assert os.path.exists(self._manifest_path(table, sid)), (
+            f"no snapshot {sid} for {table}"
+        )
+        assert name not in self.tags(table), (
+            f"{name!r} is already a tag on {table} (one name namespace)"
+        )
+        if not self.backend.create_exclusive(
+            self._branch_prefix(table, name) + "0", str(sid)
+        ):
+            raise CommitConflict(f"branch {name!r} already exists on {table}")
+        return sid
+
+    def branches(self, table: str) -> dict[str, int]:
+        """name -> snapshot id of every branch's CURRENT version."""
+        prefix = f"{table}.branch."
+        latest: dict[str, int] = {}
+        out: dict[str, int] = {}
+        for f in os.listdir(f"{self.root}/manifests"):
+            if not f.startswith(prefix):
+                continue
+            name, _, ver = f[len(prefix):].rpartition(".")
+            v = int(ver)
+            if name not in latest or v > latest[name]:
+                latest[name] = v
+                with open(f"{self.root}/manifests/{f}") as fh:
+                    out[name] = int(fh.read().strip())
+        return out
+
+    def _branch_version(self, table: str, name: str) -> int | None:
+        prefix = f"{table}.branch.{name}."
+        vs = [
+            int(f[len(prefix):])
+            for f in os.listdir(f"{self.root}/manifests")
+            if f.startswith(prefix)
+        ]
+        return max(vs) if vs else None
+
+    def move_branch(self, table: str, name: str, snapshot_id: int) -> None:
+        """Re-point a branch (Iceberg fast-forward / `replace branch`):
+        CAS-create the next chained version file. A lost race (someone
+        else moved the branch between your read and your publish) is a
+        real publication conflict and raises — the caller must re-audit
+        against the new state, exactly like Iceberg's replace-branch
+        retry contract."""
+        cur = self._branch_version(table, name)
+        assert cur is not None, f"no branch {name!r} on {table}"
+        assert os.path.exists(self._manifest_path(table, snapshot_id)), (
+            f"no snapshot {snapshot_id} for {table}"
+        )
+        if not self.backend.create_exclusive(
+            self._branch_prefix(table, name) + str(cur + 1), str(snapshot_id)
+        ):
+            raise CommitConflict(
+                f"branch {name!r} on {table} was moved concurrently"
+            )
+
+    def drop_branch(self, table: str, name: str) -> None:
+        prefix = f"{table}.branch.{name}."
+        for f in sorted(os.listdir(f"{self.root}/manifests")):
+            if f.startswith(prefix):
+                os.remove(f"{self.root}/manifests/{f}")
+
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        table: str,
+        key: str,
+        audit,
+        branch_name: str = "published",
+        **write_kwargs,
+    ) -> tuple[int, bool]:
+        """The Iceberg WAP pattern over this store's primitives: WRITE
+        a normal commit to the table's linear history (the staging
+        stream), AUDIT the exact snapshot just written (`audit` gets
+        the snapshot-pinned DataFrame and returns pass/fail — plug in
+        the curation gates), and only on pass PUBLISH by fast-
+        forwarding `branch_name` to it. Consumers that read
+        `read(table, 'published')` therefore never observe an
+        unaudited snapshot, while failed writes remain in history for
+        debugging (and eventual `expire_snapshots`). Returns
+        (snapshot_id, published)."""
+        sid = self.write_table(df, table, key, **write_kwargs)
+        ok = bool(audit(self.read(table, snapshot_id=sid)))
+        if ok:
+            if self._branch_version(table, branch_name) is None:
+                self.branch(table, branch_name, sid)
+            else:
+                self.move_branch(table, branch_name, sid)
+        return sid, ok
+
     def _resolve_sid(self, table: str, snapshot_id) -> int | None:
-        """Accepts an int snapshot id, a tag name (str), or None
-        (current)."""
+        """Accepts an int snapshot id, a tag or branch name (str), or
+        None (current). Tags and branches share one name namespace
+        (creation asserts disjointness); tags resolve first."""
         if isinstance(snapshot_id, str):
             t = self.tags(table)
-            assert snapshot_id in t, f"no tag {snapshot_id!r} on {table}"
-            return t[snapshot_id]
+            if snapshot_id in t:
+                return t[snapshot_id]
+            b = self.branches(table)
+            assert snapshot_id in b, (
+                f"no tag or branch {snapshot_id!r} on {table}"
+            )
+            return b[snapshot_id]
         return snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
 
     def rollback(self, table: str, snapshot_id: int) -> int:
@@ -451,9 +569,15 @@ class SnapshotStore:
         head = self.current_snapshot_id(table)
         assert head is not None, f"table {table} has no snapshot"
         sids = self.snapshot_ids(table)
-        # tagged snapshots are pinned (Iceberg: tags exempt snapshots
-        # from expiration) — their manifests AND data dirs survive
-        keep = set(sids[-keep_last:]) | {head} | set(self.tags(table).values())
+        # tagged and branch-referenced snapshots are pinned (Iceberg:
+        # refs exempt snapshots from expiration) — their manifests AND
+        # data dirs survive
+        keep = (
+            set(sids[-keep_last:])
+            | {head}
+            | set(self.tags(table).values())
+            | set(self.branches(table).values())
+        )
         referenced = set()
         for s in keep:
             m = self.manifest(table, s)

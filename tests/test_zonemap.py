@@ -238,3 +238,105 @@ def test_snapshot_tags_pin_and_survive_expiration(spark, store):
     assert store.tags("t") == {}
     with pytest.raises(FileNotFoundError):
         store.manifest("t", s0)
+
+
+def test_branches_move_resolve_and_survive_expiration(spark, store):
+    """Iceberg-branch analog: a branch is a MUTABLE named pointer —
+    reads resolve it, move_branch re-points it (chained CAS versions),
+    expire keeps the branch-referenced snapshot, names are one
+    namespace with tags."""
+    from ariadne_spark.store import CommitConflict
+
+    store.write_table(_frame(spark, n_parts=2), "t", key="k")
+    s0 = store.current_snapshot_id("t")
+    store.branch("t", "prod")
+    assert store.branches("t") == {"prod": s0}
+
+    upd = _mk(spark, [("p0", 9, "z")], "k string, v long, s string")
+    store.overwrite_partitions(upd, "t", key="k")
+    s1 = store.current_snapshot_id("t")
+
+    # branch still serves s0 until moved
+    assert store.read("t", snapshot_id="prod").count() == 100
+    store.move_branch("t", "prod", s1)
+    assert store.branches("t") == {"prod": s1}
+    assert store.read("t", snapshot_id="prod").count() == 51
+
+    # move back (a rollback-of-the-published-view): s0 must survive
+    # expiration while the branch references it
+    store.move_branch("t", "prod", s0)
+    store.expire_snapshots("t", keep_last=1)
+    assert store.read("t", snapshot_id="prod").count() == 100
+
+    # duplicate create raises; tag/branch namespace is exclusive
+    with pytest.raises(CommitConflict):
+        store.branch("t", "prod")
+    with pytest.raises(AssertionError):
+        store.tag("t", "prod")
+    store.tag("t", "rel1")
+    with pytest.raises(AssertionError):
+        store.branch("t", "rel1")
+
+    store.drop_branch("t", "prod")
+    assert store.branches("t") == {}
+    with pytest.raises(AssertionError):
+        store.read("t", snapshot_id="prod")
+
+
+def test_move_branch_race_is_a_publication_conflict(spark, store):
+    """Two movers racing from the same observed version: exactly one
+    wins; the loser gets CommitConflict (must re-audit)."""
+    from ariadne_spark.store import CommitConflict
+
+    store.write_table(_frame(spark, n_parts=1), "t", key="k")
+    s0 = store.current_snapshot_id("t")
+    store.branch("t", "prod", s0)
+    store.write_table(_frame(spark, n_parts=2), "t", key="k")
+    s1 = store.current_snapshot_id("t")
+
+    # race window: the victim observed version 0, then the competitor
+    # created version 1 before the victim's CAS attempt — pin the
+    # victim's observation and let the competitor win version 1
+    assert store.backend.create_exclusive(
+        store._branch_prefix("t", "prod") + "1", str(s0)
+    )
+    orig = store._branch_version
+    store._branch_version = lambda t, n: 0
+    try:
+        with pytest.raises(CommitConflict, match="moved concurrently"):
+            store.move_branch("t", "prod", s1)
+    finally:
+        store._branch_version = orig
+    # the winner's pointer holds
+    assert store.branches("t") == {"prod": s0}
+
+
+def test_write_audit_publish_gates_the_published_view(spark, store):
+    """WAP: a failing audit leaves the published branch untouched (the
+    bad snapshot exists in history but is invisible to branch
+    readers); a passing audit fast-forwards it."""
+    good = _mk(
+        spark,
+        [("p0", 1, "a"), ("p0", 2, "b"), ("p1", 3, "c")],
+        "k string, v long, s string",
+    )
+    bad = _mk(spark, [("p0", -5, "x")], "k string, v long, s string")
+
+    def audit(df):
+        return df.where(df.v < 0).limit(1).count() == 0
+
+    sid0, ok0 = store.write_audit_publish(good, "t", "k", audit)
+    assert ok0 and store.branches("t") == {"published": sid0}
+    assert store.read("t", snapshot_id="published").count() == 3
+
+    sid1, ok1 = store.write_audit_publish(bad, "t", "k", audit)
+    assert not ok1
+    # history advanced, published view did not
+    assert store.current_snapshot_id("t") == sid1 > sid0
+    assert store.branches("t") == {"published": sid0}
+    assert store.read("t", snapshot_id="published").count() == 3
+
+    good2 = good.where(good.v != 2)
+    sid2, ok2 = store.write_audit_publish(good2, "t", "k", audit)
+    assert ok2 and store.branches("t") == {"published": sid2}
+    assert store.read("t", snapshot_id="published").count() == 2
