@@ -494,7 +494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rrf_fuse,
         )
 
-        dense_r = exact_topk(_t(spark, sf, "embeddings"), k=3)
+        # the dense top-k and BM25 subplans each feed 3-4 union
+        # branches below (dense/fused/eval rows); an eager local
+        # checkpoint materializes each ONCE (both are top-k-bounded:
+        # n·3 and queries·3 rows) instead of re-running the block
+        # matmul / postings scan per branch — 6.2 s -> ~2 s at sf0.1
+        dense_r = exact_topk(_t(spark, sf, "embeddings"), k=3).localCheckpoint()
         dense = dense_r.select(
             F.lit("dense").alias("kind"), "src", "dst", "dot_q", "rank"
         )
@@ -509,7 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("doc_id") % stride == 0)
             .select(F.col("doc_id").alias("query_id"), "text")
         )
-        sp = bm25_topk(d, qs, k=3, exclude_self=True)
+        sp = bm25_topk(d, qs, k=3, exclude_self=True).localCheckpoint()
         sparse = sp.select(
             F.lit("sparse").alias("kind"),
             F.col("query_id").alias("src"),
