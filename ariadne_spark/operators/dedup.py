@@ -264,3 +264,85 @@ def canonicalize(
         .where(F.col("_rk") == 1)
         .drop("_rk", "cluster_id")
     )
+
+
+def delta_neardup(
+    corpus_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    bands: list[list[str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs for an INGEST BATCH against an already-
+    indexed corpus — the continuous-ingestion form of banded LSH: a
+    pipeline that re-banded the whole corpus per batch would pay
+    O(corpus) every batch; this probes only the delta, so each batch
+    costs O(|delta| + matched candidates) and the signature index is
+    reused as-is.
+
+    `corpus_sigs` / `delta_sigs`: (id, sig columns...); `bands` lists
+    the signature-column groups (a pair is a candidate if ANY band's
+    columns all match — e.g. [["mh0","mh1"],["mh2","mh3"]], the same
+    banding as driver query q37). The two id sets must be disjoint.
+
+    Emits exactly the pairs a FULL re-run would emit restricted to
+    pairs touching a delta id (the equality the tests pin):
+    delta x corpus and delta x delta, each once, `a < b`, under its
+    FIRST matching band (earlier-band matches are recomputed JVM-side
+    from the signature columns riding the row — the zero-extra-shuffle
+    dedup of `operators/knn.py`).
+
+    Scale shape: one equi-join per band with the DELTA on the probe
+    side; the corpus side streams from its stored signature table
+    (never re-derived from text), so candidate volume is bounded by
+    the delta's band-bucket occupancy, independent of corpus size.
+    Reference analog: the reference re-resolves only the references of
+    a changed file against the persisted definition registry instead
+    of re-indexing the project (`packages/core/src/project/
+    project.ts:402-467`).
+    """
+    sig_cols = [c for c in corpus_sigs.columns if c != id_col]
+    build = corpus_sigs.select(
+        F.col(id_col).alias("a_id"),
+        F.lit(False).alias("a_is_delta"),
+        *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+    ).unionByName(
+        delta_sigs.select(
+            F.col(id_col).alias("a_id"),
+            F.lit(True).alias("a_is_delta"),
+            *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+        )
+    )
+    probe = delta_sigs.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+    )
+
+    def band_eq(i: int):
+        cond = F.lit(True)
+        for c in bands[i]:
+            cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+        return cond
+
+    out = None
+    for i in range(len(bands)):
+        earlier = F.lit(False)
+        for j in range(i):
+            earlier = earlier | band_eq(j)
+        p = (
+            build.join(probe, band_eq(i))
+            # delta-delta pairs appear from both members' probes: keep
+            # the orientation where the build side is the smaller id
+            # (a corpus build side never collides — ids are disjoint)
+            .where(
+                (F.col("a_id") != F.col("b_id"))
+                & (~F.col("a_is_delta") | (F.col("a_id") < F.col("b_id")))
+                & ~earlier
+            )
+            .select(
+                F.least(F.col("a_id"), F.col("b_id")).alias("a"),
+                F.greatest(F.col("a_id"), F.col("b_id")).alias("b"),
+                F.lit(i).alias("band"),
+            )
+        )
+        out = p if out is None else out.unionByName(p)
+    return out

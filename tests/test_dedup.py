@@ -228,3 +228,121 @@ def test_canonicalize_parallelism_invariant(spark, chain_pairs):
     a = sorted(map(tuple, canonicalize(docs.repartition(1), clusters, prefer=[("quality", False)]).collect()))
     b = sorted(map(tuple, canonicalize(docs.repartition(16), clusters, prefer=[("quality", False)]).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------- delta_neardup
+
+SIG_SCHEMA = "doc_id long, mh0 long, mh1 long, mh2 long, mh3 long"
+MH_BANDS = [["mh0", "mh1"], ["mh2", "mh3"]]
+
+
+def _full_pairs(rows, bands=MH_BANDS):
+    """Pure-python full banded recompute: all a<b pairs, first matching
+    band — the ground truth delta_neardup must reproduce."""
+    cols = ["mh0", "mh1", "mh2", "mh3"]
+    sig = {r[0]: dict(zip(cols, r[1:])) for r in rows}
+    out = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            for bi, band in enumerate(bands):
+                if all(sig[a][c] == sig[b][c] for c in band):
+                    out[(a, b)] = bi
+                    break
+    return out
+
+
+CORPUS = [
+    # clusters by shared bands: 1&2 share band0, 2&3 share band1,
+    # 4 isolated, 5&6 share BOTH bands (first-match -> band0)
+    (1, 10, 11, 900, 901),
+    (2, 10, 11, 800, 801),
+    (3, 30, 31, 800, 801),
+    (4, 40, 41, 940, 941),
+    (5, 50, 51, 950, 951),
+    (6, 50, 51, 950, 951),
+]
+DELTA = [
+    (100, 10, 11, 777, 778),   # joins 1&2 via band0
+    (101, 60, 61, 800, 801),   # joins 2&3 via band1
+    (102, 50, 51, 950, 951),   # joins 5&6 via BOTH bands -> band0
+    (103, 70, 71, 970, 971),   # isolated
+    (104, 70, 71, 980, 981),   # delta-delta pair with 103 via band0
+]
+
+
+def test_delta_neardup_equals_full_recompute_restricted(spark):
+    from ariadne_spark.operators.dedup import delta_neardup
+
+    c = spark.createDataFrame(CORPUS, SIG_SCHEMA)
+    d = spark.createDataFrame(DELTA, SIG_SCHEMA)
+    got = {
+        (r["a"], r["b"]): r["band"]
+        for r in delta_neardup(c, d, MH_BANDS).collect()
+    }
+    delta_ids = {r[0] for r in DELTA}
+    want = {
+        p: b
+        for p, b in _full_pairs(CORPUS + DELTA).items()
+        if p[0] in delta_ids or p[1] in delta_ids
+    }
+    assert got == want
+    # sanity on the fixture: corpus-delta, delta-delta, both-band
+    # first-match, and isolation are all exercised
+    assert (1, 100) in got and (103, 104) in got
+    assert got[(6, 102)] == 0 and got[(3, 101)] == 1
+    assert not any(103 in p and 104 not in p for p in got)
+
+
+def test_delta_neardup_rounds_accumulate_to_full(spark):
+    """Three ingest rounds: accumulated delta pairs == one full banded
+    recompute over everything (every pair touches some round's delta
+    because the corpus starts empty)."""
+    from ariadne_spark.operators.dedup import delta_neardup
+
+    rounds = [CORPUS, DELTA, [(200, 10, 11, 950, 951), (201, 40, 41, 333, 334)]]
+    acc: dict = {}
+    seen: list = []
+    for batch in rounds:
+        c = spark.createDataFrame(
+            seen or [(-(10**9), -1, -2, -3, -4)], SIG_SCHEMA
+        )  # empty-corpus stand-in that matches nothing
+        d = spark.createDataFrame(batch, SIG_SCHEMA)
+        for r in delta_neardup(c, d, MH_BANDS).collect():
+            acc[(r["a"], r["b"])] = r["band"]
+        seen = seen + batch
+    want = _full_pairs(seen)
+    want.pop((-(10**9), -1), None)
+    assert acc == {p: b for p, b in want.items() if p[0] >= 0}
+
+
+def test_delta_neardup_parallelism_invariance(spark):
+    from ariadne_spark.operators.dedup import delta_neardup
+
+    c = spark.createDataFrame(CORPUS, SIG_SCHEMA)
+    d = spark.createDataFrame(DELTA, SIG_SCHEMA)
+    base = sorted(map(tuple, delta_neardup(c, d, MH_BANDS).collect()))
+    for n in (1, 7):
+        again = sorted(
+            map(
+                tuple,
+                delta_neardup(
+                    c.repartition(n), d.repartition(n), MH_BANDS
+                ).collect(),
+            )
+        )
+        assert again == base, n
+
+
+def test_delta_neardup_probe_side_is_the_delta(spark):
+    """Plan shape: the per-band joins must not re-derive or re-shuffle
+    the corpus into a pairwise form — no cartesian, and candidate
+    volume stays 0 when the delta shares no band bucket."""
+    from ariadne_spark.operators.dedup import delta_neardup
+
+    c = spark.createDataFrame(CORPUS, SIG_SCHEMA)
+    lonely = spark.createDataFrame([(300, 1, 2, 3, 4)], SIG_SCHEMA)
+    out = delta_neardup(c, lonely, MH_BANDS)
+    assert out.count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
