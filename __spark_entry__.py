@@ -553,6 +553,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("recall_permille").alias("rank"),
             )
 
+        # ... and kind='hardneg' rows: hard-negative mining for
+        # retriever training (retrieval.hard_negatives) — sparse
+        # candidates that are NOT the dense top-1 positive, re-ranked;
+        # src=query, dst=neg_id, dot_q=pos_id, rank=neg_rank
+        from ariadne_spark.operators.retrieval import hard_negatives
+
+        hn = hard_negatives(
+            spr, dsub.where(F.col("rank") == 1).select("query_id", "doc_id"),
+            k_neg=2,
+        ).select(
+            F.lit("hardneg").alias("kind"),
+            F.col("query_id").alias("src"),
+            F.col("neg_id").alias("dst"),
+            F.col("pos_id").alias("dot_q"),
+            F.col("neg_rank").alias("rank"),
+        )
         return (
             dense.unionByName(sparse)
             .unionByName(fused)
@@ -560,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(
                 ev_rows("eval_fused", dsub, fused_r.select("query_id", "doc_id", "rank"))
             )
+            .unionByName(hn)
         )
 
     Q["q21_embedding_topk"] = q21
@@ -2472,6 +2489,14 @@ def oracle_sql() -> dict[str, str]:
                     k=3,
                 ),
                 k=3,
+            )})
+            UNION ALL
+            SELECT 'hardneg' AS kind, query_id AS src, neg_id AS dst,
+                   pos_id AS dot_q, neg_rank AS rank
+            FROM ({retrieval.hard_negatives_sql(
+                "SELECT query_id, doc_id, rank FROM sp",
+                "SELECT query_id, doc_id FROM dsub WHERE rank = 1",
+                k_neg=2,
             )})
         """,
         "q22_token_stats": f"""

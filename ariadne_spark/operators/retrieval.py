@@ -345,3 +345,70 @@ def eval_sql(system_sql: str, truth_sql: str, k: int = 3) -> str:
           ON t.query_id = s.query_id AND t.doc_id = s.doc_id
         GROUP BY t.query_id
     """
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    k_neg: int = 2,
+) -> DataFrame:
+    """Hard-negative mining for retriever training (the RocketQA /
+    ANCE recipe): for each query, take the top-ranked `candidates`
+    from a (different or earlier-generation) retriever that are NOT
+    known positives — documents a model finds plausible but wrong, the
+    highest-signal negatives for contrastive training. -> one row per
+    (query, positive, negative): (query, pos_id, neg_id, neg_rank),
+    re-ranked 1..k_neg after the positive filter so a downstream
+    sampler can cut at any depth.
+
+    `candidates`: (query, doc, rank) from any ranking operator here
+    (bm25_topk, exact_topk, ann_*, rrf_fuse). `positives`:
+    (query, doc) ground truth. Deterministic: candidate order is the
+    input's rank with doc tie-break; the pos x neg fanout is bounded
+    by k_pos*k_neg per query.
+
+    Scale shape: positives anti-join (both sides top-k/label-bounded)
+    + one per-query window + one per-query equi-join — corpus size
+    never appears; mining cost is O(queries * k).
+    """
+    pos = positives.select(query_col, doc_col)
+    negs = (
+        candidates.select(query_col, doc_col, "rank")
+        .join(pos, [query_col, doc_col], "left_anti")
+    )
+    w = Window.partitionBy(query_col).orderBy(F.asc("rank"), F.asc(doc_col))
+    negs = (
+        negs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k_neg)
+        .select(
+            query_col,
+            F.col(doc_col).alias("neg_id"),
+            "neg_rank",
+        )
+    )
+    return negs.join(
+        pos.select(query_col, F.col(doc_col).alias("pos_id")), query_col
+    ).select(query_col, "pos_id", "neg_id", "neg_rank")
+
+
+def hard_negatives_sql(
+    candidates_sql: str, positives_sql: str, k_neg: int = 2
+) -> str:
+    """DuckDB twin of hard_negatives: fragments yield
+    (query_id, doc_id, rank) and (query_id, doc_id)."""
+    return f"""
+        WITH hn_pos AS (SELECT query_id, doc_id FROM ({positives_sql})),
+        hn_negs AS (
+          SELECT c.query_id, c.doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY c.rank, c.doc_id) AS BIGINT) AS neg_rank
+          FROM ({candidates_sql}) c
+          ANTI JOIN hn_pos p
+            ON c.query_id = p.query_id AND c.doc_id = p.doc_id)
+        SELECT n.query_id, p.doc_id AS pos_id, n.doc_id AS neg_id, n.neg_rank
+        FROM hn_negs n JOIN hn_pos p ON n.query_id = p.query_id
+        WHERE n.neg_rank <= {k_neg}
+    """

@@ -262,3 +262,67 @@ def test_rrf_fuse_parallelism_invariance(spark):
             )
         )
         assert again == base, n
+
+
+def test_hard_negatives_python_oracle_and_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from ariadne_spark.operators.retrieval import (
+        hard_negatives,
+        hard_negatives_sql,
+    )
+
+    cands = [
+        # query 1: 10 is a positive -> negatives re-rank to 11,12
+        (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4),
+        # query 2: no positive among candidates
+        (2, 20, 1), (2, 21, 2),
+        # query 3: ALL candidates are positives -> no rows
+        (3, 30, 1),
+    ]
+    pos = [(1, 10), (1, 50), (2, 99), (3, 30)]
+    c = spark.createDataFrame(cands, "query_id long, doc_id long, rank long")
+    p = spark.createDataFrame(pos, "query_id long, doc_id long")
+    got = sorted(
+        map(tuple, hard_negatives(c, p, k_neg=2).collect())
+    )
+    # q1: negs (11,1),(12,2) x pos {10,50}; q2: negs (20,1),(21,2) x {99}
+    want = sorted([
+        (1, 10, 11, 1), (1, 50, 11, 1), (1, 10, 12, 2), (1, 50, 12, 2),
+        (2, 99, 20, 1), (2, 99, 21, 2),
+    ])
+    assert got == want
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(cands, columns=["query_id", "doc_id", "rank"]))
+    con.register("p", pd.DataFrame(pos, columns=["query_id", "doc_id"]))
+    o = sorted(
+        map(
+            tuple,
+            con.execute(
+                hard_negatives_sql("SELECT * FROM c", "SELECT * FROM p", k_neg=2)
+            ).fetchall(),
+        )
+    )
+    assert o == want
+
+
+def test_hard_negatives_parallelism_invariance(spark):
+    from ariadne_spark.operators.retrieval import hard_negatives
+
+    c = spark.createDataFrame(
+        [(q, d, r) for q in range(5) for r, d in enumerate(range(q, q + 6), 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    p = spark.createDataFrame(
+        [(q, q + 1) for q in range(5)], "query_id long, doc_id long"
+    )
+    base = sorted(map(tuple, hard_negatives(c, p, k_neg=3).collect()))
+    for n in (1, 7):
+        got = sorted(
+            map(
+                tuple,
+                hard_negatives(c.repartition(n), p.repartition(n), k_neg=3).collect(),
+            )
+        )
+        assert got == base, n
