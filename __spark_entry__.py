@@ -1360,6 +1360,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+        # deterministic training augmentation rides along: one row per
+        # fmt; violations = augmented dims disagreeing with the
+        # id-derived crop law greatest(1, (side*7)//8) or channel sums
+        # exceeding the 255-per-pixel envelope (byte-exact numpy oracle
+        # incl. re-encode parity lives in tests/test_decode.py)
+        from ariadne_spark.operators.decode import augment_images
+
+        ag = (
+            augment_images(images)
+            .join(
+                images.select(
+                    "image_id", F.col("w").alias("ow"), F.col("h").alias("oh")
+                ),
+                "image_id",
+            )
+            .groupBy("fmt")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        (F.col("w") != F.greatest(F.lit(1), cells.idiv(F.col("ow") * 7, 8)))
+                        | (F.col("h") != F.greatest(F.lit(1), cells.idiv(F.col("oh") * 7, 8)))
+                        | (F.col("sum_r") > F.col("w") * F.col("h") * 255)
+                        | (F.col("sum_g") > F.col("w") * F.col("h") * 255)
+                        | (F.col("sum_b") > F.col("w") * F.col("h") * 255),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_pixel_violations"),
+            )
+            .select(
+                F.lit("augment").alias("stage"), "fmt",
+                F.col("n_rows").cast("long"),
+                F.col("n_pixel_violations").cast("long"),
+                F.lit(0).cast("long").alias("n_caption_violations"),
+                F.lit(0).cast("long").alias("n_phash_violations"),
+                F.lit(None).cast("double").alias("min_psnr"),
+            )
+        )
+
         out = (
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
@@ -1367,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(cur)
             .unionByName(pat)
             .unionByName(bat)
+            .unionByName(ag)
         )
         bad = out.where(
             (F.col("n_pixel_violations") > 0)

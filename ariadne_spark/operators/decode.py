@@ -277,3 +277,83 @@ def patchify(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, PATCH_SCHEMA
     )
+
+
+AUGMENT_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "flipped boolean, x0 int, y0 int, sum_r long, sum_g long, sum_b long"
+)
+
+
+def augment_params(image_id: str, w: int, h: int, crop_num: int = 7,
+                   crop_den: int = 8, epoch: int = 0):
+    """Deterministic per-image augmentation parameters — NO RNG: the
+    crc32 of (image_id, epoch) drives horizontal-flip and crop-offset
+    choices, so the augmented corpus is bit-identical across runs,
+    partitionings, and cluster sizes (and a different `epoch` yields an
+    independent but equally reproducible view — the same epoch-salt
+    idea as curation.shuffle_shards). Returns
+    (flipped, x0, y0, cw, ch)."""
+    import zlib
+
+    mix = zlib.crc32(f"{image_id}#aug{epoch}".encode())
+    cw = max(1, (w * crop_num) // crop_den)
+    ch = max(1, (h * crop_num) // crop_den)
+    x0 = (mix >> 1) % (w - cw + 1)
+    y0 = (mix >> 13) % (h - ch + 1)
+    return bool(mix & 1), x0, y0, cw, ch
+
+
+def augment_images(
+    images: DataFrame, crop_num: int = 7, crop_den: int = 8, epoch: int = 0
+) -> DataFrame:
+    """Training-time image augmentation as a deterministic corpus
+    transform: decode -> random-crop to (crop_num/crop_den) of each
+    side -> maybe horizontal flip -> re-encode, with every "random"
+    choice derived from the image id (`augment_params`). Emits the
+    integer per-channel sums of the AUGMENTED pixels next to the bytes,
+    so the transform is self-verifying: a flip never changes channel
+    sums and a crop's sums are recomputable from the original pixels,
+    which the x06 entry and tests exploit as zero-violation gates. One
+    mapInPandas pass over Arrow batches, zero shuffles, scale-linear.
+
+    Reference analog: the deterministic per-file transform stage of the
+    reference's indexing (parse -> normalize -> extract,
+    `packages/core/src/index_single_file/index_single_file.ts:98-120`);
+    here the normalization is pixel-space and epoch-parameterized.
+    """
+    from ..functions.codecs import encode_image
+
+    def run(iterator):
+        for pdf in iterator:
+            out = {k: [] for k in (
+                "image_id", "bytes", "w", "h", "fmt", "flipped",
+                "x0", "y0", "sum_r", "sum_g", "sum_b",
+            )}
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                h, w, _ = px.shape
+                flipped, x0, y0, cw, ch = augment_params(
+                    img_id, w, h, crop_num, crop_den, epoch
+                )
+                aug = px[y0 : y0 + ch, x0 : x0 + cw]
+                if flipped:
+                    aug = aug[:, ::-1]
+                aug = np.ascontiguousarray(aug)
+                sums = aug.astype(np.int64).sum(axis=(0, 1))
+                out["image_id"].append(img_id)
+                out["bytes"].append(encode_image(aug, fmt))
+                out["w"].append(cw)
+                out["h"].append(ch)
+                out["fmt"].append(fmt)
+                out["flipped"].append(flipped)
+                out["x0"].append(x0)
+                out["y0"].append(y0)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, AUGMENT_SCHEMA
+    )

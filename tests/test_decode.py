@@ -221,3 +221,63 @@ def test_patchify_sub_patch_images_and_remainder():
     assert (s[0, 0] == px[:8, :8].astype(np.int64).sum(axis=(0, 1))).all()
     assert (s[0, 1] == px[:8, 8:16].astype(np.int64).sum(axis=(0, 1))).all()
     assert np_patch_sums(px, 32).shape == (0, 0, 3)
+
+
+def test_augment_images_matches_numpy_oracle(spark, images_df):
+    """Byte-exact oracle: same id-derived params, same numpy crop/flip,
+    same re-encode — and the emitted channel sums equal the augmented
+    pixels' sums (flip-invariant, crop-recomputable)."""
+    import numpy as np
+
+    from ariadne_spark.functions.codecs import decode_image, encode_image
+    from ariadne_spark.operators.decode import augment_images, augment_params
+
+    sample = images_df.limit(60)
+    src = {
+        r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in sample.collect()
+    }
+    got = augment_images(sample).collect()
+    assert len(got) == len(src)
+    for r in got:
+        blob, fmt = src[r["image_id"]]
+        px = decode_image(blob, fmt)
+        h, w, _ = px.shape
+        flipped, x0, y0, cw, ch = augment_params(r["image_id"], w, h)
+        assert (r["flipped"], r["x0"], r["y0"], r["w"], r["h"]) == (
+            flipped, x0, y0, cw, ch,
+        )
+        aug = px[y0 : y0 + ch, x0 : x0 + cw]
+        if flipped:
+            aug = aug[:, ::-1]
+        aug = np.ascontiguousarray(aug)
+        assert bytes(r["bytes"]) == encode_image(aug, fmt)
+        sums = aug.astype(np.int64).sum(axis=(0, 1))
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(s) for s in sums)
+        # flip invariance: sums equal the UNflipped crop's sums
+        crop = px[y0 : y0 + ch, x0 : x0 + cw].astype(np.int64).sum(axis=(0, 1))
+        assert tuple(int(s) for s in crop) == (r["sum_r"], r["sum_g"], r["sum_b"])
+
+
+def test_augment_epochs_differ_but_reproduce(spark, images_df):
+    from ariadne_spark.operators.decode import augment_images
+
+    sample = images_df.limit(40)
+    e0 = {r["image_id"]: (r["flipped"], r["x0"], r["y0"]) for r in augment_images(sample, epoch=0).collect()}
+    e0b = {r["image_id"]: (r["flipped"], r["x0"], r["y0"]) for r in augment_images(sample, epoch=0).collect()}
+    e1 = {r["image_id"]: (r["flipped"], r["x0"], r["y0"]) for r in augment_images(sample, epoch=1).collect()}
+    assert e0 == e0b  # reproducible
+    assert any(e0[k] != e1[k] for k in e0)  # epochs independent
+
+
+def test_augment_parallelism_invariance(spark, images_df):
+    from ariadne_spark.operators.decode import augment_images
+
+    sample = images_df.limit(50)
+    base = sorted(
+        (r["image_id"], bytes(r["bytes"]), r["sum_r"]) for r in augment_images(sample).collect()
+    )
+    again = sorted(
+        (r["image_id"], bytes(r["bytes"]), r["sum_r"])
+        for r in augment_images(sample.repartition(7)).collect()
+    )
+    assert again == base
