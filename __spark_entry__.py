@@ -1588,7 +1588,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("shard").cast("string").alias("key"),
             F.col("pos").alias("bucket"),
         )
-        return strat.unionByName(temp_rows).unionByName(shuf)
+        # fourth policy: mixture assembly (curation.mixture_sample) —
+        # Hamilton-apportioned per-lang quotas for a 120-row training
+        # draw, first-quota rows by (fingerprint, doc_id) order;
+        # key = lang, bucket = within-domain rank
+        from ariadne_spark.operators.curation import mixture_sample
+
+        wts = spark.createDataFrame(
+            [("en", 5), ("de", 3), ("fr", 3), ("zh", 2), ("es", 2)],
+            "lang string, weight long",
+        )
+        mix = mixture_sample(
+            d.withColumn("__fp", fp),
+            wts,
+            total=120,
+            order_keys=[F.col("__fp"), F.col("doc_id")],
+        ).select(
+            F.lit("mixture").alias("policy"),
+            "doc_id",
+            F.col("lang").alias("key"),
+            F.col("rnk").alias("bucket"),
+        )
+        return strat.unionByName(temp_rows).unionByName(shuf).unionByName(mix)
 
     Q["q42_sampling_policies"] = q42
 
@@ -2379,6 +2400,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'shuffle', doc_id, CAST(shard AS VARCHAR), pos
             FROM ({curation.shuffle_shards_sql(n_shards=8)})
+            UNION ALL
+            SELECT 'mixture', doc_id, lang, rnk
+            FROM ({curation.mixture_sample_sql(
+                f"(SELECT doc_id, lang, ({fp}) AS fpv FROM documents)",
+                "('en', 5), ('de', 3), ('fr', 3), ('zh', 2), ('es', 2)",
+                120,
+                "lang",
+                "fpv, doc_id",
+                ["doc_id", "lang"],
+            )})
         """,
         "q43_sketch_suite": f"""
             WITH est AS ({sketch}),

@@ -1577,3 +1577,108 @@ def quality_classifier_sql(
                clf_milli >= {threshold_milli} AS clf_keep
         FROM sc
     """
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    total: int,
+    group_col: str = "lang",
+    order_keys: list[Column] | None = None,
+) -> DataFrame:
+    """Training-data mixture assembly: draw a corpus of (at most)
+    `total` rows whose per-domain composition follows `weights`
+    (group, weight) — the stage that applies DoReMi/-style mixture
+    weights to build the actual training set.
+
+    Apportionment is Hamilton largest-remainder, all-integer:
+    base_s = total·w_s // W, then one extra row to the domains with
+    the largest remainders (ties on the group value) until the bases
+    sum to `total`; a domain shorter than its quota contributes all
+    its rows (no redistribution — quotas stay weight-faithful and the
+    result is deterministic). Row selection inside a domain is the
+    first quota rows by `order_keys` (deterministic columns whose
+    COMPOSITE is unique per row — e.g. a content fingerprint with the
+    id as tie-break), so the kept set is engine- and cluster-size-
+    identical.
+
+    -> df's rows selected, plus (take_n, rnk): the domain quota and
+    the row's 1-based rank within its domain.
+
+    Scale shape: the weights/apportionment tables are domain-count-
+    sized (tiny, broadcast); per-domain counts are one hash agg. The
+    exact first-k-per-domain selection is one rank window — a
+    per-domain sort, the honest cost of EXACT quotas; at 10^12 rows
+    run the approximate fingerprint-threshold prefilter first
+    (keep fp % g < 2·g·n_s/c_s, the temperature_sample trick) and
+    rank only the ~2x survivors, which bounds the sorted volume by
+    O(total), not O(corpus).
+    """
+    from pyspark.sql import Window
+
+    assert order_keys, "pass deterministic order columns (unique composite)"
+    W = weights.agg(F.sum("weight").alias("w_tot"))
+    app = (
+        weights.crossJoin(F.broadcast(W))
+        .select(
+            group_col,
+            _idivc(F.lit(total) * F.col("weight"), F.col("w_tot")).alias("base"),
+            (F.lit(total) * F.col("weight") % F.col("w_tot")).alias("rem"),
+        )
+    )
+    left = app.agg((F.lit(total) - F.sum("base")).alias("leftover"))
+    wv = Window.orderBy(F.desc("rem"), F.asc(group_col))
+    app = (
+        app.crossJoin(F.broadcast(left))
+        .withColumn("rk", F.row_number().over(wv))
+        .select(
+            group_col,
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("take_n"),
+        )
+    )
+    wr = Window.partitionBy(group_col).orderBy(*[F.asc(k) for k in order_keys])
+    return (
+        df.join(F.broadcast(app), group_col)
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= F.col("take_n"))
+    )
+
+
+def mixture_sample_sql(
+    table_sql: str,
+    weights_values: str,
+    total: int,
+    group_col: str,
+    order_key_sql: str,
+    select_cols: list[str],
+) -> str:
+    """DuckDB twin of mixture_sample. `weights_values` is a VALUES
+    list like "('en', 5), ('de', 3)"; `order_key_sql` a comma list of
+    order expressions; same Hamilton rounding, same first-k
+    selection."""
+    cols = ", ".join(select_cols)
+    return f"""
+        WITH mw(grp, weight) AS (SELECT * FROM (VALUES {weights_values})),
+        wtot AS (SELECT sum(weight) AS w_tot FROM mw),
+        app0 AS (
+          SELECT grp, ({total} * weight) // w_tot AS base,
+                 ({total} * weight) % w_tot AS rem
+          FROM mw, wtot),
+        lft AS (SELECT {total} - sum(base) AS leftover FROM app0),
+        app AS (
+          SELECT grp,
+                 CAST(base + CASE WHEN row_number() OVER (
+                        ORDER BY rem DESC, grp) <= leftover
+                      THEN 1 ELSE 0 END AS BIGINT) AS take_n
+          FROM app0, lft),
+        ranked AS (
+          SELECT t.*, app.take_n,
+                 CAST(row_number() OVER (
+                   PARTITION BY t.{group_col}
+                   ORDER BY {order_key_sql}) AS BIGINT) AS rnk
+          FROM ({table_sql}) t JOIN app ON t.{group_col} = app.grp)
+        SELECT {cols}, take_n, rnk FROM ranked WHERE rnk <= take_n
+    """

@@ -864,3 +864,123 @@ def test_quality_classifier_parallelism_invariance(spark):
             )
         )
         assert again == base, n
+
+
+# ----------------------------------------------------------- mixture_sample
+
+MIX_ROWS = [
+    # (doc_id, lang): en 10 docs, de 5, fr 2, zh 1
+    *[(i, "en") for i in range(10)],
+    *[(100 + i, "de") for i in range(5)],
+    *[(200 + i, "fr") for i in range(2)],
+    (300, "zh"),
+]
+MIX_W = [("en", 5), ("de", 3), ("fr", 3), ("zh", 1)]
+
+
+def py_mixture(rows, weights, total, key=lambda r: r[0]):
+    wtot = sum(w for _, w in weights)
+    app = []
+    for g, w in weights:
+        app.append([g, (total * w) // wtot, (total * w) % wtot])
+    leftover = total - sum(a[1] for a in app)
+    for a in sorted(app, key=lambda a: (-a[2], a[0]))[:leftover]:
+        a[1] += 1
+    quota = {g: n for g, n, _ in app}
+    out = {}
+    for g in quota:
+        members = sorted((r for r in rows if r[1] == g), key=key)
+        for rnk, r in enumerate(members[: quota[g]], 1):
+            out[r[0]] = (g, quota[g], rnk)
+    return out
+
+
+def test_mixture_sample_python_oracle_and_quota_cap(spark):
+    from ariadne_spark.operators.curation import mixture_sample
+
+    df = spark.createDataFrame(MIX_ROWS, "doc_id long, lang string")
+    w = spark.createDataFrame(MIX_W, "lang string, weight long")
+    # total=12: quotas en=5, de=3, fr=3, zh=1 (exact thirds) — fr has
+    # only 2 docs, so the result is 11 rows (no redistribution)
+    got = {
+        r["doc_id"]: (r["lang"], r["take_n"], r["rnk"])
+        for r in mixture_sample(
+            df, w, total=12, order_keys=[F.col("doc_id")]
+        ).collect()
+    }
+    want = py_mixture(MIX_ROWS, MIX_W, 12)
+    assert got == want
+    assert len(got) == 11
+    # largest-remainder path: total=10 with weights 5/3/3/1 ->
+    # bases 4/2/2/0, remainders give the extras deterministically
+    got10 = {
+        r["doc_id"]: (r["lang"], r["take_n"], r["rnk"])
+        for r in mixture_sample(
+            df, w, total=10, order_keys=[F.col("doc_id")]
+        ).collect()
+    }
+    assert got10 == py_mixture(MIX_ROWS, MIX_W, 10)
+    assert sum(1 for v in got10.values()) == 10  # nothing capped here
+
+
+def test_mixture_sample_duckdb_parity(spark):
+    import pandas as pd
+
+    from ariadne_spark.operators.curation import (
+        mixture_sample,
+        mixture_sample_sql,
+    )
+
+    df = spark.createDataFrame(MIX_ROWS, "doc_id long, lang string")
+    w = spark.createDataFrame(MIX_W, "lang string, weight long")
+    got = (
+        mixture_sample(df, w, total=9, order_keys=[F.col("doc_id")])
+        .select("doc_id", "lang", "take_n", "rnk")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(MIX_ROWS, columns=["doc_id", "lang"]))
+    vals = ", ".join(f"('{g}', {w_})" for g, w_ in MIX_W)
+    o = (
+        con.execute(
+            mixture_sample_sql(
+                "SELECT * FROM t", vals, 9, "lang", "doc_id",
+                ["doc_id", "lang"],
+            )
+        )
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "take_n", "rnk"):
+        assert (got[c].to_numpy() == o[c].to_numpy()).all(), c
+    assert list(got["lang"]) == list(o["lang"])
+
+
+def test_mixture_sample_parallelism_invariance(spark):
+    from ariadne_spark.operators.curation import mixture_sample
+
+    df = spark.createDataFrame(MIX_ROWS, "doc_id long, lang string")
+    w = spark.createDataFrame(MIX_W, "lang string, weight long")
+    base = sorted(
+        map(
+            tuple,
+            mixture_sample(df, w, total=12, order_keys=[F.col("doc_id")])
+            .select("doc_id", "take_n", "rnk")
+            .collect(),
+        )
+    )
+    for n in (1, 7):
+        got = sorted(
+            map(
+                tuple,
+                mixture_sample(
+                    df.repartition(n), w, total=12, order_keys=[F.col("doc_id")]
+                )
+                .select("doc_id", "take_n", "rnk")
+                .collect(),
+            )
+        )
+        assert got == base, n
