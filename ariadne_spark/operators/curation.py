@@ -1682,3 +1682,90 @@ def mixture_sample_sql(
           FROM ({table_sql}) t JOIN app ON t.{group_col} = app.grp)
         SELECT {cols}, take_n, rnk FROM ranked WHERE rnk <= take_n
     """
+
+
+def materialize_training_run(
+    docs: DataFrame,
+    store,
+    run_name: str,
+    weights: DataFrame,
+    total: int,
+    ctx: int = 64,
+    n_shards: int = 4,
+    epoch: int = 0,
+    audit=None,
+) -> tuple[int, bool]:
+    """Capstone composition — materialize one training run end to end
+    and PUBLISH it through the store's write-audit-publish gate:
+
+      exact dedup (md5, min-id canonical)
+        -> Gopher repetition gate (repetition_stats, repetitive == 0)
+        -> mixture_sample (Hamilton quotas of `total` over `weights`)
+        -> shuffle_shards (deterministic epoch-salted training order)
+        -> pack_sequences (concat-then-chunk ctx windows per shard)
+        -> store.write_audit_publish(f"{run_name}_layout", key=shard)
+
+    The written table is the doc-grain packing layout
+    (doc_id, lang, shard, pos, tokens, start_tok, first_bin, last_bin,
+    n_bins) with zone-map stats on first_bin, so a loader reading
+    window ranges prunes shards' partitions by metadata. The default
+    audit asserts every shard is a GAPLESS stream (min start 0, max
+    start+tokens == sum tokens) and non-empty — a failing audit leaves
+    the 'published' branch untouched.
+
+    Determinism is end-to-end: every stage above is RNG-free and
+    data-derived, so two runs over the same input produce
+    fingerprint-identical published partitions (pinned in tests), and
+    `epoch` yields an independent but equally reproducible order.
+    Returns (snapshot_id, published).
+    """
+    from ..functions.sketch import mix_col
+
+    h = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = docs.join(h.select("doc_id"), "doc_id", "left_semi")
+    good = repetition_stats(dd).where(F.col("repetitive") == 0).select("doc_id")
+    gated = dd.join(good, "doc_id", "left_semi")
+    mixed = mixture_sample(
+        gated,
+        weights,
+        total,
+        group_col="lang",
+        order_keys=[mix_col(F.col("doc_id")), F.col("doc_id")],
+    ).select("doc_id", "lang", "text")
+    sh = shuffle_shards(mixed, n_shards=n_shards, epoch=epoch)
+    base = mixed.join(sh, "doc_id").select(
+        "doc_id",
+        "lang",
+        "shard",
+        "pos",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("tokens"),
+    )
+    packed = pack_sequences(
+        base, tokens=F.col("tokens"), ctx=ctx,
+        pack_cols=["shard"], order_col="pos",
+    ).join(base.select("doc_id", "lang", "shard", "pos"), ["shard", "pos"])
+
+    def _default_audit(snap: DataFrame) -> bool:
+        agg = snap.groupBy("shard").agg(
+            F.min("start_tok").alias("mn"),
+            F.max(F.col("start_tok") + F.col("tokens")).alias("mx"),
+            F.sum("tokens").alias("tot"),
+        )
+        bad = agg.where(
+            (F.col("mn") != 0) | (F.col("mx") != F.col("tot"))
+        ).limit(1).count()
+        return snap.limit(1).count() > 0 and bad == 0
+
+    return store.write_audit_publish(
+        packed,
+        f"{run_name}_layout",
+        key="shard",
+        audit=audit or _default_audit,
+        stats_cols=["first_bin"],
+    )

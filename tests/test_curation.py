@@ -984,3 +984,85 @@ def test_mixture_sample_parallelism_invariance(spark):
             )
         )
         assert got == base, n
+
+
+# ------------------------------------------------- materialize_training_run
+
+def _run_corpus(spark):
+    rows = []
+    for i in range(120):
+        lang = ["en", "en", "en", "de", "fr"][i % 5]
+        rows.append((i, lang, f"unique doc {i} with several plain words here"))
+    # planted exact duplicates (121,122 dup of 0's text) and a
+    # repetitive doc that the Gopher gate must drop
+    rows.append((500, "en", rows[0][2]))
+    rows.append((501, "en", rows[0][2]))
+    rows.append((502, "en", "spam spam spam spam spam spam spam spam"))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _weights(spark):
+    return spark.createDataFrame(
+        [("en", 2), ("de", 1), ("fr", 1)], "lang string, weight long"
+    )
+
+
+def test_materialize_training_run_end_to_end(spark, tmp_path):
+    from ariadne_spark.operators.curation import materialize_training_run
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    sid, ok = materialize_training_run(
+        _run_corpus(spark), st, "run1", _weights(spark), total=40, ctx=16,
+        n_shards=3,
+    )
+    assert ok
+    out = st.read("run1_layout", snapshot_id="published").toPandas()
+    # quotas: 20 en / 10 de / 10 fr; gates dropped dup+spam docs only
+    per = out.groupby("lang").size().to_dict()
+    assert per == {"en": 20, "de": 10, "fr": 10}
+    assert 500 not in set(out["doc_id"]) and 502 not in set(out["doc_id"])
+    # gapless per shard
+    for shard, g in out.groupby("shard"):
+        assert g["start_tok"].min() == 0
+        assert (g["start_tok"] + g["tokens"]).max() == g["tokens"].sum()
+    # zone-map stats landed for loader-side pruning
+    m = st.manifest("run1_layout")
+    assert all("first_bin" in (p.get("stats") or {}) for p in m.partitions.values())
+
+
+def test_materialize_training_run_is_artifact_deterministic(spark, tmp_path):
+    """Two runs over the same input -> fingerprint-identical published
+    partitions; a different epoch -> a different layout."""
+    from ariadne_spark.operators.curation import materialize_training_run
+    from ariadne_spark.store import SnapshotStore
+
+    docs = _run_corpus(spark)
+    w = _weights(spark)
+    fps = []
+    for name in ("a", "b"):
+        st = SnapshotStore(spark, str(tmp_path / name))
+        materialize_training_run(docs, st, "r", w, total=40, ctx=16, n_shards=3)
+        m = st.manifest("r_layout")
+        fps.append({k: p["fingerprint"] for k, p in m.partitions.items()})
+    assert fps[0] == fps[1]
+    st = SnapshotStore(spark, str(tmp_path / "c"))
+    materialize_training_run(
+        docs, st, "r", w, total=40, ctx=16, n_shards=3, epoch=1
+    )
+    m = st.manifest("r_layout")
+    assert {k: p["fingerprint"] for k, p in m.partitions.items()} != fps[0]
+
+
+def test_materialize_training_run_failed_audit_stays_unpublished(spark, tmp_path):
+    from ariadne_spark.operators.curation import materialize_training_run
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    sid, ok = materialize_training_run(
+        _run_corpus(spark), st, "r", _weights(spark), total=40, ctx=16,
+        n_shards=3, audit=lambda snap: False,
+    )
+    assert not ok
+    assert st.branches("r_layout") == {}
+    assert st.current_snapshot_id("r_layout") == sid  # history kept
