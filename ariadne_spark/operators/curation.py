@@ -1694,6 +1694,7 @@ def materialize_training_run(
     n_shards: int = 4,
     epoch: int = 0,
     audit=None,
+    bins_per_part: int = 256,
 ) -> tuple[int, bool]:
     """Capstone composition — materialize one training run end to end
     and PUBLISH it through the store's write-audit-publish gate:
@@ -1703,13 +1704,22 @@ def materialize_training_run(
         -> mixture_sample (Hamilton quotas of `total` over `weights`)
         -> shuffle_shards (deterministic epoch-salted training order)
         -> pack_sequences (concat-then-chunk ctx windows per shard)
-        -> store.write_audit_publish(f"{run_name}_layout", key=shard)
+        -> store.write_audit_publish(f"{run_name}_layout")
 
     The written table is the doc-grain packing layout
     (doc_id, lang, shard, pos, tokens, start_tok, first_bin, last_bin,
-    n_bins) with zone-map stats on first_bin, so a loader reading
-    window ranges prunes shards' partitions by metadata. The default
-    audit asserts every shard is a GAPLESS stream (min start 0, max
+    n_bins), partitioned by `part` = (shard, first_bin // bins_per_part)
+    — each shard's token stream splits into contiguous window-range
+    chunks — with zone-map stats on BOTH first_bin and last_bin. A
+    loader fetching windows [lo, hi] of one shard therefore reads
+    ~ (hi-lo)/bins_per_part partitions, located metadata-only (see
+    `read_token_window`): the overlap predicate first_bin <= hi AND
+    last_bin >= lo maps exactly onto two zone-map range prunes, and a
+    doc STRADDLING a chunk boundary is still found because it raises
+    its home chunk's max(last_bin). At 10^12 tokens per shard, size
+    bins_per_part so a chunk is one healthy file (e.g. ctx=8192,
+    bins_per_part=4096 -> ~32M tokens/chunk). The default audit
+    asserts every shard is a GAPLESS stream (min start 0, max
     start+tokens == sum tokens) and non-empty — a failing audit leaves
     the 'published' branch untouched.
 
@@ -1746,10 +1756,22 @@ def materialize_training_run(
             + 1
         ).cast("long").alias("tokens"),
     )
+    from ..functions.cells import idiv
+
     packed = pack_sequences(
         base, tokens=F.col("tokens"), ctx=ctx,
         pack_cols=["shard"], order_col="pos",
     ).join(base.select("doc_id", "lang", "shard", "pos"), ["shard", "pos"])
+    # partition key: shard + zero-padded window-range chunk (12 digits
+    # holds 10^12 bins; zero-padding keeps key order == stream order)
+    laid = packed.withColumn(
+        "part",
+        F.concat(
+            F.col("shard").cast("string"),
+            F.lit("~"),
+            F.lpad(idiv(F.col("first_bin"), bins_per_part).cast("string"), 12, "0"),
+        ),
+    )
 
     def _default_audit(snap: DataFrame) -> bool:
         agg = snap.groupBy("shard").agg(
@@ -1763,9 +1785,51 @@ def materialize_training_run(
         return snap.limit(1).count() > 0 and bad == 0
 
     return store.write_audit_publish(
-        packed,
+        laid,
         f"{run_name}_layout",
-        key="shard",
+        key="part",
         audit=audit or _default_audit,
-        stats_cols=["first_bin"],
+        stats_cols=["first_bin", "last_bin"],
     )
+
+
+def read_token_window(
+    store,
+    table: str,
+    shard: int,
+    first_bin: int,
+    last_bin: int,
+    snapshot_id: int | str = "published",
+) -> DataFrame:
+    """Loader-side read of one shard's context windows [first_bin,
+    last_bin] (inclusive) from a layout written by
+    `materialize_training_run`: returns exactly the docs whose token
+    span overlaps those windows (first_bin <= hi AND last_bin >= lo).
+
+    The whole locate step is metadata-only: the shard's partitions are
+    selected by key prefix from the manifest, then the two overlap
+    bounds zone-map-prune chunks via the first_bin/last_bin stats —
+    only the ~ (hi-lo)/bins_per_part surviving chunk files are listed
+    or opened, so a 10^12-token shard serves a window read at
+    O(manifest) + O(window) cost. The range predicates are re-applied
+    as residual row filters (and push down to parquet row groups), so
+    the result is exactly the full-scan filter — pruning never changes
+    semantics. Snapshot-race-free: pruning and reading share one
+    resolved manifest.
+
+    Reference analog: ariadne's range-indexed lookup of the
+    definitions covering a file span
+    (`packages/core/src/index_single_file/index_single_file.ts:98`) —
+    here the "file" is a pack shard and the span is window offsets.
+    """
+    m = store.manifest(table, snapshot_id)
+    assert m is not None, f"table {table} has no snapshot"
+    prefix = f"{shard}~"
+    keys = [k for k in m.partitions if k.startswith(prefix)]
+    df = store.read(
+        table,
+        snapshot_id=m.snapshot_id,
+        keys=keys,
+        where={"first_bin": (None, last_bin), "last_bin": (first_bin, None)},
+    )
+    return df.where(F.col("shard") == F.lit(shard))

@@ -1066,3 +1066,78 @@ def test_materialize_training_run_failed_audit_stays_unpublished(spark, tmp_path
     assert not ok
     assert st.branches("r_layout") == {}
     assert st.current_snapshot_id("r_layout") == sid  # history kept
+
+
+# ---------------------------------------------------- read_token_window
+
+def _varlen_corpus(spark):
+    rows = []
+    for i in range(160):
+        lang = ["en", "en", "en", "de", "fr"][i % 5]
+        words = " ".join(f"w{i}x{j}" for j in range(i % 11 + 2))
+        rows.append((i, lang, words))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_read_token_window_exact_and_pruned(spark, tmp_path):
+    from ariadne_spark.operators.curation import (
+        materialize_training_run,
+        read_token_window,
+    )
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    sid, ok = materialize_training_run(
+        _varlen_corpus(spark), st, "r", _weights(spark), total=80, ctx=8,
+        n_shards=2, bins_per_part=2,
+    )
+    assert ok
+    full = st.read("r_layout", snapshot_id="published").toPandas()
+    n_parts = len(st.manifest("r_layout").partitions)
+    assert n_parts > 6  # the chunking actually split shards
+
+    for shard in (0, 1):
+        max_bin = int(full[full["shard"] == shard]["last_bin"].max())
+        for lo, hi in [(0, 0), (1, 2), (3, 7), (max_bin, max_bin), (0, max_bin)]:
+            got = read_token_window(st, "r_layout", shard, lo, hi).toPandas()
+            exp = full[
+                (full["shard"] == shard)
+                & (full["first_bin"] <= hi)
+                & (full["last_bin"] >= lo)
+            ]
+            assert sorted(got["doc_id"]) == sorted(exp["doc_id"]), (shard, lo, hi)
+
+    # the locate step is genuinely partition-pruned: a 2-window read
+    # survives far fewer chunks than the shard holds
+    survivors = st.prune_keys(
+        "r_layout", {"first_bin": (None, 2), "last_bin": (1, None)}, "published"
+    )
+    shard0 = [k for k in st.manifest("r_layout").partitions if k.startswith("0~")]
+    assert 0 < len([k for k in survivors if k.startswith("0~")]) < len(shard0)
+
+
+def test_read_token_window_finds_chunk_straddler(spark, tmp_path):
+    """A doc spanning a chunk boundary lives in its first_bin's chunk;
+    a window that only touches its LAST bin must still return it (the
+    doc lifts its home chunk's max(last_bin) zone-map bound)."""
+    from ariadne_spark.operators.curation import (
+        materialize_training_run,
+        read_token_window,
+    )
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    materialize_training_run(
+        _varlen_corpus(spark), st, "r", _weights(spark), total=80, ctx=8,
+        n_shards=2, bins_per_part=2,
+    )
+    full = st.read("r_layout", snapshot_id="published").toPandas()
+    strad = full[
+        (full["first_bin"] // 2) != (full["last_bin"] // 2)
+    ]
+    assert len(strad) > 0  # varlen corpus must produce boundary-crossers
+    r = strad.iloc[0]
+    got = read_token_window(
+        st, "r_layout", int(r["shard"]), int(r["last_bin"]), int(r["last_bin"])
+    ).toPandas()
+    assert int(r["doc_id"]) in set(got["doc_id"])
