@@ -589,8 +589,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lengths — any slice/clamp boundary error shifts the sums, so the
     # chunk relation is hash-checked at the aggregate grain here and
     # at the per-chunk grain in tests/test_curation.py
+    # ... plus the record-shard export accounting (operators/export.py,
+    # the WebDataset-style loader hand-off): kind='export' rows carry
+    # n_docs:=record count, sum_words:=total wire bytes of the packed
+    # shard (16-byte header + utf8 key/meta + payload, the exact blob
+    # length pytest pins byte-for-byte), sum_chars:=payload bytes —
+    # so the export format's byte layout is driver-hash-checked even
+    # though the blob itself is not SQL-expressible
     def q22(spark, sf):
         from ariadne_spark.operators.curation import chunk_docs
+        from ariadne_spark.operators.export import shard_bytes_col
 
         d = _t(spark, sf, "documents")
         words = (
@@ -622,7 +630,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select(F.lit("chunks").alias("kind"), "*")
         )
-        return stats.unionByName(chunks)
+        export = (
+            d.select(
+                "lang",
+                F.col("doc_id").cast("string").alias("key"),
+                F.col("lang").alias("meta"),
+                F.encode(F.col("text"), "UTF-8").alias("payload"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(shard_bytes_col()).alias("sum_words"),
+                F.sum(F.octet_length("payload").cast("long")).alias("sum_chars"),
+            )
+            .select(F.lit("export").alias("kind"), "*")
+        )
+        return stats.unionByName(chunks).unionByName(export)
 
     Q["q22_token_stats"] = q22
 
@@ -2145,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ariadne_spark.operators import curation, pii, retrieval
+    from ariadne_spark.operators import export as _export
 
     geo = _DOCS_GEO_SQL
     cell8 = cells.sql_pack_cell(8, cells.sql_cell_x("lon_u", 8), cells.sql_cell_y("lat_u", 8))
@@ -2581,6 +2605,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS sum_words,
                    CAST(sum(length(chunk_text)) AS BIGINT) AS sum_chars
             FROM ({curation.chunk_docs_sql(64, 48)}) GROUP BY lang
+            UNION ALL
+            SELECT 'export' AS kind, lang, count(*) AS n_docs,
+                   CAST(sum({_export.shard_bytes_sql(
+                       "CAST(doc_id AS VARCHAR)", "lang", "encode(text)"
+                   )}) AS BIGINT) AS sum_words,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
         """,
         "q23_quality_score": f"""
             WITH base AS (
