@@ -1632,7 +1632,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang").alias("key"),
             F.col("rnk").alias("bucket"),
         )
-        return strat.unionByName(temp_rows).unionByName(shuf).unionByName(mix)
+        # fifth policy: deterministic train/val/test split — the
+        # standard hash-threshold assignment (90/5/5) on a salted mix
+        # of doc_id, so membership is a pure function of the row (no
+        # RNG, no partition dependence) and REBALANCING-STABLE: adding
+        # or removing other docs never moves an existing doc's split.
+        # key = split name, bucket = the hash cell the threshold read
+        from ariadne_spark.functions.sketch import mix_col
+
+        cell = mix_col(F.col("doc_id") + F.lit(777)) % F.lit(100)
+        split = d.select(
+            F.lit("split").alias("policy"),
+            "doc_id",
+            F.when(cell < 90, F.lit("train"))
+            .when(cell < 95, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("key"),
+            cell.alias("bucket"),
+        )
+        return (
+            strat.unionByName(temp_rows)
+            .unionByName(shuf)
+            .unionByName(mix)
+            .unionByName(split)
+        )
 
     Q["q42_sampling_policies"] = q42
 
@@ -2169,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from ariadne_spark.operators import curation, pii, retrieval
     from ariadne_spark.operators import export as _export
+    from ariadne_spark.functions.sketch import mix_sql as _mix_sql
 
     geo = _DOCS_GEO_SQL
     cell8 = cells.sql_pack_cell(8, cells.sql_cell_x("lon_u", 8), cells.sql_cell_y("lat_u", 8))
@@ -2434,6 +2458,13 @@ def oracle_sql() -> dict[str, str]:
                 "fpv, doc_id",
                 ["doc_id", "lang"],
             )})
+            UNION ALL
+            SELECT 'split', doc_id,
+                   CASE WHEN ({_mix_sql("doc_id + 777")}) % 100 < 90 THEN 'train'
+                        WHEN ({_mix_sql("doc_id + 777")}) % 100 < 95 THEN 'val'
+                        ELSE 'test' END,
+                   ({_mix_sql("doc_id + 777")}) % 100
+            FROM documents
         """,
         "q43_sketch_suite": f"""
             WITH est AS ({sketch}),

@@ -122,3 +122,37 @@ def test_null_and_empty_payloads(spark):
     assert list(back["key"]) == ["a", "b", "c"]
     assert [bytes(p) for p in back["payload"]] == [b"", b"", b"\x00\xff"]
     assert list(back["meta"]) == ["", "", "m"]
+
+
+def test_image_shard_roundtrip_preserves_payloads(spark, tmp_path):
+    """The loader hand-off on REAL image payloads: export the synth
+    image table into record shards, read it back, and re-derive the
+    perceptual hash from the roundtripped bytes — any corruption of the
+    binary payload (truncation, encoding, offset slip) flips phash."""
+    from ariadne_spark.functions.phash import phash_udf
+    from ariadne_spark.synth.images import write_images, IMAGES_SCHEMA
+
+    p = str(tmp_path / "img.parquet")
+    write_images(p, 96)
+    imgs = spark.read.schema(IMAGES_SCHEMA).parquet(p)
+    recs = imgs.select(
+        (F.crc32(F.col("image_id")) % 4).alias("shard"),
+        F.col("image_id").alias("key"),
+        F.col("bytes").alias("payload"),
+        F.concat_ws("|", "fmt", "caption").alias("meta"),
+    ).withColumn("pos", F.xxhash64("key"))
+    shards = export_record_shards(
+        recs.select("shard", "pos", "key", "payload", "meta"), meta_col="meta"
+    )
+    back = read_record_shards(shards)
+    rejoined = back.select(
+        "key",
+        F.split("meta", "\\|").getItem(0).alias("fmt"),
+        "payload",
+    ).withColumn("rehash", phash_udf("payload", "fmt"))
+    chk = rejoined.join(
+        imgs.select(F.col("image_id").alias("key"), "phash"), "key"
+    )
+    n_total = chk.count()
+    n_bad = chk.where(F.col("rehash") != F.col("phash")).count()
+    assert n_total == 96 and n_bad == 0
