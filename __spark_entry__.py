@@ -1023,7 +1023,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dot_q",
             "aligned",
         )
-        return nd.unionByName(al)
+        # third block: the feature-hashing featurizer (operators/
+        # features.py — text -> integer vectors with no trained model,
+        # the self-contained feed for SemDeDup/IVF/cosine). Corpus-
+        # grain per-bucket accounting: a=bucket, b=token count,
+        # dot_q=signed sum, aligned = sum >= 0 — any drift in the
+        # tokenizer, rolling fp, mix, bucket map, or sign rule moves
+        # these rows, so the featurizer is driver-hash-checked.
+        from ariadne_spark.operators.features import bucket_sums
+
+        hf = bucket_sums(_t(spark, sf, "documents"), dim=32).select(
+            F.lit("hashfeat").alias("kind"),
+            F.col("bucket").cast("long").alias("a"),
+            F.col("n_tokens").alias("b"),
+            F.col("sum_sign").alias("dot_q"),
+            (F.col("sum_sign") >= 0).alias("aligned"),
+        )
+        return nd.unionByName(al).unionByName(hf)
 
     Q["q38_embedding_neardup"] = q38
 
@@ -2192,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from ariadne_spark.operators import curation, pii, retrieval
     from ariadne_spark.operators import export as _export
+    from ariadne_spark.operators import features as _features
     from ariadne_spark.functions.sketch import mix_sql as _mix_sql
 
     geo = _DOCS_GEO_SQL
@@ -2801,6 +2818,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'align' AS kind, a, b, dot AS dot_q,
                    {curation.alignment_gate_sql('dot', 'na', 'nb', 200)} AS aligned
             FROM pairs
+            UNION ALL
+            SELECT 'hashfeat' AS kind, bucket AS a, n_tokens AS b,
+                   sum_sign AS dot_q, sum_sign >= 0 AS aligned
+            FROM ({_features.bucket_sums_sql(dim=32)})
         """,
         "q33_rollup_grouping": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
