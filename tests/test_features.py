@@ -121,3 +121,40 @@ def test_vectors_feed_exact_cosine(spark):
     c = rows[1]
     dc = int(a @ c)
     assert dc * dc < int(a @ a) * int(c @ c)  # distinct docs: cos < 1
+
+
+def test_text_to_semdedup_end_to_end(spark):
+    """The self-contained curation path: raw text -> hash_features ->
+    unit-normalize -> SemDeDup, no precomputed embeddings anywhere.
+    Planted exact duplicates must land in one dup cluster with exactly
+    one keeper; the distinct filler docs must all survive."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.semdedup import semdedup
+
+    texts = [
+        " ".join(f"tok{i}x{j}" for j in range(8)) for i in range(20)
+    ]  # fully disjoint vocabularies per filler doc
+    texts += ["the planted duplicate body text"] * 3  # ids 20,21,22
+    docs = _docs(spark, texts)
+    vecs = hash_features(docs, dim=64)
+    norm = F.sqrt(
+        F.aggregate(
+            "vec", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    emb = (
+        vecs.where(norm > 0)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform("vec", lambda x: x.cast("double") / norm).alias("embedding"),
+        )
+    )
+    out = {r["vec_id"]: (r["dup_cluster_id"], r["keep"]) for r in
+           semdedup(emb, threshold_q=990_000, n_centroids=4).collect()}
+    assert len(out) == 23
+    # planted dups: one component rooted at min id 20, single keeper
+    assert out[20] == (20, 1) and out[21] == (20, 0) and out[22] == (20, 0)
+    # every distinct filler doc is its own kept singleton
+    for i in range(20):
+        assert out[i] == (i, 1), i

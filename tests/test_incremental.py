@@ -850,3 +850,32 @@ def test_merge_rows_equals_cold_rebuild_fingerprints(spark, tmp_path_factory):
     assert sorted(mf) == sorted(cf)
     for k in mf:
         assert mf[k]["fingerprint"] == cf[k]["fingerprint"], k
+
+
+def test_partition_evolution_across_snapshots(spark, tmp_path):
+    """Iceberg partition-spec evolution analog: a re-snapshot may
+    partition by a DIFFERENT key; each snapshot's reads serve its own
+    layout, time travel crosses layouts, and diff stays metadata-only
+    across the spec change."""
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], i % 5, f"t{i}") for i in range(60)],
+        "doc_id long, lang string, bucket long, text string",
+    )
+    sid0 = st.write_table(df, "t", key="lang")
+    sid1 = st.write_table(df, "t", key="bucket")
+    m0, m1 = st.manifest("t", sid0), st.manifest("t", sid1)
+    assert m0.key == "lang" and set(m0.partitions) == {"en", "de", "fr"}
+    assert m1.key == "bucket" and set(m1.partitions) == {str(i) for i in range(5)}
+    # both layouts serve identical rowsets
+    exp = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    for sid in (sid0, sid1):
+        got = sorted(
+            (r["doc_id"], r["text"]) for r in st.read("t", snapshot_id=sid).collect()
+        )
+        assert got == exp
+    # metadata diff across the spec change: every key of both layouts
+    changed = st.diff("t", sid0, sid1)
+    assert set(changed) == {"en", "de", "fr"} | {str(i) for i in range(5)}
