@@ -879,3 +879,62 @@ def test_partition_evolution_across_snapshots(spark, tmp_path):
     # metadata diff across the spec change: every key of both layouts
     changed = st.diff("t", sid0, sid1)
     assert set(changed) == {"en", "de", "fr"} | {str(i) for i in range(5)}
+
+
+def test_read_changes_row_level_cdc(spark, tmp_path):
+    """Incremental (CDC) read: exactly the row-grain delta between two
+    snapshots, updates as delete+insert, untouched partitions never
+    read, from_sid=None = cold full-snapshot poll."""
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    base = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"body {i}") for i in range(30)],
+        "doc_id long, lang string, text string",
+    )
+    sid0 = st.write_table(base, "t", key="lang")
+    # update doc 3 (de), insert doc 100 (de), delete doc 6 (en)
+    ups = spark.createDataFrame(
+        [(3, "de", "body 3 EDITED"), (100, "de", "fresh row")],
+        "doc_id long, lang string, text string",
+    )
+    dels = spark.createDataFrame([(6,)], "doc_id long")
+    sid1 = st.merge_rows(ups, "t", pk="doc_id", deletes=dels)
+
+    ch = st.read_changes("t", sid0, sid1)
+    got = sorted(
+        (r["change"], r["doc_id"], r["text"]) for r in ch.collect()
+    )
+    assert got == [
+        ("delete", 3, "body 3"),
+        ("delete", 6, "body 6"),
+        ("insert", 3, "body 3 EDITED"),
+        ("insert", 100, "fresh row"),
+    ]
+    # fr partition is untouched: none of its files are read
+    fr_path = st.manifest("t", sid1).partitions["fr"]["path"]
+    assert all(fr_path not in f for f in ch.inputFiles())
+    # cold poll: whole snapshot as inserts
+    cold = st.read_changes("t", None, sid1)
+    assert cold.where("change <> 'insert'").count() == 0
+    assert cold.count() == 30  # 30 base - 1 delete + 1 insert
+
+
+def test_read_changes_multiset_counts(spark, tmp_path):
+    """Duplicate-row count changes surface as exactly the count delta
+    (exceptAll multiset semantics, not set difference)."""
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    v0 = spark.createDataFrame(
+        [(1, "a", "dup"), (1, "a", "dup"), (2, "a", "solo")],
+        "doc_id long, lang string, text string",
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", "dup"), (2, "a", "solo"), (2, "a", "solo")],
+        "doc_id long, lang string, text string",
+    )
+    s0 = st.write_table(v0, "t", key="lang")
+    s1 = st.write_table(v1, "t", key="lang")
+    got = sorted((r["change"], r["doc_id"]) for r in st.read_changes("t", s0, s1).collect())
+    assert got == [("delete", 1), ("insert", 2)]
