@@ -1438,6 +1438,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+        # cross-format duplicate detection rides along: migrate every
+        # lossless image to the other container (reencode_images) and
+        # require pixel_fingerprint equality across the migration —
+        # the byte-hash-invisible duplicate class. violations = fp
+        # mismatches after a lossless re-encode (must be zero)
+        from ariadne_spark.operators.decode import (
+            pixel_fingerprint,
+            reencode_images,
+        )
+
+        lossless = images.where(F.col("fmt") != "fjpg")
+        fp_a = pixel_fingerprint(lossless).select(
+            "image_id", F.col("pixel_fp").alias("fa")
+        )
+        fp_b = pixel_fingerprint(reencode_images(lossless, "bmp")).select(
+            "image_id", F.col("pixel_fp").alias("fb")
+        )
+        pfp = (
+            fp_a.join(fp_b, "image_id")
+            .join(images.select("image_id", "fmt"), "image_id")
+            .groupBy("fmt")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("fa") != F.col("fb"), 1).otherwise(0)).alias(
+                    "n_pixel_violations"
+                ),
+            )
+            .select(
+                F.lit("pixel_fp").alias("stage"), "fmt",
+                F.col("n_rows").cast("long"),
+                F.col("n_pixel_violations").cast("long"),
+                F.lit(0).cast("long").alias("n_caption_violations"),
+                F.lit(0).cast("long").alias("n_phash_violations"),
+                F.lit(None).cast("double").alias("min_psnr"),
+            )
+        )
+
         out = (
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
@@ -1446,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(pat)
             .unionByName(bat)
             .unionByName(ag)
+            .unionByName(pfp)
         )
         bad = out.where(
             (F.col("n_pixel_violations") > 0)

@@ -357,3 +357,85 @@ def augment_images(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, AUGMENT_SCHEMA
     )
+
+
+PIXEL_FP_SCHEMA = "image_id string, pixel_fp long, w int, h int"
+
+
+def pixel_fingerprint(images: DataFrame) -> DataFrame:
+    """Content-addressed fingerprint of the DECODED pixel buffer (shape
+    + crc32 of the raw RGB bytes, folded into one int64): two byte
+    streams that decode to identical pixels — the same image re-encoded
+    in another lossless container, a BMP vs PNG pair, a metadata-only
+    rewrite — share a pixel_fp even though their byte md5 differs, so a
+    groupBy(pixel_fp) catches the cross-format duplicates the byte-hash
+    dedup stage structurally cannot (the format-shifted re-upload, the
+    standard CommonCrawl image-dedup gap). Lossy re-encodes are NOT
+    matched by design (their pixels genuinely differ; that tier belongs
+    to phash near-dup).
+
+    One Arrow-batched decode pass, zero shuffles; the fingerprint is a
+    pure function of the pixels, so it is deterministic across runs,
+    partitionings, and cluster sizes.
+
+    Reference analog: ariadne keys re-index skips on a content hash of
+    the parsed file, not its mtime/bytes
+    (`packages/core/src/persistence/file_system_storage.ts:60-100`).
+    """
+    import zlib
+
+    def fp(iterator):
+        for pdf in iterator:
+            ids, fps, ws, hs = [], [], [], []
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                h, w = px.shape[0], px.shape[1]
+                crc = zlib.crc32(np.ascontiguousarray(px, dtype=np.uint8).tobytes())
+                ids.append(img_id)
+                # shape (folded to 31 bits) in the high bits, crc in
+                # the low 32: stays < 2^63 for any w/h
+                fps.append((((w * 131071 + h) & 0x7FFFFFFF) << 32) | crc)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"image_id": ids, "pixel_fp": fps, "w": ws, "h": hs}
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(fp, PIXEL_FP_SCHEMA)
+
+
+REENCODE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def reencode_images(images: DataFrame, to_fmt: str) -> DataFrame:
+    """Format migration: decode each payload and re-encode it into
+    `to_fmt` (registry-dispatched, so registered custom codecs work).
+    One Arrow-batched pass, zero shuffles. Pixels are preserved exactly
+    for lossless targets — `pixel_fingerprint` equality across the
+    migration is the driver-checked invariant (x06 stage='pixel_fp') —
+    while byte-level hashes change, which is precisely the duplicate
+    class the pixel fingerprint exists to catch."""
+    from ..functions.codecs import encode_image
+
+    def re_enc(iterator):
+        for pdf in iterator:
+            ids, blobs, ws, hs = [], [], [], []
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                ids.append(img_id)
+                blobs.append(encode_image(px, to_fmt))
+                ws.append(px.shape[1])
+                hs.append(px.shape[0])
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": blobs,
+                    "w": ws,
+                    "h": hs,
+                    "fmt": to_fmt,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        re_enc, REENCODE_SCHEMA
+    )

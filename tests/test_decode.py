@@ -281,3 +281,55 @@ def test_augment_parallelism_invariance(spark, images_df):
         for r in augment_images(sample.repartition(7)).collect()
     )
     assert again == base
+
+
+# ------------------------------------------------------ pixel_fingerprint
+
+def test_pixel_fingerprint_catches_cross_format_dups(spark, tmp_path):
+    """The format-shifted re-upload: identical pixels in PNG and BMP
+    containers share a pixel_fp while their byte md5s differ; distinct
+    images get distinct fps; lossy re-encodes intentionally differ."""
+    import hashlib
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions.codecs import decode_image, encode_image
+    from ariadne_spark.operators.decode import pixel_fingerprint
+    from ariadne_spark.synth.images import write_images
+
+    p = str(tmp_path / "img.parquet")
+    write_images(p, 24)
+    src = spark.read.parquet(p).where(F.col("fmt") != "fjpg").limit(8).collect()
+    assert len(src) == 8
+    rows = []
+    for r in src:
+        px = decode_image(bytes(r["bytes"]), r["fmt"])
+        rows.append((r["image_id"] + "_png", encode_image(px, "png"), "png"))
+        rows.append((r["image_id"] + "_bmp", encode_image(px, "bmp"), "bmp"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    fps = {x["image_id"]: (x["pixel_fp"], x["w"], x["h"])
+           for x in pixel_fingerprint(df).collect()}
+    assert len(fps) == 16
+    for r in src:
+        a = fps[r["image_id"] + "_png"]
+        b = fps[r["image_id"] + "_bmp"]
+        assert a == b, r["image_id"]  # same pixels => same fp
+    # byte hashes differ across containers (what md5 dedup would miss)
+    md5s = {x[0]: hashlib.md5(bytes(x[1])).hexdigest() for x in rows}
+    for r in src:
+        assert md5s[r["image_id"] + "_png"] != md5s[r["image_id"] + "_bmp"]
+    # distinct images => distinct fps (8 distinct groups)
+    assert len({v for v in fps.values()}) == 8
+
+
+def test_pixel_fingerprint_parallelism_invariant(spark, tmp_path):
+    from ariadne_spark.operators.decode import pixel_fingerprint
+    from ariadne_spark.synth.images import write_images
+
+    p = str(tmp_path / "img.parquet")
+    write_images(p, 40)
+    imgs = spark.read.parquet(p)
+    a = {r["image_id"]: r["pixel_fp"] for r in pixel_fingerprint(imgs).collect()}
+    b = {r["image_id"]: r["pixel_fp"]
+         for r in pixel_fingerprint(imgs.repartition(9)).collect()}
+    assert a == b and len(a) == 40
