@@ -81,11 +81,29 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    sample_permille: int = 1000,
 ) -> list[tuple[str, str]]:
     """Learn up to `n_merges` BPE merges from the corpus. Stops early
     when the best remaining pair's weighted count drops below
     `min_pair_count` (Sennrich's frequency floor). Returns the merge
-    list in creation order — rank i = merges[i]."""
+    list in creation order — rank i = merges[i].
+
+    `sample_permille < 1000` trains on a deterministic hash-threshold
+    document sample (the same salted-mix law as the q42 split policy —
+    RNG-free, partition-independent, rebalancing-stable), which is the
+    standard production answer at 10^8+ distinct words: token
+    statistics of a uniform sample converge fast, the per-iteration
+    base shrinks proportionally, and the sampled run is exactly
+    reproducible on any cluster. Encoding (`bpe_encode`) is always
+    full-corpus."""
+    from ..functions.sketch import mix_col
+
+    if sample_permille < 1000:
+        docs = docs.where(
+            mix_col(F.xxhash64(F.col(text_col)).bitwiseAND(F.lit((1 << 31) - 1)))
+            % F.lit(1000)
+            < F.lit(sample_permille)
+        )
     words = word_freq_table(docs, text_col).withColumn(
         "syms", F.filter(F.split("word", ""), lambda x: x != "")
     )

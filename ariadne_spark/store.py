@@ -556,15 +556,28 @@ class SnapshotStore:
                 return m.snapshot_id
         raise CommitConflict(f"rollback of {table} lost {COMMIT_RETRIES} commit races")
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, table: str, keep_last: int = 1, orphan_ttl_s: float = 3600.0
+    ) -> list[str]:
         """Drop all but the newest `keep_last` committed snapshots
         (HEAD is always kept) and delete version dirs no kept manifest
         references — the Iceberg `expire_snapshots` + orphan-file
         cleanup analog. Returns the removed version dirs. Bounds
         storage growth: without it every overwrite accrues data
         forever. Time travel to an expired snapshot then fails, like
-        Iceberg."""
+        Iceberg.
+
+        Dirs referenced only by EXPIRED manifests were committed once,
+        so no writer can still be producing into them — they delete
+        immediately. A dir referenced by NO manifest at all is either
+        a crashed write's leftover or a CONCURRENT WRITER's not-yet-
+        committed output; Iceberg's remove_orphan_files guards exactly
+        this race with an age threshold, and so does `orphan_ttl_s`:
+        true orphans younger than the TTL survive this pass (the
+        in-flight writer commits or the next, later pass reclaims
+        them)."""
         import shutil
+        import time
 
         head = self.current_snapshot_id(table)
         assert head is not None, f"table {table} has no snapshot"
@@ -579,18 +592,35 @@ class SnapshotStore:
             | set(self.branches(table).values())
         )
         referenced = set()
-        for s in keep:
+        ever_referenced = set()
+        for s in sids:
             m = self.manifest(table, s)
-            for p in m.partitions.values():
-                referenced.add(os.path.dirname(self._abs_path(p["path"])))
+            dirs = {
+                os.path.dirname(self._abs_path(p["path"]))
+                for p in m.partitions.values()
+            }
+            ever_referenced |= dirs
+            if s in keep:
+                referenced |= dirs
         removed = []
+        now = time.time()
         data_dir = f"{self.root}/data/{table}"
         if os.path.isdir(data_dir):
             for entry in sorted(os.listdir(data_dir)):
                 vdir = f"{data_dir}/{entry}"
-                if vdir not in referenced:
-                    shutil.rmtree(vdir)
-                    removed.append(vdir)
+                if vdir in referenced:
+                    continue
+                if vdir not in ever_referenced:
+                    # never committed: possible in-flight writer — only
+                    # reclaim past the orphan TTL
+                    try:
+                        age = now - os.path.getmtime(vdir)
+                    except OSError:
+                        continue  # vanished underneath us (writer cleanup)
+                    if age < orphan_ttl_s:
+                        continue
+                shutil.rmtree(vdir)
+                removed.append(vdir)
         for s in sids:
             if s not in keep:
                 os.remove(self._manifest_path(table, s))

@@ -163,3 +163,15 @@ def test_encode_oov_composes_from_learned_units(spark):
     toks = list(row["tokens"])
     assert "".join(toks) == "lowestest"  # lossless
     assert len(toks) < len("lowestest")  # learned units actually apply
+
+
+def test_sampled_training_deterministic_and_nonempty(spark):
+    """sample_permille trains on the hash-threshold doc subset: full
+    rate == default; a real subsample still learns merges and is
+    bit-identical across parallelism levels."""
+    docs = _docs(spark, CORPUS * 4)  # 20 docs
+    full = train_bpe(docs, 6)
+    assert train_bpe(docs, 6, sample_permille=1000) == full
+    a = train_bpe(docs, 6, sample_permille=500)
+    b = train_bpe(docs.repartition(7), 6, sample_permille=500)
+    assert a == b and len(a) > 0

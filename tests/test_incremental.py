@@ -938,3 +938,33 @@ def test_read_changes_multiset_counts(spark, tmp_path):
     s1 = st.write_table(v1, "t", key="lang")
     got = sorted((r["change"], r["doc_id"]) for r in st.read_changes("t", s0, s1).collect())
     assert got == [("delete", 1), ("insert", 2)]
+
+
+def test_expire_orphan_ttl_protects_inflight_writers(spark, tmp_path):
+    """A data dir no manifest has EVER referenced may belong to a
+    concurrent writer that has not committed yet: expire keeps it
+    until orphan_ttl_s, then reclaims it (Iceberg remove_orphan_files
+    age-threshold semantics). Expired-manifest dirs delete at once."""
+    import os
+    import time
+
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    st.write_table(df, "t", key="k")
+    st.write_table(df, "t", key="k")  # snapshot 1; snapshot 0 expirable
+    # simulate an in-flight writer: fresh never-referenced version dir
+    orphan = str(tmp_path / "s" / "data" / "t" / "v9-deadbeef")
+    os.makedirs(orphan)
+    with open(orphan + "/part-0.parquet", "w") as fh:
+        fh.write("x")
+    removed = st.expire_snapshots("t", keep_last=1, orphan_ttl_s=3600)
+    assert os.path.isdir(orphan), "fresh orphan must survive the TTL"
+    assert len(removed) == 1  # snapshot 0's dir went immediately
+    # age the orphan past the TTL: the next pass reclaims it
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = st.expire_snapshots("t", keep_last=1, orphan_ttl_s=3600)
+    assert removed == [orphan]
+    assert not os.path.isdir(orphan)
