@@ -682,7 +682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clf = quality_classifier(
             d, seed_pred=score >= 70, min_df=2, threshold_milli=8000
         )
-        return base.join(clf, "doc_id")
+        # LM-surprisal columns ride along (curation.surprisal_score,
+        # the CCNet perplexity-filter analog with an integer-exact
+        # floor-log2): the unigram model, the bits() law, and the
+        # permille floor are all hash-checked per doc
+        from ariadne_spark.operators.curation import surprisal_score
+
+        sp = surprisal_score(d).select(
+            "doc_id", F.col("surprisal_permille").alias("surp_permille")
+        )
+        return base.join(clf, "doc_id").join(sp, "doc_id")
 
     Q["q23_quality_score"] = q23
 
@@ -2720,9 +2729,12 @@ def oracle_sql() -> dict[str, str]:
                 " + CASE WHEN n_chars >= 200 THEN 30 ELSE 0 END) >= 70",
                 min_df=2,
                 threshold_milli=8000,
-            )})
-            SELECT base.doc_id, words, the_count, quality, clf_milli, clf_keep
+            )}),
+            sp AS ({curation.surprisal_score_sql()})
+            SELECT base.doc_id, words, the_count, quality, clf_milli, clf_keep,
+                   sp.surprisal_permille AS surp_permille
             FROM base JOIN clf ON base.doc_id = clf.doc_id
+            JOIN sp ON base.doc_id = sp.doc_id
         """,
         "q24_langid_heuristic": """
             WITH p AS (

@@ -1833,3 +1833,101 @@ def read_token_window(
         where={"first_bin": (None, last_bin), "last_bin": (first_bin, None)},
     )
     return df.where(F.col("shard") == F.lit(shard))
+
+
+def surprisal_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LM-surprisal quality scoring — the CCNet/Wikipedia-LM
+    perplexity-filter analog (Wenzek et al. 2020, arXiv:1911.00359)
+    with the LM reduced to the corpus's own unigram model and the log
+    made integer-exact: bits(x) = length of x's binary representation
+    (= floor(log2 x) + 1, computed as string length so Spark's
+    conv(x,10,2) and DuckDB's printf('%b',x) agree bit-for-bit; no
+    float log anywhere). Token surprisal = bits(N_total) - bits(freq),
+    doc score = floor(1000 * sum(surprisal) / n_tokens):
+
+      LOW  permille -> tokens are corpus-common (boilerplate, spam
+                       repeats — what perplexity filters drop);
+      HIGH permille -> rare-token-dense (jargon/noise tail).
+
+    Rank-preserving vs true mean log-likelihood within ~1 bit/token;
+    thresholds are calibrated on the score itself, so exactness of the
+    SURROGATE (which IS exact, cross-engine) is what matters for
+    reproducible curation decisions.
+
+    SCALE: one token explode -> one (token) hash agg for the unigram
+    table -> one token-keyed equi-join back -> one per-doc agg. All
+    linear with map-side partial aggregation; the 1-row corpus total
+    broadcasts. Empty docs keep (0, 0) via the left join.
+
+    Reference analog: the capture-frequency ranking ariadne uses to
+    separate boilerplate identifiers from meaningful symbols
+    (`packages/core/src/index_single_file/index_single_file.ts:98-120`).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    total = freq.agg(F.sum("freq").cast("long").alias("n_total"))
+    bits = lambda c: F.length(F.conv(c, 10, 2)).cast("long")  # noqa: E731
+    surp = freq.crossJoin(F.broadcast(total)).select(
+        "token", (bits(F.col("n_total")) - bits(F.col("freq"))).alias("surp")
+    )
+    # permille = floor(1000 * sum / n); n >= 1 on every joined row
+    per_doc = (
+        toks.join(surp, "token")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("surp").cast("long").alias("__s"),
+        )
+        .select(
+            "__id",
+            "n_tokens",
+            ((F.col("__s") * 1000 - (F.col("__s") * 1000) % F.col("n_tokens"))
+             / F.col("n_tokens")).cast("long").alias("surprisal_permille"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal_permille", F.lit(0)).cast("long").alias(
+                "surprisal_permille"
+            ),
+        )
+    )
+
+
+def surprisal_score_sql(table: str = "documents") -> str:
+    """DuckDB twin of `surprisal_score` (same bits() law, same floor)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS __id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS token
+          FROM {table}),
+        freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+                 FROM toks GROUP BY token),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq),
+        surp AS (
+          SELECT token,
+                 CAST(length(printf('%b', n_total))
+                      - length(printf('%b', freq)) AS BIGINT) AS surp
+          FROM freq, tot),
+        per AS (
+          SELECT __id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(surp) AS BIGINT) AS s
+          FROM toks JOIN surp USING (token) GROUP BY __id)
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE((per.s * 1000) // per.n_tokens, 0) AS BIGINT)
+                 AS surprisal_permille
+        FROM {table} d LEFT JOIN per ON d.doc_id = per.__id
+    """

@@ -1141,3 +1141,79 @@ def test_read_token_window_finds_chunk_straddler(spark, tmp_path):
         st, "r_layout", int(r["shard"]), int(r["last_bin"]), int(r["last_bin"])
     ).toPandas()
     assert int(r["doc_id"]) in set(got["doc_id"])
+
+
+# ------------------------------------------------------- surprisal_score
+
+def _surp_py(texts):
+    import collections
+
+    toks_per = [[w for w in t.split(" ") if w] for t in texts]
+    freq = collections.Counter(w for ts in toks_per for w in ts)
+    n_total = sum(freq.values())
+    bits = lambda x: x.bit_length()  # noqa: E731
+    out = []
+    for ts in toks_per:
+        if not ts:
+            out.append((0, 0))
+            continue
+        s = sum(bits(n_total) - bits(freq[w]) for w in ts)
+        out.append((len(ts), (s * 1000) // len(ts)))
+    return out
+
+
+def test_surprisal_three_way(spark):
+    import duckdb
+
+    from ariadne_spark.operators.curation import (
+        surprisal_score,
+        surprisal_score_sql,
+    )
+
+    texts = [
+        "the the the the the",                  # all-common -> low score
+        "xylophone quark zeugma obelisk",       # all-rare -> high score
+        "the quark the quark",                  # mixed
+        "",                                     # empty -> (0, 0)
+        "the",                                  # single common token
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exp = _surp_py(texts)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_permille"])
+        for r in surprisal_score(docs).collect()
+    }
+    for i in range(len(texts)):
+        assert got[i] == exp[i], (i, texts[i])
+    # the ordering property perplexity filters rely on
+    assert got[1][1] > got[2][1] > got[0][1]
+    # DuckDB twin
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS v(doc_id, text)"
+    )
+    o = con.execute(surprisal_score_sql()).df()
+    duck = {
+        int(r["doc_id"]): (int(r["n_tokens"]), int(r["surprisal_permille"]))
+        for _, r in o.iterrows()
+    }
+    assert duck == got
+
+
+def test_surprisal_parallelism_invariant(spark):
+    from ariadne_spark.operators.curation import surprisal_score
+
+    texts = [f"w{i % 7} w{i % 3} common common" for i in range(60)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["surprisal_permille"] for r in surprisal_score(docs).collect()}
+    b = {
+        r["doc_id"]: r["surprisal_permille"]
+        for r in surprisal_score(docs.repartition(13)).collect()
+    }
+    assert a == b and len(a) == 60
