@@ -304,3 +304,51 @@ def test_bm25_plan_broadcasts_query_side_no_cartesian(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     read_schema = p.split("ReadSchema:")[1].split("\n")[0]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_bucket_sums_plan_no_python_two_exchanges(spark):
+    """Feature hashing's corpus accounting (q38 'hashfeat'): pure
+    column math — no python eval — and exactly the token-hash-agg
+    Exchange (+ the AQE final agg read); documents scan prunes to the
+    text column."""
+    from ariadne_spark.operators.features import bucket_sums
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(bucket_sums(docs, dim=32))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges <= 2, p
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_surprisal_plan_broadcast_total_no_python(spark):
+    """Surprisal scoring: the 1-row corpus total broadcasts (never a
+    shuffled join), the unigram join is an equi-join, and nothing
+    drops to python."""
+    from ariadne_spark.operators.curation import surprisal_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(surprisal_score(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total
+    assert "CartesianProduct" not in p
+
+
+def test_export_accounting_plan_no_python(spark):
+    """q22's export-byte accounting is pure column arithmetic over one
+    pruned scan — the blob path (applyInPandas) is NOT in this plan."""
+    from ariadne_spark.operators.export import shard_bytes_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    recs = docs.select(
+        "lang",
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("lang").alias("meta"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    agg = recs.groupBy("lang").agg(F.sum(shard_bytes_col()).alias("b"))
+    p = plan(agg)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    n_exchanges = p.count("+- Exchange") + p.count("   Exchange")
+    assert n_exchanges <= 2, p
