@@ -69,6 +69,101 @@ def reach_counts(edges: DataFrame, roots: DataFrame, max_depth: int = 10) -> Dat
     )
 
 
+PR_UNIT = 10**12  # pico-probability: every rank is an integer share of this
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 10,
+    damping_micro: int = 850_000,
+    src_col: str = "src_image_id",
+    dst_col: str = "dst_image_id",
+) -> DataFrame:
+    """Integer PageRank over the src->dst edge set: (node, rank_pp)
+    with rank_pp the node's stationary-probability share in picos
+    (sums to ~PR_UNIT, short only by floor dust). The centrality
+    complement of the graph family (reach_counts BFS, dup_clusters
+    components, J12 dependents) — "which images anchor the near-dup
+    graph", the signal canonical selection and curation triage rank by.
+
+    ALL arithmetic is floor-integer with a fixed law (shared verbatim
+    with the python oracle in tests):
+
+      out     = (p * damping_micro) // 10^6
+      share   = out // outdeg          (per out-edge)
+      dangling nodes pool their `out` and split it // N
+      base    = (PR_UNIT * (10^6 - damping_micro)) // 10^6 // N
+      p'      = base + dangling_share + sum(incoming shares)
+
+    so ranks are bit-identical across runs, partitionings, and cluster
+    sizes (integer sums are order-independent; no float ever appears).
+
+    SCALE: per iteration one equi-join p⋈edges on src + one hash agg
+    on dst + one anti-join for the dangling pool — all linear in |E|
+    with map-side partial aggregation; the only driver values are two
+    scalars (N once, the dangling total per iteration). localCheckpoint
+    per iteration truncates the plan exactly like reach_counts.
+
+    Reference analog: ariadne's most-referenced-symbol ranking over the
+    call graph (`mcp/src/tools/core/list_entrypoints.ts:51-87` sizes
+    trees; centrality is the stationary version of that count).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    assert n > 0, "pagerank needs at least one edge"
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (PR_UNIT * (10**6 - damping_micro)) // 10**6 // n
+    p = nodes.select("node", F.lit(PR_UNIT // n).cast("long").alias("p"))
+    p = p.localCheckpoint()
+    for _ in range(n_iters):
+        out = p.select(
+            "node",
+            ((F.col("p") * F.lit(damping_micro) - (F.col("p") * F.lit(damping_micro)) % F.lit(10**6)) / F.lit(10**6)).cast("long").alias("out"),
+        )
+        withdeg = out.join(outdeg, out["node"] == outdeg["src"], "left").select(
+            out["node"], "out", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+        )
+        dangling = (
+            withdeg.where(F.col("outdeg") == 0)
+            .agg(F.sum("out"))
+            .collect()[0][0]
+            or 0
+        )
+        dshare = int(dangling) // n
+        share = (
+            withdeg.where(F.col("outdeg") > 0)
+            .select(
+                "node",
+                ((F.col("out") - F.col("out") % F.col("outdeg")) / F.col("outdeg")).cast("long").alias("share"),
+            )
+        )
+        inflow = (
+            e.join(share, e["src"] == share["node"])
+            .groupBy("dst")
+            .agg(F.sum("share").cast("long").alias("inflow"))
+        )
+        p = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base + dshare) + F.coalesce("inflow", F.lit(0))
+                ).cast("long").alias("p"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return p.select("node", F.col("p").alias("rank_pp"))
+
+
 def list_orphans(
     images: DataFrame,
     edges: DataFrame,

@@ -240,3 +240,63 @@ def test_format_neighborhood_end_to_end(spark, images_df, edges):
     assert text.splitlines()[0] == focus
     for r in nb.collect():
         assert r["image_id"] in text
+
+
+# --------------------------------------------------------------- pagerank
+
+def _pr_py(edge_list, n_iters=10, damping_micro=850_000):
+    UNIT = 10**12
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in edge_list:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = (UNIT * (10**6 - damping_micro)) // 10**6 // n
+    p = {v: UNIT // n for v in nodes}
+    for _ in range(n_iters):
+        out = {v: (p[v] * damping_micro) // 10**6 for v in nodes}
+        dangling = sum(out[v] for v in nodes if outdeg.get(v, 0) == 0)
+        dshare = dangling // n
+        inflow = {v: 0 for v in nodes}
+        for a, b in edge_list:
+            inflow[b] += out[a] // outdeg[a]
+        p = {v: base + dshare + inflow[v] for v in nodes}
+    return p
+
+
+def test_pagerank_matches_python_oracle(spark):
+    from ariadne_spark.api import pagerank
+
+    # cycle + hub + dangling sink
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # 3-cycle
+        ("a", "hub"), ("b", "hub"), ("c", "hub"),    # everyone cites hub
+        ("hub", "sink"),                             # sink dangles
+    ]
+    edges = spark.createDataFrame(
+        edge_list, "src_image_id string, dst_image_id string"
+    )
+    exp = _pr_py(edge_list)
+    got = {r["node"]: r["rank_pp"] for r in pagerank(edges, n_iters=10).collect()}
+    assert got == exp
+    # centrality sanity: the hub outranks the cycle members
+    assert got["hub"] > got["a"]
+    # mass conservation up to floor dust
+    assert 0 < sum(got.values()) <= 10**12
+
+
+def test_pagerank_parallelism_invariant(spark):
+    from ariadne_spark.api import pagerank
+
+    edge_list = [(f"n{i}", f"n{(i * 3 + 1) % 40}") for i in range(40)]
+    edge_list += [(f"n{i}", "star") for i in range(0, 40, 4)]
+    edges = spark.createDataFrame(
+        edge_list, "src_image_id string, dst_image_id string"
+    )
+    a = {r["node"]: r["rank_pp"] for r in pagerank(edges, n_iters=6).collect()}
+    b = {
+        r["node"]: r["rank_pp"]
+        for r in pagerank(edges.repartition(9), n_iters=6).collect()
+    }
+    assert a == b
+    assert a == _pr_py(edge_list, n_iters=6)
