@@ -1,0 +1,74 @@
+"""Incremental view maintenance: the refreshed view must be
+fingerprint-IDENTICAL to a cold rebuild after any update sequence,
+groups reaching zero must vanish, untouched view partitions must not
+be rewritten, and an empty delta must be a no-op."""
+
+from ariadne_spark.operators.ivm import create_agg_view, refresh_agg_view
+from ariadne_spark.store import SnapshotStore
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, tokens long, chars long"
+    )
+
+
+def _fps(store, table):
+    m = store.manifest(table)
+    return {k: p["fingerprint"] for k, p in m.partitions.items()}
+
+
+def test_refresh_equals_cold_rebuild(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    rows = [(i, ["en", "de", "fr"][i % 3], 10 + i, 50 + 2 * i) for i in range(60)]
+    b0 = st.write_table(_base(spark, rows), "base", key="lang")
+    create_agg_view(st, "base", "v", "lang", ["tokens", "chars"])
+
+    # update 2 rows, insert 2 (one in a NEW group), delete 3
+    ups = _base(
+        spark,
+        [
+            (3, "en", 999, 1),       # en: tokens 13 -> 999, chars 56 -> 1
+            (4, "de", 0, 0),         # de: zeroed
+            (100, "zh", 7, 8),       # brand-new group
+            (101, "fr", 1, 1),
+        ],
+    )
+    dels = spark.createDataFrame([(6,), (9,), (12,)], "doc_id long")
+    b1 = st.merge_rows(ups, "base", pk="doc_id", deletes=dels)
+    refresh_agg_view(st, "base", "v", "lang", ["tokens", "chars"], from_sid=b0)
+
+    st2 = SnapshotStore(spark, str(tmp_path / "cold"))
+    st2.write_table(st.read("base", snapshot_id=b1), "base", key="lang")
+    create_agg_view(st2, "base", "v", "lang", ["tokens", "chars"])
+    assert _fps(st, "v") == _fps(st2, "v")
+    got = {r["lang"]: (r["n_rows"], r["sum_tokens"]) for r in st.read("v").collect()}
+    assert got["zh"] == (1, 7)
+
+
+def test_refresh_deletes_emptied_group_and_skips_untouched(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    rows = [(1, "en", 5, 5), (2, "en", 6, 6), (3, "zh", 7, 7), (4, "fr", 8, 8)]
+    b0 = st.write_table(_base(spark, rows), "base", key="lang")
+    create_agg_view(st, "base", "v", "lang", ["tokens", "chars"])
+    before = _fps(st, "v")
+
+    # delete zh's only row; en/fr untouched
+    dels = spark.createDataFrame([(3,)], "doc_id long")
+    st.merge_rows(_base(spark, []), "base", pk="doc_id", deletes=dels)
+    refresh_agg_view(st, "base", "v", "lang", ["tokens", "chars"], from_sid=b0)
+    after = _fps(st, "v")
+    assert "zh" not in after                       # emptied group vanished
+    assert after["en"] == before["en"]             # untouched partitions
+    assert after["fr"] == before["fr"]             # ... not rewritten
+
+
+def test_refresh_empty_delta_is_noop(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    b0 = st.write_table(
+        _base(spark, [(1, "en", 5, 5)]), "base", key="lang"
+    )
+    create_agg_view(st, "base", "v", "lang", ["tokens"])
+    sid = st.current_snapshot_id("v")
+    got = refresh_agg_view(st, "base", "v", "lang", ["tokens"], from_sid=b0)
+    assert got == sid and st.current_snapshot_id("v") == sid
