@@ -1307,6 +1307,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.when(F.col("frame_idx") % 4 != 0, 1).otherwise(0)
             ).alias("n_pixel_violations"),
         )
+        # scene-cut detection rides along: the synth moving-block
+        # corpus has motion but no shot boundaries, so any detected
+        # cut is a violation (planted-cut truth + python oracle live
+        # in tests/test_multimodal.py)
+        from ariadne_spark.operators.multimodal import detect_scenes
+
+        scn = detect_scenes(video_df(spark, 500)).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("is_cut").alias("n_pixel_violations"),
+        )
         pad = lambda df, stage, fmt: df.select(  # noqa: E731
             F.lit(stage).alias("stage"),
             F.lit(fmt).alias("fmt"),
@@ -1488,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
             .unionByName(pad(vid, "video", "fvid"))
+            .unionByName(pad(scn, "scenes", "fvid"))
             .unionByName(cur)
             .unionByName(pat)
             .unionByName(bat)

@@ -119,3 +119,81 @@ def sample_frames(video: DataFrame, every_k: int = 4) -> DataFrame:
             )
 
     return video.select("video_id", "fvid", "n_frames").mapInPandas(run, FRAME_SCHEMA)
+
+
+SCENES_SCHEMA = "video_id string, frame_idx int, diff_permille long, is_cut int"
+
+
+def detect_scenes(video: DataFrame, threshold_permille: int = 120) -> DataFrame:
+    """Shot-boundary (scene-cut) detection: for every adjacent frame
+    pair, the mean absolute pixel difference as an integer permille of
+    full-scale (1000 * SAD / (w*h*3*255)); a pair at or above
+    `threshold_permille` is a cut. Emits (video_id, frame_idx,
+    diff_permille, is_cut) for frame_idx = 1..n-1 — frame_idx marks
+    the FIRST frame of the new shot.
+
+    Pure integer arithmetic on decoded frames, so verdicts are
+    bit-identical across runs/partitionings/cluster sizes. Each frame
+    decodes exactly once per video (the previous frame is carried, not
+    re-decoded); per-video cost is linear in frame count and videos
+    parallelize independently — the same contract as `sample_frames`.
+    Threshold calibration: a content cut replaces most pixels (diff
+    >= ~200 permille on natural content); motion/noise stays far
+    below (the synth corpus's moving-block videos measure < 60).
+
+    Reference analog: ariadne's file-boundary change detection that
+    splits re-index work at content discontinuities
+    (`packages/core/src/project/incremental_update.ts`).
+    """
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for vid, blob, nf in zip(pdf["video_id"], pdf["fvid"], pdf["n_frames"]):
+                blob = bytes(blob)
+                prev = decode_fvid_frame(blob, 0).astype(np.int64)
+                denom = prev.size * 255
+                for idx in range(1, int(nf)):
+                    cur = decode_fvid_frame(blob, idx).astype(np.int64)
+                    sad = int(np.abs(cur - prev).sum())
+                    dp = (sad * 1000) // denom
+                    rows.append((vid, idx, dp, int(dp >= threshold_permille)))
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "diff_permille", "is_cut"]
+            )
+
+    return video.select("video_id", "fvid", "n_frames").mapInPandas(
+        run, SCENES_SCHEMA
+    )
+
+
+def scene_segments(video: DataFrame, threshold_permille: int = 120) -> DataFrame:
+    """Cuts -> shots: (video_id, scene_id, start_frame, end_frame,
+    n_frames) where scene_id is the running cut count. One window
+    cumulative sum per video (partition size = frame count, bounded by
+    clip length) over `detect_scenes`' rows plus the implicit frame-0
+    opener; everything after the decode pass is column math."""
+    from pyspark.sql import Window
+
+    cuts = detect_scenes(video, threshold_permille)
+    opener = video.select(
+        "video_id",
+        F.lit(0).cast("int").alias("frame_idx"),
+        F.lit(0).cast("long").alias("diff_permille"),
+        F.lit(0).cast("int").alias("is_cut"),
+    )
+    frames = opener.unionByName(cuts)
+    w = (
+        Window.partitionBy("video_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    labeled = frames.select(
+        "video_id", "frame_idx", F.sum("is_cut").over(w).alias("scene_id")
+    )
+    return labeled.groupBy("video_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+    )

@@ -94,3 +94,105 @@ def test_lineage_report(spark, tmp_path):
     assert {"pip", "knn", "tiles_fine", "tiles_coarse"} <= set(rep)
     for r in rep.values():
         assert r["n_partitions"] >= 1 and r["wall_ms_total"] > 0
+
+
+# --------------------------------------------------------- scene detection
+
+def _cut_video(spark, specs):
+    """Build videos from (video_id, [(seed, n_frames), ...]) shot specs:
+    each shot renders n identical frames of a seeded random base, so
+    every shot boundary is a full-frame change (a true cut)."""
+    import numpy as np
+
+    from ariadne_spark.functions.media import encode_fvid, fvid_meta
+
+    rows = []
+    for vid, shots in specs:
+        frames = []
+        for seed, n in shots:
+            base = np.random.default_rng(seed).integers(
+                0, 256, size=(24, 32, 3), dtype=np.uint8
+            )
+            frames.extend([base.copy() for _ in range(n)])
+        blob = encode_fvid(frames)
+        w, h, nf = fvid_meta(blob)
+        rows.append((vid, blob, w, h, nf))
+    return spark.createDataFrame(
+        rows, "video_id string, fvid binary, w int, h int, n_frames int"
+    )
+
+
+def _scene_py(specs, threshold_permille=120):
+    import numpy as np
+
+    out = {}
+    for vid, shots in specs:
+        frames = []
+        for seed, n in shots:
+            base = np.random.default_rng(seed).integers(
+                0, 256, size=(24, 32, 3), dtype=np.uint8
+            )
+            frames.extend([base] * n)
+        rows = []
+        for i in range(1, len(frames)):
+            sad = int(
+                np.abs(frames[i].astype(np.int64) - frames[i - 1].astype(np.int64)).sum()
+            )
+            dp = (sad * 1000) // (frames[i].size * 255)
+            rows.append((i, dp, int(dp >= threshold_permille)))
+        out[vid] = rows
+    return out
+
+
+SPECS = [
+    ("v_a", [(1, 3), (2, 4), (3, 2)]),   # cuts at frames 3 and 7
+    ("v_b", [(9, 5)]),                   # single shot, no cuts
+]
+
+
+def test_detect_scenes_matches_python_oracle(spark):
+    from ariadne_spark.operators.multimodal import detect_scenes
+
+    got = {}
+    for r in detect_scenes(_cut_video(spark, SPECS)).collect():
+        got.setdefault(r["video_id"], []).append(
+            (r["frame_idx"], r["diff_permille"], r["is_cut"])
+        )
+    exp = _scene_py(SPECS)
+    for vid in exp:
+        assert sorted(got[vid]) == sorted(exp[vid]), vid
+    cuts = [i for i, _, c in got["v_a"] if c]
+    assert cuts == [3, 7]
+    assert all(c == 0 for _, _, c in got["v_b"])
+
+
+def test_scene_segments_shape(spark):
+    from ariadne_spark.operators.multimodal import scene_segments
+
+    segs = {
+        (r["video_id"], r["scene_id"]): (r["start_frame"], r["end_frame"], r["n_frames"])
+        for r in scene_segments(_cut_video(spark, SPECS)).collect()
+    }
+    assert segs[("v_a", 0)] == (0, 2, 3)
+    assert segs[("v_a", 1)] == (3, 6, 4)
+    assert segs[("v_a", 2)] == (7, 8, 2)
+    assert segs[("v_b", 0)] == (0, 4, 5)
+
+
+def test_detect_scenes_synth_corpus_quiet(spark):
+    """The synth moving-block videos have motion but no cuts: every
+    adjacent-frame diff stays under the cut threshold, and results are
+    parallelism-invariant."""
+    from ariadne_spark.operators.multimodal import detect_scenes, video_df
+
+    v = video_df(spark, 40)
+    rows = detect_scenes(v).collect()
+    assert len(rows) == 40 * 7  # 8 frames -> 7 pairs each
+    assert all(r["is_cut"] == 0 for r in rows)
+    assert max(r["diff_permille"] for r in rows) < 120
+    a = sorted((r["video_id"], r["frame_idx"], r["diff_permille"]) for r in rows)
+    b = sorted(
+        (r["video_id"], r["frame_idx"], r["diff_permille"])
+        for r in detect_scenes(v.repartition(11)).collect()
+    )
+    assert a == b
