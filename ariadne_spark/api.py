@@ -124,9 +124,12 @@ def pagerank(
     p = nodes.select("node", F.lit(PR_UNIT // n).cast("long").alias("p"))
     p = p.localCheckpoint()
     for _ in range(n_iters):
+        # SQL `div` is true bigint division — exact at any magnitude
+        # (the (a - a%b)/b float trick is only exact below 2^53, which
+        # p * damping_micro exceeds for any node holding >~0.1% mass)
         out = p.select(
             "node",
-            ((F.col("p") * F.lit(damping_micro) - (F.col("p") * F.lit(damping_micro)) % F.lit(10**6)) / F.lit(10**6)).cast("long").alias("out"),
+            F.expr(f"p * {int(damping_micro)}L div 1000000L").cast("long").alias("out"),
         )
         withdeg = out.join(outdeg, out["node"] == outdeg["src"], "left").select(
             out["node"], "out", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
@@ -142,7 +145,7 @@ def pagerank(
             withdeg.where(F.col("outdeg") > 0)
             .select(
                 "node",
-                ((F.col("out") - F.col("out") % F.col("outdeg")) / F.col("outdeg")).cast("long").alias("share"),
+                F.expr("out div outdeg").cast("long").alias("share"),
             )
         )
         inflow = (

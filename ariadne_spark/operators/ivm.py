@@ -21,6 +21,17 @@ order-independent integer addition as the full recompute, so the
 refreshed view is fingerprint-IDENTICAL to a cold rebuild (the test
 gate), not merely approximately equal.
 
+Double-apply safety: the base snapshot a view reflects is RECORDED in
+the store's lineage log at create/refresh time; `refresh_agg_view`
+defaults to that recorded baseline and REJECTS an explicit `from_sid`
+that disagrees with it — re-running a refresh (or skipping one) can
+therefore never silently drift the sums.
+
+The view partitions by its group column. For high-cardinality groups,
+aggregate to a bucketed group upstream (e.g. group on a derived
+`bucket = mix(key) % n` column) — a partition per distinct group value
+is the same contract as every `write_table(key=...)` call here.
+
 Reference analog: ariadne's incremental re-index updates the derived
 symbol tables for changed files only, keyed by the same
 changed-file diff (`packages/core/src/project/incremental_update.ts`).
@@ -40,23 +51,38 @@ def _agg_exprs(sum_cols: list[str]):
     ]
 
 
+def _record_baseline(store, view: str, base_sid: int) -> None:
+    store.log_lineage(f"ivm:{view}", "baseline", int(base_sid), 0, 0.0)
+
+
+def recorded_baseline(store, view: str) -> int | None:
+    """The base snapshot id the view currently reflects (last recorded
+    create/refresh), or None if the view was never IVM-managed."""
+    sids = [
+        r["snapshot_id"]
+        for r in store.lineage()
+        if r["stage"] == f"ivm:{view}" and r["partition"] == "baseline"
+    ]
+    return int(sids[-1]) if sids else None
+
+
 def create_agg_view(
     store,
     base_table: str,
     view: str,
     group_col: str,
     sum_cols: list[str],
-    key: str | None = None,
 ) -> int:
     """Materialize the view (group_col, n_rows, sum_<c>...) from the
-    CURRENT base snapshot and record which base snapshot it reflects
-    (a tag-like advisory in the view's lineage). `key` is the view's
-    partition column (default group_col — fine for low-cardinality
-    groups like lang/shard; pass a derived bucket column name already
-    present in the aggregate for high-cardinality groups)."""
-    base = store.read(base_table)
+    CURRENT base snapshot, partitioned by group_col, and record which
+    base snapshot it reflects (the refresh baseline)."""
+    base_sid = store.current_snapshot_id(base_table)
+    assert base_sid is not None, f"{base_table} has no snapshot"
+    base = store.read(base_table, snapshot_id=base_sid)
     agg = base.groupBy(group_col).agg(*_agg_exprs(sum_cols))
-    return store.write_table(agg, view, key=key or group_col)
+    sid = store.write_table(agg, view, key=group_col)
+    _record_baseline(store, view, base_sid)
+    return sid
 
 
 def refresh_agg_view(
@@ -65,22 +91,38 @@ def refresh_agg_view(
     view: str,
     group_col: str,
     sum_cols: list[str],
-    from_sid: int,
+    from_sid: int | None = None,
     to_sid: int | None = None,
 ) -> int:
-    """Bring the view from base snapshot `from_sid` to `to_sid`
-    (default current) using ONLY the CDC delta. Returns the view's new
-    snapshot id (or its current one when the delta is empty)."""
-    delta = store.read_changes(base_table, from_sid, to_sid)
+    """Bring the view to base snapshot `to_sid` (default current)
+    using ONLY the CDC delta from the recorded baseline. An explicit
+    `from_sid` must match the recorded baseline (passing anything else
+    would double-apply or skip deltas and is rejected). Returns the
+    view's new snapshot id (its current one when the delta is empty)."""
+    baseline = recorded_baseline(store, view)
+    assert baseline is not None, (
+        f"{view} has no recorded IVM baseline (create_agg_view records it)"
+    )
+    if from_sid is not None:
+        assert from_sid == baseline, (
+            f"refresh from_sid={from_sid} but {view} reflects base "
+            f"snapshot {baseline} — refreshing from anywhere else would "
+            "double-apply or skip deltas"
+        )
+    to_res = store._resolve_sid(base_table, to_sid)
+    delta = store.read_changes(base_table, baseline, to_res)
     sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    # localCheckpoint: the CDC exceptAll delta otherwise re-executes for
+    # the emptiness probe and again inside each merge_rows job
     d = delta.groupBy(group_col).agg(
         F.sum(sign).cast("long").alias("__dn"),
         *[
             F.sum(sign * F.col(c)).cast("long").alias(f"__d_{c}")
             for c in sum_cols
         ],
-    )
+    ).localCheckpoint(eager=True)
     if d.isEmpty():
+        _record_baseline(store, view, to_res)
         return store.current_snapshot_id(view)
     old = store.read(view).join(
         d.select(group_col), group_col, "left_semi"
@@ -99,10 +141,13 @@ def refresh_agg_view(
                 for c in sum_cols
             ],
         )
+        .localCheckpoint(eager=True)
     )
     updates = merged.where(F.col(VIEW_COUNT_COL) > 0)
     deletes = merged.where(F.col(VIEW_COUNT_COL) <= 0).select(group_col)
-    return store.merge_rows(
+    sid = store.merge_rows(
         updates, view, pk=group_col,
         deletes=deletes if not deletes.isEmpty() else None,
     )
+    _record_baseline(store, view, to_res)
+    return sid

@@ -150,6 +150,9 @@ def detect_scenes(video: DataFrame, threshold_permille: int = 120) -> DataFrame:
         for pdf in iterator:
             rows = []
             for vid, blob, nf in zip(pdf["video_id"], pdf["fvid"], pdf["n_frames"]):
+                if int(nf) < 2:
+                    continue  # empty/single-frame clip: no pairs (same
+                    # skip contract as sample_frames' range guard)
                 blob = bytes(blob)
                 prev = decode_fvid_frame(blob, 0).astype(np.int64)
                 denom = prev.size * 255
@@ -177,7 +180,7 @@ def scene_segments(video: DataFrame, threshold_permille: int = 120) -> DataFrame
     from pyspark.sql import Window
 
     cuts = detect_scenes(video, threshold_permille)
-    opener = video.select(
+    opener = video.where(F.col("n_frames") >= 1).select(
         "video_id",
         F.lit(0).cast("int").alias("frame_idx"),
         F.lit(0).cast("long").alias("diff_permille"),

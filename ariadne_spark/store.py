@@ -612,12 +612,23 @@ class SnapshotStore:
                     continue
                 if vdir not in ever_referenced:
                     # never committed: possible in-flight writer — only
-                    # reclaim past the orphan TTL
+                    # reclaim past the orphan TTL. Age by the NEWEST
+                    # mtime anywhere in the tree (the top dir's mtime
+                    # freezes once its subdirs exist, so a writer still
+                    # producing part files deep inside would look stale
+                    # at the top; Iceberg's remove_orphan_files ages
+                    # files, not directories, for the same reason)
                     try:
-                        age = now - os.path.getmtime(vdir)
+                        newest = os.path.getmtime(vdir)
+                        for dp, _dns, fns in os.walk(vdir):
+                            newest = max(newest, os.path.getmtime(dp))
+                            for fn in fns:
+                                newest = max(
+                                    newest, os.path.getmtime(os.path.join(dp, fn))
+                                )
                     except OSError:
                         continue  # vanished underneath us (writer cleanup)
-                    if age < orphan_ttl_s:
+                    if now - newest < orphan_ttl_s:
                         continue
                 shutil.rmtree(vdir)
                 removed.append(vdir)

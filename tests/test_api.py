@@ -300,3 +300,17 @@ def test_pagerank_parallelism_invariant(spark):
     }
     assert a == b
     assert a == _pr_py(edge_list, n_iters=6)
+
+
+def test_pagerank_exact_at_high_mass(spark):
+    """2-node graph: each node holds half the mass, so p*damping far
+    exceeds 2^53 — the regime where float-trick division goes off by
+    one. Integer `div` must match the python oracle exactly."""
+    from ariadne_spark.api import pagerank
+
+    edge_list = [("a", "b"), ("b", "a")]
+    edges = spark.createDataFrame(
+        edge_list, "src_image_id string, dst_image_id string"
+    )
+    got = {r["node"]: r["rank_pp"] for r in pagerank(edges, n_iters=12).collect()}
+    assert got == _pr_py(edge_list, n_iters=12)

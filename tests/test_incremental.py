@@ -962,9 +962,15 @@ def test_expire_orphan_ttl_protects_inflight_writers(spark, tmp_path):
     removed = st.expire_snapshots("t", keep_last=1, orphan_ttl_s=3600)
     assert os.path.isdir(orphan), "fresh orphan must survive the TTL"
     assert len(removed) == 1  # snapshot 0's dir went immediately
-    # age the orphan past the TTL: the next pass reclaims it
+    # age only the TOP dir: the inner file is still fresh, so the
+    # writer-activity probe (newest mtime in the tree) must keep it —
+    # this is exactly the case a top-dir-mtime check gets wrong
     old = time.time() - 7200
     os.utime(orphan, (old, old))
+    assert st.expire_snapshots("t", keep_last=1, orphan_ttl_s=3600) == []
+    assert os.path.isdir(orphan)
+    # age everything inside past the TTL: the next pass reclaims it
+    os.utime(orphan + "/part-0.parquet", (old, old))
     removed = st.expire_snapshots("t", keep_last=1, orphan_ttl_s=3600)
     assert removed == [orphan]
     assert not os.path.isdir(orphan)

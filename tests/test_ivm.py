@@ -72,3 +72,28 @@ def test_refresh_empty_delta_is_noop(spark, tmp_path):
     sid = st.current_snapshot_id("v")
     got = refresh_agg_view(st, "base", "v", "lang", ["tokens"], from_sid=b0)
     assert got == sid and st.current_snapshot_id("v") == sid
+
+
+def test_refresh_rejects_stale_baseline_and_double_refresh_safe(spark, tmp_path):
+    """The recorded baseline makes double-apply impossible: a second
+    refresh is an empty-delta no-op (baseline advanced), and an
+    explicit from_sid that disagrees with the record is rejected."""
+    import pytest
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    b0 = st.write_table(
+        _base(spark, [(1, "en", 5, 5), (2, "de", 6, 6)]), "base", key="lang"
+    )
+    create_agg_view(st, "base", "v", "lang", ["tokens"])
+    ups = _base(spark, [(1, "en", 50, 5)])
+    st.merge_rows(ups, "base", pk="doc_id")
+    refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    fps1 = _fps(st, "v")
+    # second refresh: delta already applied -> no-op, sums unchanged
+    refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    assert _fps(st, "v") == fps1
+    got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
+    assert got == {"en": 50, "de": 6}
+    # a stale explicit from_sid is rejected, not silently applied
+    with pytest.raises(AssertionError, match="double-apply"):
+        refresh_agg_view(st, "base", "v", "lang", ["tokens"], from_sid=b0)

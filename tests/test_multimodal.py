@@ -196,3 +196,27 @@ def test_detect_scenes_synth_corpus_quiet(spark):
         for r in detect_scenes(v.repartition(11)).collect()
     )
     assert a == b
+
+
+def test_detect_scenes_skips_degenerate_clips(spark):
+    """Zero- and single-frame payloads produce no pairs and must not
+    kill the stage (the sample_frames skip contract)."""
+    import numpy as np
+
+    from ariadne_spark.functions.media import encode_fvid
+    from ariadne_spark.operators.multimodal import detect_scenes, scene_segments
+
+    one = np.zeros((24, 32, 3), dtype=np.uint8)
+    rows = [
+        # a corrupt/empty clip surfaces as n_frames == 0 metadata
+        ("empty", encode_fvid([one]), 0, 0, 0),
+        ("single", encode_fvid([one]), 32, 24, 1),
+        ("pair", encode_fvid([one, one]), 32, 24, 2),
+    ]
+    v = spark.createDataFrame(
+        rows, "video_id string, fvid binary, w int, h int, n_frames int"
+    )
+    cuts = detect_scenes(v).collect()
+    assert {r["video_id"] for r in cuts} == {"pair"}
+    segs = {(r["video_id"], r["scene_id"]) for r in scene_segments(v).collect()}
+    assert segs == {("single", 0), ("pair", 0)}  # empty clip: no scenes
