@@ -1244,6 +1244,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert got == {"list_orphans": 1, "neighborhood": 1, "stats": 2}, (
             f"query-stats analytics diverged: {got}"
         )
+        # centrality rides along in-entry (api.pagerank, integer pico-
+        # prob floor law; python-oracle equality in tests/test_api.py):
+        # mass conservation and full node coverage gate the entry
+        from ariadne_spark.api import PR_UNIT, pagerank
+
+        pr = pagerank(edges, n_iters=4)
+        n_nodes = (
+            edges.select(F.col("src_image_id").alias("n"))
+            .unionByName(edges.select(F.col("dst_image_id").alias("n")))
+            .distinct()
+            .count()
+        )
+        agg = pr.agg(
+            F.count("*").alias("n"), F.sum("rank_pp").alias("mass")
+        ).collect()[0]
+        assert agg["n"] == n_nodes, "pagerank must rank every graph node"
+        assert 0 < agg["mass"] <= PR_UNIT, "pagerank mass must conserve"
         return orphans
 
     Q["x05_orphan_reach"] = x05
