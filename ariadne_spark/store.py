@@ -71,6 +71,12 @@ class Manifest:
     # subsequent overwrite/compact keeps collecting the same stats
     # without out-of-band knowledge.
     stats_cols: list[str] | None = None
+    # merge-on-read EQUALITY-DELETE files (Iceberg v2 delete files):
+    # [{"path": str, "pk": col, "n_rows": int}] — pk-keyed tombstones
+    # readers anti-join at scan time; None/[] = none outstanding.
+    # Semantics here are GLOBAL pk tombstones (position-independent,
+    # so they survive compaction unchanged) until materialized.
+    delete_files: list[dict] | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -82,6 +88,7 @@ class Manifest:
                 "schema_json": self.schema_json,
                 "key": self.key,
                 "stats_cols": self.stats_cols,
+                "delete_files": self.delete_files,
             },
             sort_keys=True,
         )
@@ -92,6 +99,7 @@ class Manifest:
         return Manifest(
             d["table"], d["snapshot_id"], d["parent_id"], d["partitions"],
             d.get("schema_json"), d.get("key"), d.get("stats_cols"),
+            d.get("delete_files"),
         )
 
 
@@ -551,6 +559,7 @@ class SnapshotStore:
                 dict(target.partitions), schema_json=target.schema_json,
                 key=target.key or cur.key,
                 stats_cols=target.stats_cols or cur.stats_cols,
+                delete_files=target.delete_files,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -599,6 +608,8 @@ class SnapshotStore:
                 os.path.dirname(self._abs_path(p["path"]))
                 for p in m.partitions.values()
             }
+            # equality-delete tombstone files are version dirs too
+            dirs |= {self._abs_path(e["path"]) for e in (m.delete_files or [])}
             ever_referenced |= dirs
             if s in keep:
                 referenced |= dirs
@@ -665,7 +676,7 @@ class SnapshotStore:
             m = Manifest(
                 table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(cur.partitions), schema_json=evolved.json(), key=cur.key,
-                stats_cols=cur.stats_cols,
+                stats_cols=cur.stats_cols, delete_files=cur.delete_files,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -719,7 +730,12 @@ class SnapshotStore:
         )
         if not sel:
             return base.snapshot_id
-        df = self.read(table, base.snapshot_id, keys=sel)
+        # RAW read: compaction rewrites physical content byte-for-byte
+        # (the fingerprint identity gate below); outstanding equality
+        # tombstones are carried in the manifest and keep applying at
+        # read time — folding them here would break the identity gate
+        # (that is materialize_deletes' job)
+        df = self.read(table, base.snapshot_id, keys=sel, _apply_deletes=False)
         vdir = self._write_partition_data(
             df, table, key, base.snapshot_id + 1, sort_cols,
             max_records_per_file,
@@ -767,6 +783,9 @@ class SnapshotStore:
                 table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(cur.partitions), schema_json=cur.schema_json,
                 key=cur.key, stats_cols=cur.stats_cols,
+                # equality tombstones are position-independent: they
+                # apply unchanged to the compacted files
+                delete_files=cur.delete_files,
             )
             for k in sel:
                 if k in moved or k not in cur.partitions:
@@ -966,6 +985,10 @@ class SnapshotStore:
                 table, cur.snapshot_id + 1, cur.snapshot_id, dict(cur.partitions),
                 schema_json=cur.schema_json or df.schema.json(),
                 key=cur.key or key, stats_cols=cur.stats_cols,
+                # tombstones are GLOBAL pk filters: they keep applying
+                # to overwritten content (re-inserting a tombstoned pk
+                # requires materialize_deletes first — pinned in tests)
+                delete_files=cur.delete_files,
             )
             for k in touched:
                 m.partitions.pop(k, None)
@@ -1017,6 +1040,11 @@ class SnapshotStore:
         """
         base = self.manifest(table)
         assert base is not None, f"table {table} has no snapshot yet"
+        assert not base.delete_files, (
+            f"{table} has outstanding merge-on-read delete files: "
+            "materialize_deletes first (an upsert of a tombstoned pk "
+            "would be silently hidden by the global tombstone)"
+        )
         key = base.key
         assert key, f"table {table} has no partition key recorded"
         updates = self._conform(updates, base.schema_json)
@@ -1049,6 +1077,101 @@ class SnapshotStore:
             keys=affected,
             sort_cols=sort_cols,
             max_records_per_file=max_records_per_file,
+        )
+
+    def delete_rows_mor(self, pks: DataFrame, table: str, pk: str) -> int:
+        """Merge-on-read DELETE (Iceberg v2 equality-delete files):
+        record the pk set as a tombstone file in the manifest — NO data
+        partition is rewritten, the commit costs O(|pks|) however large
+        the table. Readers anti-join outstanding tombstones at scan
+        time (`read`), so the rows disappear logically at this snapshot
+        while time travel below it still sees them.
+
+        vs `merge_rows` (copy-on-write): MOR is the right tool when
+        deletes are frequent and small relative to partition sizes —
+        the GDPR-erasure / retraction stream — and reads can afford the
+        anti-join; `materialize_deletes` folds accumulated tombstones
+        into the data when the read tax grows. Tombstones here are
+        GLOBAL pk filters (position-independent): they survive
+        compaction unchanged and keep applying to overwritten content,
+        so re-inserting a tombstoned pk requires materializing first
+        (merge_rows enforces this loudly).
+
+        Reference analog: ariadne's `remove_file` marks rows dead in
+        the registries without touching sibling files' rows
+        (`packages/core/src/project/project.ts:402-467`)."""
+        cur = self.manifest(table)
+        assert cur is not None, f"table {table} has no snapshot yet"
+        vdir = f"{self.root}/data/{table}/v{cur.snapshot_id + 1}-del-{uuid4().hex[:8]}"
+        pks.select(pk).distinct().coalesce(1).write.parquet(vdir)
+        n = self.spark.read.parquet(vdir).count()
+        entry = {
+            "path": os.path.relpath(vdir, self.root),
+            "pk": pk,
+            "n_rows": int(n),
+        }
+        for _ in range(COMMIT_RETRIES):
+            cur = self.manifest(table)
+            m = Manifest(
+                cur.table, cur.snapshot_id + 1, cur.snapshot_id,
+                dict(cur.partitions), schema_json=cur.schema_json,
+                key=cur.key, stats_cols=cur.stats_cols,
+                delete_files=(cur.delete_files or []) + [entry],
+            )
+            if self._commit(m):
+                return m.snapshot_id
+        raise CommitConflict(
+            f"MOR delete on {table} lost {COMMIT_RETRIES} commit races"
+        )
+
+    def materialize_deletes(self, table: str) -> int:
+        """Fold outstanding equality tombstones into the data (Iceberg
+        rewrite of data + delete files): rewrite ONLY the partitions
+        that physically contain tombstoned pks — located by one
+        column-pruned (pk, key) scan per pk column — then clear the
+        delete list. Untouched partitions keep their files. Two
+        commits (partition rewrite, then the metadata-only tombstone
+        clear); a reader between them sees identical logical content
+        (the rows are already physically gone, so the still-listed
+        tombstones filter nothing). Returns the final snapshot id."""
+        m = self.manifest(table)
+        assert m is not None, f"table {table} has no snapshot"
+        if not m.delete_files:
+            return m.snapshot_id
+        key = m.key
+        assert key, f"table {table} has no partition key recorded"
+        raw = self.read(table, snapshot_id=m.snapshot_id, _apply_deletes=False)
+        affected: set[str] = set()
+        for pk, dels in self._delete_pks(m.delete_files).items():
+            affected |= {
+                str(r[0])
+                for r in raw.select(key, pk)
+                .join(dels, pk, "left_semi")
+                .select(key)
+                .distinct()
+                .collect()
+            }
+        if affected:
+            keys = sorted(affected)
+            survivors = self._apply_delete_files(
+                self.read(
+                    table, snapshot_id=m.snapshot_id, keys=keys,
+                    _apply_deletes=False,
+                ),
+                m.delete_files,
+            )
+            self.overwrite_partitions(survivors, table, key, keys=keys)
+        for _ in range(COMMIT_RETRIES):
+            cur = self.manifest(table)
+            m2 = Manifest(
+                cur.table, cur.snapshot_id + 1, cur.snapshot_id,
+                dict(cur.partitions), schema_json=cur.schema_json,
+                key=cur.key, stats_cols=cur.stats_cols, delete_files=None,
+            )
+            if self._commit(m2):
+                return m2.snapshot_id
+        raise CommitConflict(
+            f"tombstone clear on {table} lost {COMMIT_RETRIES} commit races"
         )
 
     # -- reads -------------------------------------------------------------
@@ -1113,6 +1236,7 @@ class SnapshotStore:
         snapshot_id: int | str | None = None,
         keys: list[str] | None = None,
         where: dict[str, tuple] | None = None,
+        _apply_deletes: bool = True,
     ) -> DataFrame:
         """Read a snapshot (default: current), optionally pruned to a
         partition-key subset — metadata-level partition pruning: only
@@ -1157,6 +1281,30 @@ class SnapshotStore:
                 df = df.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
                 df = df.filter(F.col(col) <= F.lit(hi))
+        if _apply_deletes and m.delete_files:
+            # merge-on-read: anti-join the snapshot's equality-delete
+            # tombstones (per pk column; the delete side is the pk set,
+            # small by the MOR contract, so the anti-join broadcasts)
+            df = self._apply_delete_files(df, m.delete_files)
+        return df
+
+    def _delete_pks(self, entries: list[dict]) -> dict[str, DataFrame]:
+        """pk column -> distinct tombstoned-pk frame for these delete
+        entries (grouped so multi-column tables compose)."""
+        by_pk: dict[str, list[str]] = {}
+        for e in entries:
+            by_pk.setdefault(e["pk"], []).append(self._abs_path(e["path"]))
+        return {
+            pk: self.spark.read.parquet(*paths).select(pk).distinct()
+            for pk, paths in by_pk.items()
+        }
+
+    def _apply_delete_files(self, df: DataFrame, entries: list[dict]) -> DataFrame:
+        # no explicit broadcast hint: the tombstone side is usually
+        # tiny (Catalyst broadcasts it), but a worst-case large set
+        # must stay shuffle-able rather than OOM the driver
+        for pk, dels in self._delete_pks(entries).items():
+            df = df.join(dels, pk, "left_anti")
         return df
 
     def diff(self, table: str, from_sid: int | None, to_sid: int) -> list[str]:
@@ -1203,9 +1351,43 @@ class SnapshotStore:
         to_res = self._resolve_sid(table, to_sid)
         assert to_res is not None, f"table {table} has no snapshot"
         keys = self.diff(table, from_sid, to_res)
-        new = self.read(table, to_res, keys=keys)
         if from_sid is None:
+            new = self.read(table, to_res, keys=keys)
             return new.select(F.lit("insert").alias("change"), *new.columns)
+        # merge-on-read deletes change LOGICAL content without moving
+        # any partition fingerprint, so the metadata diff misses them:
+        # locate the partitions physically holding the tombstone-delta
+        # pks (added tombstones -> rows vanish, look in the FROM
+        # snapshot; removed tombstones, e.g. a rollback below the
+        # delete -> rows resurrect, look in the TO snapshot) with the
+        # same column-pruned (key, pk) scan merge_rows uses
+        m_from = self.manifest(table, from_sid)
+        m_to = self.manifest(table, to_res)
+        keyset = set(keys)
+        for src_m, probe_m in ((m_from, m_to), (m_to, m_from)):
+            delta_entries = [
+                e
+                for e in (src_m.delete_files or [])
+                if e not in (probe_m.delete_files or [])
+            ]
+            look_m = m_from if src_m is m_to else m_to
+            # entries added in src relative to probe: affected rows
+            # live in the OTHER side's raw content
+            look_sid = m_from.snapshot_id if src_m is m_to else m_to.snapshot_id
+            if not delta_entries or not look_m.key:
+                continue
+            raw = self.read(table, look_sid, _apply_deletes=False)
+            for pk, dels in self._delete_pks(delta_entries).items():
+                keyset |= {
+                    str(r[0])
+                    for r in raw.select(look_m.key, pk)
+                    .join(dels, pk, "left_semi")
+                    .select(look_m.key)
+                    .distinct()
+                    .collect()
+                }
+        keys = sorted(keyset)
+        new = self.read(table, to_res, keys=keys)
         old = self.read(table, from_sid, keys=keys)
         # conform the old side to the new snapshot's column set
         old = old.select(

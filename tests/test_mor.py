@@ -1,0 +1,160 @@
+"""Merge-on-read equality deletes (Iceberg v2 delete files): tombstone
+commits touch no data partition, readers apply them at scan time, time
+travel crosses them, CDC sees them despite unchanged fingerprints,
+materialization rewrites only affected partitions, and every lifecycle
+op (compact, expire, rollback, overwrite, merge_rows) honors the
+documented global-tombstone contract."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.store import SnapshotStore
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, val long")
+
+
+def _base_rows(n=30):
+    return [(i, f"g{i % 3}", i * 10) for i in range(n)]
+
+
+def _pks(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_mor_delete_is_metadata_only_and_time_travels(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    s0 = st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    s1 = st.delete_rows_mor(_pks(spark, [4, 7, 23]), "t", pk="id")
+    # no data partition rewritten: identical paths AND fingerprints
+    assert st.manifest("t", s0).partitions == st.manifest("t", s1).partitions
+    assert {r["id"] for r in st.read("t").collect()} == set(range(30)) - {4, 7, 23}
+    assert st.read("t", snapshot_id=s0).count() == 30  # time travel below
+    # tombstones compose with zone-map reads and key pruning
+    sub = st.read("t", keys=["g1"])
+    assert {r["id"] for r in sub.collect()} == {i for i in range(30) if i % 3 == 1} - {4, 7}
+
+
+def test_mor_accumulates_and_read_changes_sees_it(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    s0 = st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    s1 = st.delete_rows_mor(_pks(spark, [1]), "t", pk="id")
+    s2 = st.delete_rows_mor(_pks(spark, [2, 5]), "t", pk="id")
+    assert len(st.manifest("t").delete_files) == 2
+    assert st.read("t").count() == 27
+    # CDC across tombstone-only commits (fingerprints unchanged!)
+    got = sorted((r["change"], r["id"]) for r in st.read_changes("t", s0, s2).collect())
+    assert got == [("delete", 1), ("delete", 2), ("delete", 5)]
+    got = sorted((r["change"], r["id"]) for r in st.read_changes("t", s1, s2).collect())
+    assert got == [("delete", 2), ("delete", 5)]
+
+
+def test_materialize_rewrites_only_affected_partitions(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    # all tombstoned ids live in g1 (ids 1,4 -> i%3==1); g0/g2 untouched
+    st.delete_rows_mor(_pks(spark, [1, 4]), "t", pk="id")
+    before = {k: dict(p) for k, p in st.manifest("t").partitions.items()}
+    st.materialize_deletes("t")
+    after = st.manifest("t").partitions
+    assert not st.manifest("t").delete_files
+    assert after["g0"] == before["g0"] and after["g2"] == before["g2"]
+    assert after["g1"] != before["g1"]
+    # physical content now equals the logical view
+    assert st.read("t", _apply_deletes=False).count() == 28
+    # a second materialize is a no-op
+    sid = st.current_snapshot_id("t")
+    assert st.materialize_deletes("t") == sid
+
+
+def test_materialize_drops_emptied_partition(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    rows = [(1, "a", 1), (2, "a", 2), (3, "b", 3)]
+    st.write_table(_df(spark, rows), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [3]), "t", pk="id")
+    st.materialize_deletes("t")
+    assert set(st.manifest("t").partitions) == {"a"}
+
+
+def test_tombstones_survive_compaction_unchanged(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+    st.compact("t")
+    assert len(st.manifest("t").delete_files) == 1
+    assert st.read("t").count() == 29  # still applied after compaction
+
+
+def test_merge_rows_refuses_outstanding_tombstones(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+    with pytest.raises(AssertionError, match="materialize_deletes"):
+        st.merge_rows(_df(spark, [(4, "g1", 99)]), "t", pk="id")
+    st.materialize_deletes("t")
+    st.merge_rows(_df(spark, [(4, "g1", 99)]), "t", pk="id")  # now fine
+    assert {r["val"] for r in st.read("t").where("id = 4").collect()} == {99}
+
+
+def test_tombstones_are_global_until_materialized(spark, tmp_path):
+    """The documented pk-tombstone contract: an overwrite that re-adds
+    a tombstoned pk stays hidden until the tombstones materialize."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+    g1 = [(i, "g1", i * 10) for i in range(30) if i % 3 == 1]  # incl. id 4
+    st.overwrite_partitions(_df(spark, g1), "t", key="grp")
+    assert 4 not in {r["id"] for r in st.read("t").collect()}
+
+
+def test_full_rewrite_clears_tombstones(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    assert not st.manifest("t").delete_files
+    assert st.read("t").count() == 30
+
+
+def test_rollback_carries_and_resurrects(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    s0 = st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    s1 = st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+    s2 = st.rollback("t", s0)  # below the delete: row resurrects
+    assert st.read("t").count() == 30
+    # CDC across the rollback reports the resurrection as an insert
+    got = sorted((r["change"], r["id"]) for r in st.read_changes("t", s1, s2).collect())
+    assert got == [("insert", 4)]
+    s3 = st.rollback("t", s1)  # back onto the tombstoned snapshot
+    assert st.read("t").count() == 29
+    assert len(st.manifest("t").delete_files) == 1
+
+
+def test_expire_keeps_live_tombstone_files(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+    st.compact("t")  # another snapshot on top
+    st.expire_snapshots("t", keep_last=1)
+    assert st.read("t").count() == 29  # tombstone file survived expiry
+    path = st.manifest("t").delete_files[0]["path"]
+    assert os.path.isdir(str(tmp_path / "s" / path))
+
+
+def test_ivm_refresh_over_mor_delete(spark, tmp_path):
+    """The IVM composition: a MOR delete flows through read_changes
+    into the aggregate view exactly like a physical delete."""
+    from ariadne_spark.operators.ivm import create_agg_view, refresh_agg_view
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "base", key="grp")
+    create_agg_view(st, "base", "v", "grp", ["val"])
+    st.delete_rows_mor(_pks(spark, [0, 3]), "base", pk="id")  # both g0
+    refresh_agg_view(st, "base", "v", "grp", ["val"])
+    got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in st.read("v").collect()}
+    exp_g0 = [(i, v) for i, g, v in _base_rows() if g == "g0" and i not in (0, 3)]
+    assert got["g0"] == (len(exp_g0), sum(v for _, v in exp_g0))
+    assert got["g1"] == (10, sum(v for i, g, v in _base_rows() if g == "g1"))
