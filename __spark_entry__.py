@@ -1229,7 +1229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp()
         write_images(f"{d}/images.parquet", 2000)
         images = spark.read.parquet(f"{d}/images.parquet").drop("bytes")
-        edges = knn_edges(images, k=3, max_hamming=16)
+        # checkpoint once: the kNN candidate join feeds orphans,
+        # neighborhood, stats AND the pagerank gate below — without it
+        # each consumer re-executes the pipeline's most expensive plan
+        edges = knn_edges(images, k=3, max_hamming=16).localCheckpoint()
 
         store = SnapshotStore(spark, f"{d}/s")
         record_query(store, "list_orphans")

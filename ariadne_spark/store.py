@@ -1055,15 +1055,9 @@ class SnapshotStore:
         ids = updates.select(pk)
         if deletes is not None:
             ids = ids.unionByName(deletes.select(pk)).distinct()
-        old_keys = {
-            r[0]
-            for r in self.read(table, snapshot_id=base.snapshot_id)
-            .select(key, pk)
-            .join(F.broadcast(ids), pk, "left_semi")
-            .select(key)
-            .distinct()
-            .collect()
-        }
+        old_keys = self._locate_pk_partitions(
+            self.read(table, snapshot_id=base.snapshot_id), key, pk, ids
+        )
         new_keys = {r[0] for r in updates.select(key).distinct().collect()}
         affected = sorted(str(k) for k in old_keys | new_keys)
         survivors = (
@@ -1102,6 +1096,14 @@ class SnapshotStore:
         (`packages/core/src/project/project.ts:402-467`)."""
         cur = self.manifest(table)
         assert cur is not None, f"table {table} has no snapshot yet"
+        if cur.schema_json:
+            cols = {f["name"] for f in json.loads(cur.schema_json)["fields"]}
+            # a tombstone keyed on a column the table lacks would make
+            # every subsequent read throw — refuse up front
+            assert pk in cols, (
+                f"delete_rows_mor: pk {pk!r} is not a column of {table} "
+                f"(has {sorted(cols)})"
+            )
         vdir = f"{self.root}/data/{table}/v{cur.snapshot_id + 1}-del-{uuid4().hex[:8]}"
         pks.select(pk).distinct().coalesce(1).write.parquet(vdir)
         n = self.spark.read.parquet(vdir).count()
@@ -1143,14 +1145,7 @@ class SnapshotStore:
         raw = self.read(table, snapshot_id=m.snapshot_id, _apply_deletes=False)
         affected: set[str] = set()
         for pk, dels in self._delete_pks(m.delete_files).items():
-            affected |= {
-                str(r[0])
-                for r in raw.select(key, pk)
-                .join(dels, pk, "left_semi")
-                .select(key)
-                .distinct()
-                .collect()
-            }
+            affected |= self._locate_pk_partitions(raw, key, pk, dels)
         if affected:
             keys = sorted(affected)
             survivors = self._apply_delete_files(
@@ -1161,12 +1156,21 @@ class SnapshotStore:
                 m.delete_files,
             )
             self.overwrite_partitions(survivors, table, key, keys=keys)
+        materialized = list(m.delete_files)
         for _ in range(COMMIT_RETRIES):
             cur = self.manifest(table)
+            # subtract ONLY the entries this call folded in: a
+            # concurrent delete_rows_mor may have appended new
+            # tombstones since — resetting to None would silently
+            # un-delete them (a lost erasure)
+            remaining = [
+                e for e in (cur.delete_files or []) if e not in materialized
+            ] or None
             m2 = Manifest(
                 cur.table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(cur.partitions), schema_json=cur.schema_json,
-                key=cur.key, stats_cols=cur.stats_cols, delete_files=None,
+                key=cur.key, stats_cols=cur.stats_cols,
+                delete_files=remaining,
             )
             if self._commit(m2):
                 return m2.snapshot_id
@@ -1299,6 +1303,23 @@ class SnapshotStore:
             for pk, paths in by_pk.items()
         }
 
+    def _locate_pk_partitions(
+        self, raw: DataFrame, key: str, pk: str, dels: DataFrame
+    ) -> set[str]:
+        """Partition keys physically holding any of `dels`' pks: ONE
+        column-pruned (key, pk) scan + semi-join, collected result
+        O(touched partitions). The shared locate idiom of merge_rows /
+        materialize_deletes / read_changes (the no-hint semi-join lets
+        Catalyst broadcast the small pk side)."""
+        return {
+            str(r[0])
+            for r in raw.select(key, pk)
+            .join(dels, pk, "left_semi")
+            .select(key)
+            .distinct()
+            .collect()
+        }
+
     def _apply_delete_files(self, df: DataFrame, entries: list[dict]) -> DataFrame:
         # no explicit broadcast hint: the tombstone side is usually
         # tiny (Catalyst broadcasts it), but a worst-case large set
@@ -1362,7 +1383,12 @@ class SnapshotStore:
         # delete -> rows resurrect, look in the TO snapshot) with the
         # same column-pruned (key, pk) scan merge_rows uses
         m_from = self.manifest(table, from_sid)
+        assert m_from is not None, (
+            f"table {table} has no snapshot {from_sid} (expired below the "
+            "keep window? re-baseline the CDC consumer with from_sid=None)"
+        )
         m_to = self.manifest(table, to_res)
+        assert m_to is not None, f"table {table} has no snapshot {to_res}"
         keyset = set(keys)
         for src_m, probe_m in ((m_from, m_to), (m_to, m_from)):
             delta_entries = [
@@ -1378,14 +1404,7 @@ class SnapshotStore:
                 continue
             raw = self.read(table, look_sid, _apply_deletes=False)
             for pk, dels in self._delete_pks(delta_entries).items():
-                keyset |= {
-                    str(r[0])
-                    for r in raw.select(look_m.key, pk)
-                    .join(dels, pk, "left_semi")
-                    .select(look_m.key)
-                    .distinct()
-                    .collect()
-                }
+                keyset |= self._locate_pk_partitions(raw, look_m.key, pk, dels)
         keys = sorted(keyset)
         new = self.read(table, to_res, keys=keys)
         old = self.read(table, from_sid, keys=keys)

@@ -158,3 +158,49 @@ def test_ivm_refresh_over_mor_delete(spark, tmp_path):
     exp_g0 = [(i, v) for i, g, v in _base_rows() if g == "g0" and i not in (0, 3)]
     assert got["g0"] == (len(exp_g0), sum(v for _, v in exp_g0))
     assert got["g1"] == (10, sum(v for i, g, v in _base_rows() if g == "g1"))
+
+
+def test_materialize_keeps_concurrently_added_tombstones(spark, tmp_path):
+    """The clear commit must subtract only the entries it folded in: a
+    tombstone committed by another writer DURING materialization
+    survives (losing it would silently un-delete an erasure)."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st2 = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+
+    orig = st.overwrite_partitions
+
+    def racy(*a, **k):
+        sid = orig(*a, **k)
+        # a second writer lands a new tombstone between the partition
+        # rewrite and the clear commit
+        st2.delete_rows_mor(_pks(spark, [9]), "t", pk="id")
+        return sid
+
+    st.overwrite_partitions = racy
+    st.materialize_deletes("t")
+    m = st.manifest("t")
+    assert m.delete_files and len(m.delete_files) == 1  # the NEW tombstone
+    ids = {r["id"] for r in st.read("t").collect()}
+    assert 4 not in ids and 9 not in ids  # both erasures hold
+
+
+def test_mor_rejects_unknown_pk_column(spark, tmp_path):
+    """A tombstone keyed on a missing column would brick every read —
+    refused at commit time instead."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    bad = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(AssertionError, match="not a column"):
+        st.delete_rows_mor(bad, "t", pk="doc_id")
+    assert st.read("t").count() == 30  # table untouched
+
+
+def test_read_changes_expired_from_sid_fails_cleanly(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    s0 = st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.write_table(_df(spark, _base_rows(20)), "t", key="grp")
+    st.expire_snapshots("t", keep_last=1)
+    with pytest.raises((AssertionError, FileNotFoundError)):
+        st.read_changes("t", s0).collect()
