@@ -1309,12 +1309,14 @@ class SnapshotStore:
         """Partition keys physically holding any of `dels`' pks: ONE
         column-pruned (key, pk) scan + semi-join, collected result
         O(touched partitions). The shared locate idiom of merge_rows /
-        materialize_deletes / read_changes (the no-hint semi-join lets
-        Catalyst broadcast the small pk side)."""
+        materialize_deletes / read_changes. The pk side is O(changed)
+        by contract at every call site, so it broadcasts explicitly —
+        the big side is the full (key, pk) projection and must never
+        become the build side."""
         return {
             str(r[0])
             for r in raw.select(key, pk)
-            .join(dels, pk, "left_semi")
+            .join(F.broadcast(dels), pk, "left_semi")
             .select(key)
             .distinct()
             .collect()
