@@ -77,6 +77,12 @@ class Manifest:
     # Semantics here are GLOBAL pk tombstones (position-independent,
     # so they survive compaction unchanged) until materialized.
     delete_files: list[dict] | None = None
+    # per-partition pk Bloom filters (Iceberg puffin-blob analog):
+    # columns opted in + filter width; bits live in each partition
+    # entry's "bloom" dict. Recorded so overwrite/compact keep
+    # collecting them without out-of-band knowledge.
+    bloom_cols: list[str] | None = None
+    bloom_bits: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -89,6 +95,8 @@ class Manifest:
                 "key": self.key,
                 "stats_cols": self.stats_cols,
                 "delete_files": self.delete_files,
+                "bloom_cols": self.bloom_cols,
+                "bloom_bits": self.bloom_bits,
             },
             sort_keys=True,
         )
@@ -99,7 +107,7 @@ class Manifest:
         return Manifest(
             d["table"], d["snapshot_id"], d["parent_id"], d["partitions"],
             d.get("schema_json"), d.get("key"), d.get("stats_cols"),
-            d.get("delete_files"),
+            d.get("delete_files"), d.get("bloom_cols"), d.get("bloom_bits"),
         )
 
 
@@ -155,8 +163,29 @@ def _stat_upper(v):
     return None
 
 
+BLOOM_BITS_DEFAULT = 8192  # 128 longs ~ 1 KB/partition/col in the manifest
+_BLOOM_SALTS = (0, 1)  # k = 2 hash functions
+
+
+def bloom_positions(value, bloom_bits: int) -> list[int]:
+    """Bit positions of `value` in a manifest pk-bloom — the python
+    twin of the Column expressions in `partition_summary` (both sides
+    are crc32 over the value's STRING rendering + '#salt', so longs
+    and strings agree across engines; restrict bloom columns to
+    int/string types)."""
+    import zlib
+
+    return [
+        zlib.crc32(f"{value}#{s}".encode()) % bloom_bits for s in _BLOOM_SALTS
+    ]
+
+
 def partition_summary(
-    df: DataFrame, key: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    key: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
 ) -> dict[str, dict]:
     """key -> {n_rows, fingerprint} in ONE pass (order-independent).
 
@@ -164,7 +193,15 @@ def partition_summary(
     min/max/null-count zone maps for those columns (all aggregates are
     order- and parallelism-independent, so manifests stay bit-identical
     across cluster sizes). The shuffle stays tiny: one row per
-    (partition, mapper) after map-side partial aggregation."""
+    (partition, mapper) after map-side partial aggregation.
+
+    With `bloom_cols`, the same pass ALSO folds a per-partition Bloom
+    filter over each listed column (k=2 crc32 hashes, `bloom_bits`
+    bits as bloom_bits/64 bit_or-aggregated longs — order-independent,
+    so manifests stay deterministic). Size m ~ 10x the per-partition
+    distinct count for ~1% false positives; an undersized filter
+    saturates toward all-ones, which only costs pruning power, never
+    correctness (membership stays conservative)."""
     cols = [c for c in df.columns]
     row_hash = F.xxhash64(*[F.col(c) for c in cols])
     aggs = [
@@ -181,6 +218,32 @@ def partition_summary(
             F.max(c).alias(f"__max_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
         ]
+    n_chunks = bloom_bits // 64
+    for c in bloom_cols or []:
+        assert c in df.columns, f"bloom column {c!r} not in {df.columns}"
+        # positions precomputed ONCE per row (projection below), so the
+        # per-chunk aggregates are cheap conditionals
+        for i in range(n_chunks):
+            parts = []
+            for s in _BLOOM_SALTS:
+                p = f"__bpos{s}_{c}"
+                parts.append(
+                    f"CASE WHEN {p} IS NOT NULL AND {p} div 64 = {i} "
+                    f"THEN shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT)) "
+                    f"ELSE CAST(0 AS BIGINT) END"
+                )
+            aggs.append(F.expr(f"bit_or({' | '.join(parts)})").alias(f"__bl_{c}_{i}"))
+    if bloom_cols:
+        proj = [F.col(x) for x in df.columns]
+        for c in bloom_cols:
+            for s in _BLOOM_SALTS:
+                proj.append(
+                    F.expr(
+                        f"crc32(encode(concat(cast({c} AS STRING), '#{s}'), "
+                        f"'UTF-8')) % {bloom_bits}"
+                    ).alias(f"__bpos{s}_{c}")
+                )
+        df = df.select(*proj)
     rows = df.groupBy(key).agg(*aggs).collect()
     out = {}
     for r in rows:
@@ -194,6 +257,13 @@ def partition_summary(
                     "nulls": int(r[f"__nul_{c}"]),
                 }
                 for c in stats_cols
+            }
+        if bloom_cols:
+            entry["bloom"] = {
+                c: [
+                    int(r[f"__bl_{c}_{i}"] or 0) for i in range(n_chunks)
+                ]
+                for c in bloom_cols
             }
         out[str(r[key])] = entry
     return out
@@ -560,6 +630,8 @@ class SnapshotStore:
                 key=target.key or cur.key,
                 stats_cols=target.stats_cols or cur.stats_cols,
                 delete_files=target.delete_files,
+                bloom_cols=target.bloom_cols or cur.bloom_cols,
+                bloom_bits=target.bloom_bits or cur.bloom_bits,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -677,6 +749,7 @@ class SnapshotStore:
                 table, cur.snapshot_id + 1, cur.snapshot_id,
                 dict(cur.partitions), schema_json=evolved.json(), key=cur.key,
                 stats_cols=cur.stats_cols, delete_files=cur.delete_files,
+                bloom_cols=cur.bloom_cols, bloom_bits=cur.bloom_bits,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -743,7 +816,9 @@ class SnapshotStore:
         # compaction refreshes zone maps too: partitions written before
         # stats were enabled gain them here (content is identical, so
         # the recomputed stats describe exactly the committed rows)
-        summary = self._summarize_written(vdir, key, base.stats_cols)
+        summary = self._summarize_written(
+            vdir, key, base.stats_cols, base.bloom_cols, base.bloom_bits
+        )
         rel = os.path.relpath(vdir, self.root)
         # identity gate: the rewrite must not change any row of any
         # partition. Pre-evolution partitions are fingerprinted over
@@ -786,6 +861,7 @@ class SnapshotStore:
                 # equality tombstones are position-independent: they
                 # apply unchanged to the compacted files
                 delete_files=cur.delete_files,
+                bloom_cols=cur.bloom_cols, bloom_bits=cur.bloom_bits,
             )
             for k in sel:
                 if k in moved or k not in cur.partitions:
@@ -859,7 +935,12 @@ class SnapshotStore:
         return vdir
 
     def _summarize_written(
-        self, vdir: str, key: str, stats_cols: list[str] | None = None
+        self,
+        vdir: str,
+        key: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int | None = None,
     ) -> dict[str, dict]:
         """Partition summary computed from the parquet just written —
         NOT from the input plan. Summarizing the input DataFrame would
@@ -870,13 +951,16 @@ class SnapshotStore:
         if not any(e.startswith("__pk=") for e in os.listdir(vdir)):
             return {}  # zero-row write: partitionBy emits no dirs
         return partition_summary(
-            self.spark.read.parquet(vdir).drop("__pk"), key, stats_cols
+            self.spark.read.parquet(vdir).drop("__pk"), key, stats_cols,
+            bloom_cols, bloom_bits or BLOOM_BITS_DEFAULT,
         )
 
     def write_table(
         self, df: DataFrame, table: str, key: str, sort_cols=None,
         max_records_per_file: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int | None = None,
     ) -> int:
         """Full write -> snapshot 0 (or next id if the table exists).
         Re-snapshots of an existing table are cast to its committed
@@ -902,11 +986,18 @@ class SnapshotStore:
         eff_stats = stats_cols if stats_cols is not None else (
             prev_m.stats_cols if prev_m else None
         )
+        # bloom opt-in is remembered exactly like stats_cols (`bloom_cols`
+        # here overrides; pk Bloom filters per partition, see
+        # partition_summary) — collected in the same summarize pass
+        eff_bloom = bloom_cols if bloom_cols is not None else (
+            prev_m.bloom_cols if prev_m else None
+        )
+        eff_bits = bloom_bits or (prev_m.bloom_bits if prev_m else None)
         sid = 0 if prev_m is None else prev_m.snapshot_id + 1
         vdir = self._write_partition_data(
             df, table, key, sid, sort_cols, max_records_per_file
         )
-        summary = self._summarize_written(vdir, key, eff_stats)
+        summary = self._summarize_written(vdir, key, eff_stats, eff_bloom, eff_bits)
         rel = os.path.relpath(vdir, self.root)
         for _ in range(COMMIT_RETRIES):
             cur = self.manifest(table)
@@ -920,6 +1011,8 @@ class SnapshotStore:
             m = Manifest(
                 table, sid, None if cur is None else cur.snapshot_id,
                 schema_json=schema_json, key=key, stats_cols=eff_stats,
+                bloom_cols=eff_bloom,
+                bloom_bits=(eff_bits or BLOOM_BITS_DEFAULT) if eff_bloom else None,
             )
             for k, s in summary.items():
                 m.partitions[k] = {"path": f"{rel}/__pk={k}", **s}
@@ -965,7 +1058,9 @@ class SnapshotStore:
             df, table, key, base.snapshot_id + 1, sort_cols,
             max_records_per_file,
         )
-        summary = self._summarize_written(vdir, key, base.stats_cols)
+        summary = self._summarize_written(
+            vdir, key, base.stats_cols, base.bloom_cols, base.bloom_bits
+        )
         rel = os.path.relpath(vdir, self.root)
         touched = set(keys or []) | set(summary)
         for _ in range(COMMIT_RETRIES):
@@ -989,6 +1084,7 @@ class SnapshotStore:
                 # to overwritten content (re-inserting a tombstoned pk
                 # requires materialize_deletes first — pinned in tests)
                 delete_files=cur.delete_files,
+                bloom_cols=cur.bloom_cols, bloom_bits=cur.bloom_bits,
             )
             for k in touched:
                 m.partitions.pop(k, None)
@@ -1056,7 +1152,7 @@ class SnapshotStore:
         if deletes is not None:
             ids = ids.unionByName(deletes.select(pk)).distinct()
         old_keys = self._locate_pk_partitions(
-            self.read(table, snapshot_id=base.snapshot_id), key, pk, ids
+            table, base.snapshot_id, key, pk, ids
         )
         new_keys = {r[0] for r in updates.select(key).distinct().collect()}
         affected = sorted(str(k) for k in old_keys | new_keys)
@@ -1119,6 +1215,7 @@ class SnapshotStore:
                 dict(cur.partitions), schema_json=cur.schema_json,
                 key=cur.key, stats_cols=cur.stats_cols,
                 delete_files=(cur.delete_files or []) + [entry],
+                bloom_cols=cur.bloom_cols, bloom_bits=cur.bloom_bits,
             )
             if self._commit(m):
                 return m.snapshot_id
@@ -1142,10 +1239,11 @@ class SnapshotStore:
             return m.snapshot_id
         key = m.key
         assert key, f"table {table} has no partition key recorded"
-        raw = self.read(table, snapshot_id=m.snapshot_id, _apply_deletes=False)
         affected: set[str] = set()
         for pk, dels in self._delete_pks(m.delete_files).items():
-            affected |= self._locate_pk_partitions(raw, key, pk, dels)
+            affected |= self._locate_pk_partitions(
+                table, m.snapshot_id, key, pk, dels
+            )
         if affected:
             keys = sorted(affected)
             survivors = self._apply_delete_files(
@@ -1171,6 +1269,7 @@ class SnapshotStore:
                 dict(cur.partitions), schema_json=cur.schema_json,
                 key=cur.key, stats_cols=cur.stats_cols,
                 delete_files=remaining,
+                bloom_cols=cur.bloom_cols, bloom_bits=cur.bloom_bits,
             )
             if self._commit(m2):
                 return m2.snapshot_id
@@ -1303,16 +1402,60 @@ class SnapshotStore:
             for pk, paths in by_pk.items()
         }
 
+    _BLOOM_LOCATE_CAP = 10_000  # max pks checked driver-side vs blooms
+
+    def bloom_candidate_keys(
+        self, m: "Manifest", col: str, values: list
+    ) -> list[str] | None:
+        """Partition keys whose pk Bloom filter MIGHT contain any of
+        `values` — METADATA-ONLY (no file listed or opened), the
+        manifest analog of Iceberg's puffin blob point-lookup pruning.
+        Conservative: a partition without a bloom for `col` is kept; a
+        saturated (undersized) bloom keeps everything. Returns None
+        when the table has no blooms for `col` at all (caller falls
+        back to the scanning locate)."""
+        if not m.bloom_cols or col not in m.bloom_cols or not m.bloom_bits:
+            return None
+        pos = [bloom_positions(v, m.bloom_bits) for v in values]
+        out = []
+        for k, part in m.partitions.items():
+            bl = (part.get("bloom") or {}).get(col)
+            if bl is None:
+                out.append(k)  # pre-bloom partition: cannot exclude
+                continue
+            for ps in pos:
+                if all((bl[p // 64] >> (p % 64)) & 1 for p in ps):
+                    out.append(k)
+                    break
+        return sorted(out)
+
     def _locate_pk_partitions(
-        self, raw: DataFrame, key: str, pk: str, dels: DataFrame
+        self, table: str, snapshot_id, key: str, pk: str, dels: DataFrame
     ) -> set[str]:
-        """Partition keys physically holding any of `dels`' pks: ONE
-        column-pruned (key, pk) scan + semi-join, collected result
-        O(touched partitions). The shared locate idiom of merge_rows /
-        materialize_deletes / read_changes. The pk side is O(changed)
-        by contract at every call site, so it broadcasts explicitly —
-        the big side is the full (key, pk) projection and must never
-        become the build side."""
+        """Partition keys physically holding any of `dels`' pks — the
+        shared locate idiom of merge_rows / materialize_deletes /
+        read_changes. With manifest pk blooms the locate is METADATA-
+        first: the candidate set comes from bloom membership (no scan),
+        and only candidate partitions are read for the exact confirm
+        scan. Without blooms it is ONE column-pruned (key, pk) scan +
+        semi-join over the full table. Either way the collected result
+        is O(touched partitions), and the pk side — O(changed) by
+        contract at every call site — broadcasts explicitly so the big
+        projection can never become the build side."""
+        m = self.manifest(table, snapshot_id)
+        assert m is not None, f"table {table} has no snapshot {snapshot_id}"
+        keys = None
+        if m.bloom_cols and pk in m.bloom_cols:
+            vals = [
+                r[0] for r in dels.distinct().limit(self._BLOOM_LOCATE_CAP + 1).collect()
+            ]
+            if len(vals) <= self._BLOOM_LOCATE_CAP:
+                keys = self.bloom_candidate_keys(m, pk, vals)
+                if keys is not None and not keys:
+                    return set()
+        raw = self.read(
+            table, snapshot_id=m.snapshot_id, keys=keys, _apply_deletes=False
+        )
         return {
             str(r[0])
             for r in raw.select(key, pk)
@@ -1404,9 +1547,10 @@ class SnapshotStore:
             look_sid = m_from.snapshot_id if src_m is m_to else m_to.snapshot_id
             if not delta_entries or not look_m.key:
                 continue
-            raw = self.read(table, look_sid, _apply_deletes=False)
             for pk, dels in self._delete_pks(delta_entries).items():
-                keyset |= self._locate_pk_partitions(raw, look_m.key, pk, dels)
+                keyset |= self._locate_pk_partitions(
+                    table, look_sid, look_m.key, pk, dels
+                )
         keys = sorted(keyset)
         new = self.read(table, to_res, keys=keys)
         old = self.read(table, from_sid, keys=keys)
