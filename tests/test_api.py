@@ -314,3 +314,27 @@ def test_pagerank_exact_at_high_mass(spark):
     )
     got = {r["node"]: r["rank_pp"] for r in pagerank(edges, n_iters=12).collect()}
     assert got == _pr_py(edge_list, n_iters=12)
+
+
+def test_corpus_card_snapshot(spark):
+    """Deterministic dataset card: exact string across runs, with
+    every composition/dup/gate/PII number integer-derived."""
+    from ariadne_spark.api import corpus_card
+
+    texts = [
+        (0, "en", "a plain document with several ordinary words inside"),
+        (1, "en", "another plain document with different ordinary words"),
+        (2, "de", "ein anderes dokument mit ganz anderen worten hier"),
+        (3, "en", "a plain document with several ordinary words inside"),  # dup
+        (4, "fr", "please contact alice@example.com about the seven distinct matters listed here"),  # pii
+        (5, "de", "spam spam spam spam spam spam spam spam"),              # rep
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, lang string, text string")
+    card = corpus_card(docs)
+    assert card == corpus_card(docs.repartition(5))  # deterministic
+    assert "Documents: 6" in card
+    assert "Exact-duplicate rows (md5): 1 (166 permille)" in card
+    assert "Documents with PII matches: 1 (166 permille)" in card
+    assert "Repetitive (Gopher gate): 1 (166 permille)" in card
+    assert "| en | 3 | 500 |" in card
+    assert card.startswith("# Dataset card\n")
