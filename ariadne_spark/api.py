@@ -438,39 +438,46 @@ def stats(
     return out
 
 
-def corpus_card(docs: DataFrame, text_col: str = "text", lang_col: str = "lang") -> str:
+def corpus_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
     """Dataset card (Datasheets for Datasets, Gebru et al. 2021,
     arXiv:1803.09010 §"composition"): one deterministic markdown
     report of the corpus's composition and curation-relevant signals,
     assembled from the engine's own operators — per-language share,
-    whitespace-token and char volumes, exact-duplicate rate (md5),
-    PII incidence (the q48 registry), and the Gopher repetition gate
-    rate. Three aggregation jobs total (composition, dedup, gates);
-    every number is integer-exact, so two runs over the same corpus
-    emit byte-identical cards (snapshot-tested).
+    whitespace-token (curation.ws_token_count, the same expression the
+    training-run packer uses) and char volumes, exact-duplicate rate
+    (md5), PII incidence (the q48 registry, folded into the
+    composition scan), and the Gopher repetition gate rate
+    (`id_col` keys that pass). Three aggregation jobs total
+    (composition+PII, dedup, gates); every number is integer-exact, so
+    two runs over the same corpus emit byte-identical cards
+    (snapshot-tested).
 
     The tool-layer sibling of format_orphans/format_neighborhood
     (≅ ariadne's mcp report renderers, list_entrypoints.ts:203-235) —
     DataFrames in, a human artifact out."""
-    from .operators.curation import repetition_stats
+    from .operators.curation import repetition_stats, ws_token_count
     from .operators.pii import pii_counts
 
-    words = (
-        F.length(text_col)
-        - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("long")
+    cnts = pii_counts(F.col(text_col))
+    any_pii = sum(cnts.values(), F.lit(0).cast("long")) > 0
     comp = (
         docs.groupBy(lang_col)
         .agg(
             F.count("*").alias("n"),
-            F.sum(words).alias("toks"),
+            F.sum(ws_token_count(text_col)).alias("toks"),
             F.sum(F.length(text_col).cast("long")).alias("chars"),
+            F.sum(F.when(any_pii, 1).otherwise(0)).cast("long").alias("pii"),
         )
         .orderBy(F.desc("n"), F.asc(lang_col))
         .collect()
     )
     n_total = sum(r["n"] for r in comp)
+    pii = sum(r["pii"] for r in comp)
     dup = docs.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
         F.count("*").alias("c")
     )
@@ -478,17 +485,9 @@ def corpus_card(docs: DataFrame, text_col: str = "text", lang_col: str = "lang")
         F.sum(F.col("c") - 1).cast("long").alias("d")
     ).collect()[0]["d"] or 0
     gates = (
-        repetition_stats(docs)
+        repetition_stats(docs, id_col=id_col, text_col=text_col)
         .agg(F.sum("repetitive").cast("long").alias("rep"))
         .collect()[0]["rep"]
-        or 0
-    )
-    cnts = pii_counts(F.col(text_col))
-    any_pii = sum(cnts.values(), F.lit(0).cast("long")) > 0
-    pii = (
-        docs.agg(
-            F.sum(F.when(any_pii, 1).otherwise(0)).cast("long").alias("p")
-        ).collect()[0]["p"]
         or 0
     )
 

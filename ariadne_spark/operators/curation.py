@@ -109,6 +109,20 @@ def _idivc(a: Column, b: Column) -> Column:
     return ((a - (a % b)) / b).cast("long")
 
 
+def ws_token_count(text_col: str = "text") -> Column:
+    """Whitespace-token count of a text column as pure column math
+    (length minus spaceless length plus one) — THE canonical token
+    expression, shared by the packer (materialize_training_run), the
+    entry queries, and api.corpus_card so their token totals can never
+    silently diverge. Counts single-space-separated words, the repo's
+    tokenizer convention throughout."""
+    return (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1750,11 +1764,7 @@ def materialize_training_run(
         "lang",
         "shard",
         "pos",
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            + 1
-        ).cast("long").alias("tokens"),
+        ws_token_count("text").alias("tokens"),
     )
     from ..functions.cells import idiv
 

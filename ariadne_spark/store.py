@@ -175,6 +175,10 @@ def bloom_positions(value, bloom_bits: int) -> list[int]:
     int/string types)."""
     import zlib
 
+    assert bloom_bits >= 64 and bloom_bits % 64 == 0, (
+        f"bloom_bits must be a positive multiple of 64, got {bloom_bits} "
+        "(a partial last chunk would silently drop high bit positions)"
+    )
     return [
         zlib.crc32(f"{value}#{s}".encode()) % bloom_bits for s in _BLOOM_SALTS
     ]
@@ -218,9 +222,22 @@ def partition_summary(
             F.max(c).alias(f"__max_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
         ]
+    if bloom_cols:
+        assert bloom_bits >= 64 and bloom_bits % 64 == 0, (
+            f"bloom_bits must be a positive multiple of 64, got {bloom_bits}"
+        )
     n_chunks = bloom_bits // 64
+    _BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+    dtypes = dict(df.dtypes)
     for c in bloom_cols or []:
         assert c in df.columns, f"bloom column {c!r} not in {df.columns}"
+        # the python membership twin renders values via f-string; only
+        # int/string renderings match Spark's CAST(c AS STRING)
+        # (boolean 'true' vs 'True', decimal/timestamp formats differ)
+        assert dtypes[c] in _BLOOM_TYPES, (
+            f"bloom column {c!r} has type {dtypes[c]}; only integral and "
+            "string columns keep the python/Spark hash twins identical"
+        )
         # positions precomputed ONCE per row (projection below), so the
         # per-chunk aggregates are cheap conditionals
         for i in range(n_chunks):
@@ -1152,7 +1169,7 @@ class SnapshotStore:
         if deletes is not None:
             ids = ids.unionByName(deletes.select(pk)).distinct()
         old_keys = self._locate_pk_partitions(
-            table, base.snapshot_id, key, pk, ids
+            table, base.snapshot_id, key, pk, ids, m=base
         )
         new_keys = {r[0] for r in updates.select(key).distinct().collect()}
         affected = sorted(str(k) for k in old_keys | new_keys)
@@ -1242,7 +1259,7 @@ class SnapshotStore:
         affected: set[str] = set()
         for pk, dels in self._delete_pks(m.delete_files).items():
             affected |= self._locate_pk_partitions(
-                table, m.snapshot_id, key, pk, dels
+                table, m.snapshot_id, key, pk, dels, m=m
             )
         if affected:
             keys = sorted(affected)
@@ -1430,7 +1447,13 @@ class SnapshotStore:
         return sorted(out)
 
     def _locate_pk_partitions(
-        self, table: str, snapshot_id, key: str, pk: str, dels: DataFrame
+        self,
+        table: str,
+        snapshot_id,
+        key: str,
+        pk: str,
+        dels: DataFrame,
+        m: "Manifest | None" = None,
     ) -> set[str]:
         """Partition keys physically holding any of `dels`' pks — the
         shared locate idiom of merge_rows / materialize_deletes /
@@ -1442,7 +1465,8 @@ class SnapshotStore:
         is O(touched partitions), and the pk side — O(changed) by
         contract at every call site — broadcasts explicitly so the big
         projection can never become the build side."""
-        m = self.manifest(table, snapshot_id)
+        if m is None:
+            m = self.manifest(table, snapshot_id)
         assert m is not None, f"table {table} has no snapshot {snapshot_id}"
         keys = None
         if m.bloom_cols and pk in m.bloom_cols:
@@ -1549,7 +1573,7 @@ class SnapshotStore:
                 continue
             for pk, dels in self._delete_pks(delta_entries).items():
                 keyset |= self._locate_pk_partitions(
-                    table, look_sid, look_m.key, pk, dels
+                    table, look_sid, look_m.key, pk, dels, m=look_m
                 )
         keys = sorted(keyset)
         new = self.read(table, to_res, keys=keys)

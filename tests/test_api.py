@@ -338,3 +338,21 @@ def test_corpus_card_snapshot(spark):
     assert "Repetitive (Gopher gate): 1 (166 permille)" in card
     assert "| en | 3 | 500 |" in card
     assert card.startswith("# Dataset card\n")
+
+
+def test_corpus_card_custom_columns(spark):
+    """text_col/lang_col/id_col propagate everywhere — incl. the
+    repetition gate, which previously hard-required text/doc_id."""
+    from ariadne_spark.api import corpus_card
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "several plain ordinary words in one body here"),
+            (1, "de", "spam spam spam spam spam spam spam spam"),
+        ],
+        "k long, sprache string, body string",
+    )
+    card = corpus_card(docs, text_col="body", lang_col="sprache", id_col="k")
+    assert "Documents: 2" in card
+    assert "Repetitive (Gopher gate): 1 (500 permille)" in card
+    assert "| de | 1 | 500 |" in card

@@ -157,3 +157,22 @@ def test_bloom_null_pk_rows_are_safe(spark, tmp_path):
     m = st.manifest("t")
     assert set(st.bloom_candidate_keys(m, "id", [1])) >= {"a"}
     assert st.read("t").count() == 3
+
+
+def test_bloom_rejects_bad_config(spark, tmp_path):
+    """Non-multiple-of-64 widths would silently drop high positions
+    (false negatives -> duplicate-pk corruption); non-int/string
+    columns break the python/Spark hash twins. Both refuse loudly."""
+    st = _store(spark, tmp_path)
+    with pytest.raises(AssertionError, match="multiple of 64"):
+        st.write_table(
+            _df(spark, _rows(20)), "t", key="grp",
+            bloom_cols=["id"], bloom_bits=100,
+        )
+    bdf = spark.createDataFrame(
+        [(True, "a", 1), (False, "b", 2)], "flag boolean, grp string, val long"
+    )
+    with pytest.raises(AssertionError, match="integral and"):
+        st.write_table(bdf, "t2", key="grp", bloom_cols=["flag"])
+    with pytest.raises(AssertionError, match="multiple of 64"):
+        bloom_positions(5, 100)
