@@ -498,3 +498,70 @@ def test_stateless_chunk_docs_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM chunk_out").collect()))
     want = sorted(map(tuple, chunk_docs(docs, chunk=64, stride=48).collect()))
     assert got == want and len(want) > 0
+
+
+def test_streaming_ivm_view_stays_current(spark, tmp_path):
+    """Streaming x IVM composition: a file stream of row-level upserts
+    drives merge_rows on the base table and a CDC refresh of its
+    aggregate view per micro-batch. After the stream drains, the view
+    equals a cold rebuild over the final base — the streaming analog of
+    the dashboard that never rescans its fact table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from ariadne_spark.operators.ivm import create_agg_view, refresh_agg_view
+    from ariadne_spark.store import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    base0 = [(i, ["en", "de", "fr"][i % 3], i * 10) for i in range(30)]
+    schema_str = "id long, grp string, val long"
+    st.write_table(spark.createDataFrame(base0, schema_str), "base", key="grp")
+    create_agg_view(st, "base", "v", "grp", ["val"])
+
+    # three upsert batches: an update, an insert in a new group, a move
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    batches = [
+        [(3, "en", 999)],
+        [(100, "zh", 7), (4, "de", 0)],
+        [(5, "fr", 55), (6, "en", 66)],
+    ]
+    for i, rows in enumerate(batches):
+        t = pa.table(
+            {
+                "id": [r[0] for r in rows],
+                "grp": [r[1] for r in rows],
+                "val": [r[2] for r in rows],
+            }
+        )
+        pq2.write_table(t, str(drop / f"b{i}.parquet"))
+
+    def on_batch(df, _bid):
+        rows = df.collect()  # micro-batches are upsert-sized by contract
+        if not rows:
+            return
+        ups = spark.createDataFrame(rows, schema_str)
+        st.merge_rows(ups, "base", pk="id")
+        refresh_agg_view(st, "base", "v", "grp", ["val"])
+
+    q = (
+        spark.readStream.schema(schema_str)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(500)
+    assert not q.isActive
+
+    st2 = SnapshotStore(spark, str(tmp_path / "cold"))
+    st2.write_table(st.read("base"), "base", key="grp")
+    create_agg_view(st2, "base", "v", "grp", ["val"])
+    a = {k: p["fingerprint"] for k, p in st.manifest("v").partitions.items()}
+    b = {k: p["fingerprint"] for k, p in st2.manifest("v").partitions.items()}
+    assert a == b
+    got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in st.read("v").collect()}
+    assert got["zh"] == (1, 7)
+    assert got["en"][0] == 10  # 10 en rows throughout (updates, no inserts)
