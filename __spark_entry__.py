@@ -1201,6 +1201,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ), "rollback did not restore the pre-update rowset"
         rows.append(("__lifecycle__", f"sid{sid0}->sid{sid1}", True))
 
+        # round-3 store additions ride in the same entry on a side
+        # table (bloom-located MOR delete -> CDC -> IVM refresh ->
+        # materialize), every law asserted in-entry:
+        side = spark.createDataFrame(
+            [(i, f"g{i % 4}", i * 10) for i in range(80)],
+            "id long, grp string, val long",
+        )
+        b0 = st.write_table(side, "side", key="grp", bloom_cols=["id"])
+        from ariadne_spark.operators.ivm import create_agg_view, refresh_agg_view
+
+        create_agg_view(st, "side", "side_v", "grp", ["val"])
+        b1 = st.delete_rows_mor(
+            spark.createDataFrame([(5,), (9,)], "id long"), "side", pk="id"
+        )
+        # tombstone commit rewrote nothing; reads hide the pks
+        assert st.manifest("side", b0).partitions == st.manifest("side", b1).partitions
+        assert st.read("side").count() == 78
+        # CDC sees the logical-only change (bloom-located)
+        cdc = sorted((r["change"], r["id"]) for r in st.read_changes("side", b0, b1).collect())
+        assert cdc == [("delete", 5), ("delete", 9)], cdc
+        # IVM refresh from the delta equals a cold rebuild
+        refresh_agg_view(st, "side", "side_v", "grp", ["val"])
+        got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in st.read("side_v").collect()}
+        exp = {}
+        for i in range(80):
+            if i in (5, 9):
+                continue
+            g = f"g{i % 4}"
+            n, s = exp.get(g, (0, 0))
+            exp[g] = (n + 1, s + i * 10)
+        assert got == exp, "IVM view diverged from the delta-applied truth"
+        # materialize folds tombstones physically and clears them
+        st.materialize_deletes("side")
+        assert not st.manifest("side").delete_files
+        assert st.read("side", _apply_deletes=False).count() == 78
+        rows.append(("__mor_cdc_ivm__", f"sid{b0}->sid{b1}", True))
+
         return spark.createDataFrame(rows, "table string, pk string, equal boolean")
 
     Q["x04_incremental_lifecycle"] = x04
