@@ -758,6 +758,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             fp.alias("fingerprint"),
             cells.morton_key(c8, bits=8).alias("morton"),
+            # Hilbert twin of the morton key (adjacency-preserving
+            # clustering; UDF side vs the DuckDB 8-level CTE chain —
+            # the curve law itself is exhaustively pinned in
+            # tests/test_foundations.py)
+            cells.hilbert_key(c8, order=8).alias("hilbert"),
             *sig,
             sim.cast("long").alias("simhash"),
         )
@@ -2820,14 +2825,17 @@ def oracle_sql() -> dict[str, str]:
             g AS ({geo}),
             c AS (SELECT doc_id, {cells.sql_cell_x('lon_u', 8)} AS x,
                          {cells.sql_cell_y('lat_u', 8)} AS y FROM g),
+            {cells.hilbert_sql_chain('c', 8)},
             s AS (SELECT doc_id, {mh},
                          CAST({sim_terms} AS BIGINT) AS simhash
                   FROM documents)
             SELECT t.doc_id, t.fingerprint,
                    ({" + ".join(f"((x >> {b}) & 1) * {1 << (2 * b + 1)} + ((y >> {b}) & 1) * {1 << (2 * b)}" for b in range(8))})
                        AS morton,
+                   __h8.hd AS hilbert,
                    s.mh0, s.mh1, s.mh2, s.mh3, s.simhash
             FROM t JOIN c ON t.doc_id = c.doc_id
+            JOIN __h8 ON t.doc_id = __h8.doc_id
             JOIN s ON t.doc_id = s.doc_id
         """,
         "q27_union_kinds": """

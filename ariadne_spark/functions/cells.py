@@ -28,6 +28,7 @@ cells land in the same shuffle partition ranges.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -209,3 +210,82 @@ def morton_key(cell: Column, bits: int = MAX_RES) -> Column:
     for t in terms[1:]:
         out = out + t
     return out.cast("long")
+
+
+def np_hilbert(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Hilbert-curve distance d for cell coords (x, y) on the
+    2^order x 2^order grid — the canonical xy2d (Wikipedia "Hilbert
+    curve", the N-1 rotation variant), vectorized. Unlike Morton,
+    CONSECUTIVE d values are always Manhattan-adjacent cells
+    (pytest-pinned exhaustively), so files clustered by d have strictly
+    better worst-case spatial locality than Z-order (no diagonal jumps
+    at quadrant boundaries)."""
+    n = 1 << order
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate: ry==0 -> (flip by n-1 when rx==1, then swap)
+        x0 = x
+        x = np.where(ry == 1, x, np.where(rx == 1, n - 1 - y, y))
+        y = np.where(ry == 1, y, np.where(rx == 1, n - 1 - x0, x0))
+        s >>= 1
+    return d
+
+
+def hilbert_key(cell: "Column", order: int = MAX_RES) -> "Column":
+    """Hilbert key of a packed cell as an Arrow-batched pandas UDF.
+
+    The 16-level rotation recurrence cannot unroll into one column
+    expression (projection collapse substitutes each level into the
+    next — exponential tree growth), so unlike `morton_key` this is a
+    vectorized UDF: one numpy pass per Arrow batch, no shuffle. The
+    DuckDB oracle twin (`hilbert_sql_chain`) expresses the same levels
+    as a LINEAR chain of CTEs, and `np_hilbert` is the python truth —
+    all three pinned equal in tests."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _h(cells_s: pd.Series) -> pd.Series:
+        c = cells_s.to_numpy(dtype=np.int64)
+        x = (c >> X_SHIFT) & XY_MASK
+        y = c & XY_MASK
+        return pd.Series(np_hilbert(x, y, order))
+
+    return _h(cell)
+
+
+def hilbert_sql_chain(
+    src: str, order: int, id_col: str = "doc_id",
+    x: str = "x", y: str = "y", out: str = "hd",
+) -> str:
+    """DuckDB twin of `np_hilbert` as a linear CTE chain: level i reads
+    level i-1's (x, y, d) — every expression in a SELECT sees the same
+    input row, so rx/ry are the pre-rotation values exactly like the
+    numpy pass. Returns the chain text; the final CTE is named
+    `__h{order}` with columns (id_col, {out})."""
+    n = 1 << order
+    parts = [f"__h0 AS (SELECT {id_col}, {x} AS hx, {y} AS hy, "
+             f"CAST(0 AS BIGINT) AS {out} FROM {src})"]
+    s = n >> 1
+    lvl = 0
+    while s > 0:
+        lvl += 1
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"__h{lvl} AS (SELECT {id_col}, "
+            f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {n - 1} - hy "
+            f"ELSE hy END AS hx, "
+            f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {n - 1} - hx "
+            f"ELSE hx END AS hy, "
+            f"{out} + {s * s} * xor(3 * {rx}, {ry}) AS {out} "
+            f"FROM __h{lvl - 1})"
+        )
+        s >>= 1
+    return ", ".join(parts)

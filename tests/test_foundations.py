@@ -156,3 +156,70 @@ class TestSynth:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+# ---------------------------------------------------------- hilbert curve
+
+def test_hilbert_is_canonical_curve():
+    """Exhaustive order-3: the 8x8 keys are a permutation of 0..63 and
+    walking them in key order steps exactly one cell at a time — THE
+    Hilbert property (Morton fails this at every quadrant boundary),
+    which is what buys strictly better file-clustering locality."""
+    import numpy as np
+
+    from ariadne_spark.functions.cells import np_hilbert, np_morton
+
+    xs, ys = np.meshgrid(np.arange(8), np.arange(8))
+    d = np_hilbert(xs.ravel(), ys.ravel(), 3)
+    assert sorted(d) == list(range(64))
+    order = np.argsort(d)
+    steps = (
+        np.abs(np.diff(xs.ravel()[order]))
+        + np.abs(np.diff(ys.ravel()[order]))
+    )
+    assert (steps == 1).all()
+    # morton, for contrast, jumps at quadrant seams
+    dm = np_morton(xs.ravel(), ys.ravel(), 3)
+    om = np.argsort(dm)
+    sm = np.abs(np.diff(xs.ravel()[om])) + np.abs(np.diff(ys.ravel()[om]))
+    assert (sm > 1).any()
+
+
+def test_hilbert_three_way_parity(spark):
+    """Spark UDF == DuckDB CTE chain == numpy on random cells."""
+    import duckdb
+    import numpy as np
+
+    from ariadne_spark.functions import cells
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n, order = 300, 8
+    xs = rng.integers(0, 1 << order, n)
+    ys = rng.integers(0, 1 << order, n)
+    exp = cells.np_hilbert(xs, ys, order)
+
+    df = spark.createDataFrame(
+        [(int(i), int(x), int(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "doc_id long, x long, y long",
+    )
+    packed = cells.pack_cell(F.lit(order), F.col("x"), F.col("y"))
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", cells.hilbert_key(packed, order=order).alias("h")
+        ).collect()
+    }
+    assert [got[i] for i in range(n)] == list(exp)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {int(x)}, {int(y)})" for i, (x, y) in enumerate(zip(xs, ys)))
+        + ") AS v(doc_id, x, y)"
+    )
+    chain = cells.hilbert_sql_chain("pts", order)
+    o = con.execute(f"WITH {chain} SELECT doc_id, hd FROM __h{order}").df()
+    duck = dict(zip(o["doc_id"].astype(int), o["hd"].astype(int)))
+    assert [duck[i] for i in range(n)] == list(exp)
