@@ -221,8 +221,8 @@ def np_hilbert(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
     better worst-case spatial locality than Z-order (no diagonal jumps
     at quadrant boundaries)."""
     n = 1 << order
-    x = x.astype(np.int64).copy()
-    y = y.astype(np.int64).copy()
+    x = x.astype(np.int64)  # astype copies; the loop may rebind freely
+    y = y.astype(np.int64)
     d = np.zeros_like(x)
     s = n >> 1
     while s > 0:
@@ -252,10 +252,17 @@ def hilbert_key(cell: "Column", order: int = MAX_RES) -> "Column":
 
     @pandas_udf(LongType())
     def _h(cells_s: pd.Series) -> pd.Series:
-        c = cells_s.to_numpy(dtype=np.int64)
+        # NULL cells propagate as NULL keys, matching morton_key's
+        # column-expression semantics (a NaN batch would otherwise
+        # fail the int64 conversion and kill the task)
+        na = cells_s.isna().to_numpy()
+        c = cells_s.fillna(0).to_numpy(dtype=np.int64)
         x = (c >> X_SHIFT) & XY_MASK
         y = c & XY_MASK
-        return pd.Series(np_hilbert(x, y, order))
+        out = pd.Series(np_hilbert(x, y, order), dtype="Int64")
+        if na.any():
+            out[na] = pd.NA
+        return out
 
     return _h(cell)
 
@@ -268,7 +275,9 @@ def hilbert_sql_chain(
     level i-1's (x, y, d) — every expression in a SELECT sees the same
     input row, so rx/ry are the pre-rotation values exactly like the
     numpy pass. Returns the chain text; the final CTE is named
-    `__h{order}` with columns (id_col, {out})."""
+    `__h{order}` and carries (id_col, hx, hy, {out}) — select {out}
+    explicitly rather than `SELECT *` (hx/hy are the fully-rotated
+    coordinates, not the inputs)."""
     n = 1 << order
     parts = [f"__h0 AS (SELECT {id_col}, {x} AS hx, {y} AS hy, "
              f"CAST(0 AS BIGINT) AS {out} FROM {src})"]

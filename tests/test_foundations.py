@@ -223,3 +223,20 @@ def test_hilbert_three_way_parity(spark):
     o = con.execute(f"WITH {chain} SELECT doc_id, hd FROM __h{order}").df()
     duck = dict(zip(o["doc_id"].astype(int), o["hd"].astype(int)))
     assert [duck[i] for i in range(n)] == list(exp)
+
+
+def test_hilbert_key_null_propagates(spark):
+    """NULL cells -> NULL keys (morton_key's semantics), not a task
+    failure from the int64 conversion."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions import cells
+
+    df = spark.createDataFrame([(1, 5), (2, None)], "id long, cell long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", cells.hilbert_key(F.col("cell"), order=4).alias("h")
+        ).collect()
+    }
+    assert got[2] is None and got[1] is not None

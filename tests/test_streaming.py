@@ -524,7 +524,7 @@ def test_streaming_ivm_view_stays_current(spark, tmp_path):
     batches = [
         [(3, "en", 999)],
         [(100, "zh", 7), (4, "de", 0)],
-        [(5, "fr", 55), (6, "en", 66)],
+        [(5, "zh", 55), (6, "en", 66)],  # id 5 MOVES fr -> zh
     ]
     for i, rows in enumerate(batches):
         t = pa.table(
@@ -563,5 +563,6 @@ def test_streaming_ivm_view_stays_current(spark, tmp_path):
     b = {k: p["fingerprint"] for k, p in st2.manifest("v").partitions.items()}
     assert a == b
     got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in st.read("v").collect()}
-    assert got["zh"] == (1, 7)
-    assert got["en"][0] == 10  # 10 en rows throughout (updates, no inserts)
+    assert got["zh"] == (2, 62)  # insert (100) + the moved id 5
+    assert got["fr"][0] == 9     # id 5 genuinely left fr
+    assert got["en"][0] == 10    # updates only, no membership change
