@@ -111,11 +111,19 @@ def _idivc(a: Column, b: Column) -> Column:
 
 def ws_token_count(text_col: str = "text") -> Column:
     """Whitespace-token count of a text column as pure column math
-    (length minus spaceless length plus one) — THE canonical token
-    expression, shared by the packer (materialize_training_run), the
-    entry queries, and api.corpus_card so their token totals can never
-    silently diverge. Counts single-space-separated words, the repo's
-    tokenizer convention throughout."""
+    (length minus spaceless length plus one) — the canonical token
+    expression for the packer (materialize_training_run), the entry
+    queries, and api.corpus_card, so THAT trio's token totals can never
+    silently diverge.
+
+    PRECONDITION (stated, tested in test_curation): the formula counts
+    separator-delimited fields, so it equals the split+filter(x != '')
+    tokenizer (used by surprisal_score / features._tokens /
+    bpe.word_freq_table) only on SINGLE-space-separated, non-empty,
+    no-leading/trailing-space text — the synth corpus convention. On
+    text with consecutive/edge spaces the two conventions legitimately
+    differ (this one counts empty fields; the split+filter one drops
+    them); pick per counter, don't mix within one total."""
     return (
         F.length(text_col)
         - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))

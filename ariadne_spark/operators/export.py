@@ -79,6 +79,17 @@ def export_record_shards(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ord", "key"], kind="mergesort")
+        # keys must be unique per shard: fetch_record resolves by key,
+        # so a duplicate would make later records unreachable — refuse
+        # loudly at export time rather than silently at read time
+        dup = pdf["key"].duplicated()
+        if dup.any():
+            raise ValueError(
+                f"export_record_shards: duplicate key "
+                f"{pdf['key'][dup].iloc[0]!r} in shard "
+                f"{int(pdf['shard'].iloc[0])} (keys must be unique per "
+                "shard for fetch_record by-key seeks)"
+            )
         parts, offsets, keys = [], [], []
         off = 0
         for key, meta, payload in zip(pdf["key"], pdf["meta"], pdf["payload"]):
@@ -140,9 +151,17 @@ def fetch_record(shard_row, key: str) -> tuple[str, str, bytes]:
     record by its index entry and slice it out — no scan of the blob.
     `shard_row` is a Row/dict with offsets, keys, blob (one shard is
     loader-local by design; cross-shard lookup is a normal filter on
-    the shards DataFrame first)."""
+    the shards DataFrame first). Keys are unique per shard
+    (export_record_shards enforces it); a missing key raises KeyError
+    naming the shard."""
     keys = list(shard_row["keys"])
-    i = keys.index(key)
+    try:
+        i = keys.index(key)
+    except ValueError:
+        raise KeyError(
+            f"key {key!r} not in shard {shard_row['shard']} "
+            f"({len(keys)} records)"
+        ) from None
     buf = bytes(shard_row["blob"])
     off = int(shard_row["offsets"][i])
     klen, mlen, plen = struct.unpack_from(_HDR_FMT, buf, off)

@@ -997,6 +997,15 @@ class SnapshotStore:
         commit) and retried — unless the competing commit changed the
         table schema, which surfaces `CommitConflict`."""
         prev_m = self.manifest(table)
+        assert prev_m is None or not prev_m.delete_files, (
+            f"{table} has outstanding merge-on-read delete files: "
+            "materialize_deletes first. A full re-snapshot replaces every "
+            "partition, so carrying the global tombstones forward would "
+            "silently hide re-inserted pks while dropping them would "
+            "silently resurrect erased ones — the same loud-guard contract "
+            "as merge_rows (GDPR-erasure discipline: tombstones are only "
+            "ever cleared by materializing them)."
+        )
         base_schema = prev_m.schema_json if prev_m else None
         df = self._conform(df, base_schema)
         schema_json = df.schema.json()
@@ -1249,18 +1258,32 @@ class SnapshotStore:
         commits (partition rewrite, then the metadata-only tombstone
         clear); a reader between them sees identical logical content
         (the rows are already physically gone, so the still-listed
-        tombstones filter nothing). Returns the final snapshot id."""
+        tombstones filter nothing). Returns the final snapshot id.
+
+        Concurrency: the clear commit rebases onto whatever is current,
+        so a writer that overwrote DISJOINT partitions between the two
+        commits composes fine — but an overwrite that re-introduced a
+        tombstoned pk into the rebased content would, if the clear
+        landed as-is, resurrect the pk without it ever being
+        materialized (a lost erasure). Before each clear attempt the
+        partitions changed since this call's rewrite are re-located
+        against the materialized pk set; any hit re-runs the rewrite
+        for just those partitions and re-validates. The clear commits
+        only against a state verified to physically exclude every pk
+        it stops filtering."""
         m = self.manifest(table)
         assert m is not None, f"table {table} has no snapshot"
         if not m.delete_files:
             return m.snapshot_id
         key = m.key
         assert key, f"table {table} has no partition key recorded"
+        materialized = list(m.delete_files)
         affected: set[str] = set()
-        for pk, dels in self._delete_pks(m.delete_files).items():
+        for pk, dels in self._delete_pks(materialized).items():
             affected |= self._locate_pk_partitions(
                 table, m.snapshot_id, key, pk, dels, m=m
             )
+        rewrite_sid = m.snapshot_id
         if affected:
             keys = sorted(affected)
             survivors = self._apply_delete_files(
@@ -1268,12 +1291,50 @@ class SnapshotStore:
                     table, snapshot_id=m.snapshot_id, keys=keys,
                     _apply_deletes=False,
                 ),
-                m.delete_files,
+                materialized,
             )
-            self.overwrite_partitions(survivors, table, key, keys=keys)
-        materialized = list(m.delete_files)
+            rewrite_sid = self.overwrite_partitions(survivors, table, key, keys=keys)
         for _ in range(COMMIT_RETRIES):
             cur = self.manifest(table)
+            if cur.snapshot_id != rewrite_sid:
+                # commits landed since this call's rewrite: an
+                # overwrite among them may physically contain a pk the
+                # clear below would stop filtering. Re-locate the
+                # materialized pks in exactly the changed partitions
+                # (raw read, O(changed) scan) and re-rewrite on a hit.
+                changed = [
+                    k
+                    for k in self.diff(table, rewrite_sid, cur.snapshot_id)
+                    if k in cur.partitions
+                ]
+                reaffected: set[str] = set()
+                if changed:
+                    raw = self.read(
+                        table, cur.snapshot_id, keys=changed,
+                        _apply_deletes=False,
+                    )
+                    for pk, dels in self._delete_pks(materialized).items():
+                        reaffected |= {
+                            str(r[0])
+                            for r in raw.select(key, pk)
+                            .join(F.broadcast(dels), pk, "left_semi")
+                            .select(key)
+                            .distinct()
+                            .collect()
+                        }
+                if reaffected:
+                    ks = sorted(reaffected)
+                    survivors = self._apply_delete_files(
+                        self.read(
+                            table, cur.snapshot_id, keys=ks,
+                            _apply_deletes=False,
+                        ),
+                        materialized,
+                    )
+                    rewrite_sid = self.overwrite_partitions(
+                        survivors, table, key, keys=ks
+                    )
+                    continue
             # subtract ONLY the entries this call folded in: a
             # concurrent delete_rows_mor may have appended new
             # tombstones since — resetting to None would silently

@@ -1217,3 +1217,34 @@ def test_surprisal_parallelism_invariant(spark):
         for r in surprisal_score(docs.repartition(13)).collect()
     }
     assert a == b and len(a) == 60
+
+
+def test_ws_token_count_convention_boundary(spark):
+    """Pins ws_token_count's stated precondition: it equals the
+    split+filter(x != '') tokenizer on single-space-separated,
+    non-empty, no-edge-space text, and diverges (by documented design:
+    it counts empty fields) on consecutive/edge spaces."""
+    from ariadne_spark.operators.curation import ws_token_count
+
+    rows = [
+        ("a b c", True),
+        ("hello", True),
+        ("the quick brown fox", True),
+        ("x  y", False),   # double space: ws=3 vs strict=2
+        (" lead", False),  # leading space: ws=2 vs strict=1
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = (
+        df.select(
+            "text",
+            ws_token_count("text").alias("ws"),
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).cast("long").alias("strict"),
+        )
+        .collect()
+    )
+    by_text = {r["text"]: (r["ws"], r["strict"]) for r in got}
+    for text, agree in rows:
+        ws, strict = by_text[text]
+        assert (ws == strict) == agree, (text, ws, strict)

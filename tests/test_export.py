@@ -156,3 +156,32 @@ def test_image_shard_roundtrip_preserves_payloads(spark, tmp_path):
     n_total = chk.count()
     n_bad = chk.where(F.col("rehash") != F.col("phash")).count()
     assert n_total == 96 and n_bad == 0
+
+
+def test_duplicate_key_in_shard_refused(spark):
+    """fetch_record resolves by key, so duplicate keys within one shard
+    would make later records unreachable — export refuses loudly."""
+    rows = [(0, 0, "same", b"a", ""), (0, 1, "same", b"b", "")]
+    df = spark.createDataFrame(
+        rows, "shard long, pos long, key string, payload binary, meta string"
+    )
+    from py4j.protocol import Py4JJavaError
+    import pyspark.errors
+
+    with pytest.raises(
+        (Py4JJavaError, pyspark.errors.PySparkException), match="duplicate key"
+    ):
+        export_record_shards(df, meta_col="meta").collect()
+    # same key in DIFFERENT shards is fine (keys are shard-scoped)
+    rows = [(0, 0, "same", b"a", ""), (1, 1, "same", b"b", "")]
+    df = spark.createDataFrame(
+        rows, "shard long, pos long, key string, payload binary, meta string"
+    )
+    assert export_record_shards(df, meta_col="meta").count() == 2
+
+
+def test_fetch_record_missing_key_names_shard(spark):
+    df = _records(spark, n=8)
+    row = export_record_shards(df, meta_col="meta").collect()[0]
+    with pytest.raises(KeyError, match=f"shard {row['shard']}"):
+        fetch_record(row, "no-such-key")

@@ -110,13 +110,60 @@ def test_tombstones_are_global_until_materialized(spark, tmp_path):
     assert 4 not in {r["id"] for r in st.read("t").collect()}
 
 
-def test_full_rewrite_clears_tombstones(spark, tmp_path):
+def test_full_rewrite_refuses_outstanding_tombstones(spark, tmp_path):
+    """A full re-snapshot with outstanding tombstones must refuse
+    loudly (same contract as merge_rows): silently clearing them would
+    resurrect erased pks; silently carrying them would hide re-inserted
+    ones. Materializing first makes the rewrite legal."""
     st = SnapshotStore(spark, str(tmp_path / "s"))
     st.write_table(_df(spark, _base_rows()), "t", key="grp")
     st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+    with pytest.raises(AssertionError, match="materialize_deletes"):
+        st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    # erasure intact, table untouched by the refused write
+    assert st.read("t").count() == 29
+    st.materialize_deletes("t")
     st.write_table(_df(spark, _base_rows()), "t", key="grp")
     assert not st.manifest("t").delete_files
     assert st.read("t").count() == 30
+
+
+def test_materialize_survives_concurrent_overwrite_reinsert(spark, tmp_path):
+    """The clear-commit race: a writer overwrites a tombstoned pk back
+    in BETWEEN materialize's partition-rewrite commit and its tombstone-
+    clear commit. The clear must detect the rebased content physically
+    contains the pk, re-rewrite, and never resurrect the erased row."""
+    root = str(tmp_path / "s")
+    st = SnapshotStore(spark, root)
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+
+    writer = SnapshotStore(spark, root)  # the concurrent writer
+    real_overwrite = SnapshotStore.overwrite_partitions
+    fired = {"n": 0}
+
+    def racy_overwrite(self, df, table, key, **kw):
+        sid = real_overwrite(self, df, table, key, **kw)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # land a competing commit in the rewrite->clear window that
+            # physically re-inserts the tombstoned pk into g1
+            g1 = [(i, "g1", i * 10) for i in range(30) if i % 3 == 1]
+            real_overwrite(writer, _df(spark, g1), "t", key="grp")
+        return sid
+
+    import unittest.mock as mock
+
+    with mock.patch.object(SnapshotStore, "overwrite_partitions", racy_overwrite):
+        st.materialize_deletes("t")
+    assert not st.manifest("t").delete_files
+    # the erasure held: pk 4 is gone both logically and physically
+    assert 4 not in {r["id"] for r in st.read("t").collect()}
+    assert 4 not in {
+        r["id"] for r in st.read("t", _apply_deletes=False).collect()
+    }
+    # and the rest of the concurrent overwrite's content survived
+    assert st.read("t").count() == 29
 
 
 def test_rollback_carries_and_resurrects(spark, tmp_path):
