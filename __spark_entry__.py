@@ -498,7 +498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # branches below (dense/fused/eval rows); an eager local
         # checkpoint materializes each ONCE (both are top-k-bounded:
         # n·3 and queries·3 rows) instead of re-running the block
-        # matmul / postings scan per branch — 6.2 s -> ~2 s at sf0.1
+        # matmul / postings scan per branch. Measured (round 4, sf0.1,
+        # local[32], bench.py's q21_split): the whole entry is
+        # ~5.7-6.8 s, of which ~5 s is exactly these two checkpoint
+        # builds (BM25 ~3 s on the deliberate all-stopword worst case +
+        # exact block matmul ~1.6 s, sequential) and each of the six
+        # kind branches then costs 0.05-0.4 s — i.e. the checkpoint
+        # converts 6 re-executions of the 5 s build into one. The
+        # round-3 in-code claim ("6.2 s -> ~2 s") overstated the win
+        # and is retracted; the entry's floor IS the build cost.
         dense_r = exact_topk(_t(spark, sf, "embeddings"), k=3).localCheckpoint()
         dense = dense_r.select(
             F.lit("dense").alias("kind"), "src", "dst", "dot_q", "rank"

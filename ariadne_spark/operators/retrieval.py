@@ -116,19 +116,30 @@ def bm25_topk(
     )
     term_set = qterms.select("term").distinct()
 
+    lit = lambda v: F.lit(int(v)).cast("long")
+
     # Only postings whose term some query mentions ever leave the map
     # side; df is counted AFTER this filter but over ALL docs of each
     # surviving term (the filter is term-complete), so it is exact.
-    cand = postings.join(F.broadcast(term_set), "term").withColumn(
-        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    matched = postings.join(F.broadcast(term_set), "term")
+    # df per term as a map-side-combinable aggregate + broadcast join,
+    # NOT Window.partitionBy(term): the window form hash-partitions the
+    # matched postings by term and sorts each partition — a stopword
+    # query term concentrates its entire postings list (millions of
+    # rows at corpus scale) on ONE task. The aggregate partial-combines
+    # per mapper and the result is bounded by |distinct query terms|,
+    # so it always broadcasts. The max_df stopword gate then prunes
+    # terms BEFORE the postings ever join anything wide.
+    dfs = (
+        matched.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(stats))
     )
-
-    lit = lambda v: F.lit(int(v)).cast("long")
-    cand = cand.crossJoin(F.broadcast(stats))
     if max_df_permille < 1000:
-        cand = cand.where(
+        dfs = dfs.where(
             F.col("df_t") * lit(1000) <= lit(max_df_permille) * F.col("n_docs")
         )
+    cand = matched.join(F.broadcast(dfs), "term")
     avgdl_m = _idivc(F.col("tot") * lit(1000), F.col("n_docs"))
     dlr_m = _idivc(F.col("dl") * lit(1_000_000), avgdl_m)
     norm_m = lit(1000 - b_milli) + _idivc(lit(b_milli) * dlr_m, lit(1000))

@@ -297,8 +297,16 @@ def test_bm25_plan_broadcasts_query_side_no_cartesian(spark):
         F.col("doc_id").alias("query_id"), "text"
     )
     p = plan(bm25_topk(docs, qs, k=3, exclude_self=True))
-    # formatted explain names each node twice (tree + details)
-    assert p.count("BroadcastHashJoin") == 4
+    # formatted explain names each node twice (tree + details).
+    # 4 physical BroadcastHashJoins: postings x term_set (twice — the
+    # df aggregate and the candidate branch each match terms), the
+    # per-term df broadcast join, and the (query, term) expansion. The
+    # round-3 plan computed df with Window.partitionBy(term) instead —
+    # one join fewer, but it concentrated every stopword term's whole
+    # postings list on one task; the aggregate+broadcast form is the
+    # skew-free plan. The single BroadcastNestedLoopJoin is the 1-row
+    # corpus-stats scalar.
+    assert p.count("BroadcastHashJoin") == 8
     assert p.count("BroadcastNestedLoopJoin") == 2  # 1-row stats only
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
