@@ -154,8 +154,9 @@ def dup_clusters(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
-    max_iters: int = 20,
-) -> DataFrame:
+    max_iters: int = 50,
+    return_rounds: bool = False,
+):
     """-> (doc_id, cluster_id): connected components over near-dup
     pairs, cluster_id = min doc id in the component — the step between
     pair generation (q18/q37/q38, `jaccard_neardup_banded`) and
@@ -163,67 +164,117 @@ def dup_clusters(
     duplicates (A~B, B~C) must land in ONE cluster even when (A,C) was
     never emitted as a pair.
 
-    Algorithm: level-synchronous min-label propagation to fixpoint —
-    labels start as each node's own id; every iteration each node takes
-    the min of its label and its neighbors' labels; stop when an
-    iteration changes nothing. Converges in O(component diameter)
-    iterations; near-dup components are dense (diameter 2-4 in
-    practice), so this terminates in a handful of rounds, each costing
-    one edge-sized join + one node-sized groupBy (both shuffles bounded
-    by |E| and |V|, never pairwise). `localCheckpoint` truncates plan
-    lineage per iteration — same pattern as `api.reach_counts`. At
-    extreme scale swap the iteration body for the large-star/small-star
-    rewrite (Kiveris et al., "Connected Components in MapReduce"); the
-    contract and the fixpoint test stay identical.
+    Algorithm: alternating large-star/small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log n) rounds on ANY topology, which matters at web scale because
+    duplicate families from templated/boilerplate text are often
+    chain-shaped: the round-3 min-label propagation needed O(component
+    diameter) rounds (thousands of driver-loop iterations on a long
+    path), while this converges on a 1000-node path in ~2·log2(n)
+    rounds (pinned in tests/test_dedup.py). Each round:
+
+    - large-star: every node links each LARGER neighbor to the minimum
+      of its neighborhood (incl. itself) — long chains fold onto local
+      minima in parallel;
+    - small-star: every node links its smaller-or-equal neighbors and
+      itself to the neighborhood minimum — stars flatten.
+
+    Both steps preserve connectivity and never raise any node's
+    reachable minimum; the fixpoint is the star set {(node, component
+    min)}. Convergence is detected by an order-independent edge-set
+    fingerprint (count + split xxhash64 sum — one tiny aggregate per
+    round); non-convergence within `max_iters` raises rather than
+    returning partial labels. Per-round cost: two edge-sized groupBy
+    joins, shuffles bounded by |E| — never pairwise, no per-term/
+    per-component concentration (each node's star is its own group).
+    `localCheckpoint` truncates plan lineage per round — same pattern
+    as `api.reach_counts`.
 
     Deterministic: min() is order-independent, so the labeling is
-    identical at any parallelism or cluster size.
+    identical at any parallelism or cluster size. Works on any
+    orderable id type (long or string).
+
+    `return_rounds=True` additionally returns the number of
+    large+small rounds executed (for convergence tests).
 
     Reference analog: resolving transitive re-export chains to their
     origin definition — `packages/core/src/resolve_references/
     registries/export.ts:319+` (`resolve_export_chain` follows edges to
     a fixpoint and every alias maps to one canonical symbol).
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    # edge invariant throughout: stored once as (x, y) with y < x
+    E = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("x"),
+            F.least(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
         .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nl"))
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        h = F.xxhash64("x", "y")
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.shiftrightunsigned(h, 32)).alias("hi"),
+            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+        ).collect()[0]
+        return (r["n"], r["hi"], r["lo"])
+
+    prev = _fingerprint(E)
+    rounds = 0
+    converged = prev[0] == 0  # no edges: already the (empty) fixpoint
+    while not converged and rounds < max_iters:
+        # large-star: symmetric closure keyed by u; every neighbor
+        # v > u re-links to m = min(Γ(u) ∪ {u}) (≤ u < v, so the
+        # y < x invariant is preserved and no self-loop can appear)
+        sym = E.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+            E.select(F.col("y").alias("u"), F.col("x").alias("v"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # small-star: keyed by the larger endpoint u; its smaller
+        # neighbors N (all y of its edges) and u itself re-link to
+        # m = min(N) (< u); drop the self-loop (m, m)
+        mins2 = large.groupBy("x").agg(F.min("y").alias("m"))
+        E = (
+            large.join(mins2, "x")
+            .where(F.col("y") != F.col("m"))
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+            .unionByName(mins2.select(F.col("x"), F.col("m").alias("y")))
+            .distinct()
+            .localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        rounds += 1
+        cur = _fingerprint(E)
+        converged = cur == prev
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} "
+            "large-star/small-star rounds (expected ~2*log2(n))"
+        )
+    # fixpoint is a star set: non-roots appear exactly once as x
+    # (pointing at the component min), roots only as y
+    labels = (
+        E.select(F.col("x").alias("doc_id"), F.col("y").alias("cluster_id"))
+        .unionByName(
+            E.select(F.col("y").alias("doc_id"), F.col("y").alias("cluster_id"))
+        )
+        .distinct()
+    )
+    return (labels, rounds) if return_rounds else labels
 
 
 def canonicalize(

@@ -346,3 +346,38 @@ def test_delta_neardup_probe_side_is_the_delta(spark):
     assert out.count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dup_clusters_chain_converges_in_log_rounds(spark):
+    """The scale property that motivated the large-star/small-star
+    rewrite: a PATH graph (the chain-shaped duplicate-family worst
+    case, e.g. templated text) has diameter n, so the old min-label
+    propagation needed ~n rounds; star contraction must finish in
+    O(log n). 1000-node path: assert rounds <= 2*log2(n) + 4 and the
+    labeling still equals union-find."""
+    import math
+
+    from ariadne_spark.operators.dedup import dup_clusters
+
+    n = 1000
+    rows = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(rows, "a long, b long")
+    labels, rounds = dup_clusters(pairs, return_rounds=True)
+    bound = 2 * math.log2(n) + 4
+    assert rounds <= bound, f"{rounds} rounds > {bound} on a {n}-path"
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dup_clusters_string_ids(spark):
+    """Callers pass string ids (image_id); min-id labeling must hold
+    under lexicographic order too."""
+    from ariadne_spark.operators.dedup import dup_clusters
+
+    rows = [("img3", "img1"), ("img1", "img2"), ("img9", "img8")]
+    pairs = spark.createDataFrame(rows, "a string, b string")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {
+        "img1": "img1", "img2": "img1", "img3": "img1",
+        "img8": "img8", "img9": "img8",
+    }
