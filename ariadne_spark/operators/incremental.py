@@ -119,8 +119,9 @@ class SpatialPipeline:
         self.knn_k = knn_k
         self.max_hamming = max_hamming
         self.knn_res = knn_res
-        # 'auto' = histogram-driven salt per run (skew.choose_salt);
-        # results are salt-invariant (tests/test_skew.py)
+        # 'auto' = data-decided salt per run (skew.choose_salt_distributed,
+        # one scalar to the driver); results are salt-invariant
+        # (tests/test_skew.py)
         self.knn_salt = knn_salt
 
     # -- helpers -----------------------------------------------------------

@@ -112,9 +112,11 @@ def knn_edges(
     physical only: the result rows are identical (asserted in
     tests/test_operators.py)."""
     if salt == "auto":
-        from .skew import cell_histogram, choose_salt
+        from .skew import choose_salt_distributed
 
-        salt = choose_salt(cell_histogram(images, res), salt_target_rows)
+        # in-plan max-bucket aggregate; ONE scalar row to the driver
+        # (the round-3 form collected the whole cell histogram)
+        salt = choose_salt_distributed(images, res, salt_target_rows)
 
     def prep(df: DataFrame) -> DataFrame:
         base = df.select(

@@ -119,29 +119,36 @@ def test_salted_knn_equals_unsalted(spark, images_df):
     assert auto == plain
 
 
-def test_adaptive_split_clamps_driver_histogram(spark, images_df):
-    """Requesting max_res beyond HIST_RES_CAP must NOT collect a
-    4^max_res-sized histogram: the refinement floor clamps to the cap
-    (the knn.py res>10 guard's analog), so max_res=12 produces exactly
-    the same assignment as max_res=HIST_RES_CAP — and the collected
-    histogram the driver saw is the bounded res-10 one."""
-    from ariadne_spark.operators.skew import HIST_RES_CAP
+def test_adaptive_split_max_res_14_no_driver_dependency(spark, images_df, images_np):
+    """The round-4 contract: the split decision is computed in-plan, so
+    a max_res=14 request works with NO driver-size dependency (the
+    round-3 version collected the floor histogram and clamped at res
+    10). Assignment must match the per-row numpy oracle at the full
+    requested depth, and keys finer than res 10 must actually appear
+    when the fixture's hotspots stay dense that deep."""
+    meta = images_df.drop("bytes")
+    got = {
+        r["image_id"]: r["split_cell"]
+        for r in adaptive_split(meta, BASE_RES, 14, THRESHOLD)
+        .select("image_id", "split_cell")
+        .collect()
+    }
+    exp = oracle_split(
+        images_np["lon_u"], images_np["lat_u"], BASE_RES, 14, THRESHOLD
+    )
+    for i, img_id in enumerate(images_np["image_id"]):
+        assert got[img_id] == exp[i], img_id
+
+
+def test_choose_salt_distributed_matches_dict_form(spark, images_df):
+    """The in-plan salt decision (one scalar row to the driver) equals
+    the dict-based twin over the collected histogram, at several
+    resolutions and targets."""
+    from ariadne_spark.operators.skew import choose_salt_distributed
 
     meta = images_df.drop("bytes")
-    wild = {
-        r["image_id"]: r["split_cell"]
-        for r in adaptive_split(meta, BASE_RES, 12, THRESHOLD)
-        .select("image_id", "split_cell")
-        .collect()
-    }
-    capped = {
-        r["image_id"]: r["split_cell"]
-        for r in adaptive_split(meta, BASE_RES, HIST_RES_CAP, THRESHOLD)
-        .select("image_id", "split_cell")
-        .collect()
-    }
-    assert wild == capped
-    # no key finer than the cap exists
-    assert all(
-        (v >> cells.RES_SHIFT) <= HIST_RES_CAP for v in wild.values()
-    )
+    for res, target in ((4, 300), (5, 300), (5, 50), (6, 10_000)):
+        hist = cell_histogram(meta, res)
+        assert choose_salt_distributed(meta, res, target) == choose_salt(
+            hist, target
+        ), (res, target)
