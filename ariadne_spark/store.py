@@ -336,10 +336,10 @@ class CommitBackend:
 
     Mirrors the reference's persistence seam
     (`packages/core/src/persistence/storage.ts`,
-    `file_system_storage.ts:1-100`): the snapshot protocol is written
-    against exactly TWO primitives, so the commit medium can change
-    (local FS today, object store at 100 TB) without touching any
-    snapshot/manifest logic:
+    `file_system_storage.ts:1-100`): ALL of the snapshot protocol's
+    metadata I/O goes through this interface, so the commit medium can
+    change (local FS today, object store at 100 TB) without touching
+    any snapshot/manifest logic. Write primitives:
 
     - ``create_exclusive(path, content) -> bool`` — the commit CAS: of
       any number of concurrent writers racing to create ``path``,
@@ -353,16 +353,44 @@ class CommitBackend:
       temp+rename on POSIX; a plain PUT on any object store (object
       PUTs are atomic per key).
 
+    Read-side primitives (every object store provides these; the
+    protocol's correctness assumes read-after-write consistency per
+    KEY — S3/GCS/ABFS all guarantee it — but only BOUNDED-staleness
+    for ``list_names``, which the HEAD cache + forward probe in
+    `current_snapshot_id` is designed around):
+
+    - ``read_text(path) -> str`` — GET; raises FileNotFoundError when
+      absent.
+    - ``exists(path) -> bool`` — HEAD.
+    - ``list_names(dirpath) -> list[str]`` — LIST by prefix, returning
+      basenames; MAY lag recent puts (eventual list consistency).
+    - ``remove(path)`` — DELETE (idempotent on missing keys).
+
     Data files are parquet written by Spark under unique version dirs
     and referenced only via committed manifests, so they need nothing
     beyond what Spark's Hadoop/S3A committers already provide —
     orphaned files from losing writers are invisible and reclaimable.
+    The lineage log (`lineage.jsonl`) is a local observability sidecar,
+    not part of the commit protocol (a cluster deployment would ship it
+    to a log table).
     """
 
     def create_exclusive(self, path: str, content: str) -> bool:
         raise NotImplementedError
 
     def write_advisory(self, path: str, content: str) -> None:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_names(self, dirpath: str) -> list[str]:
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
         raise NotImplementedError
 
 
@@ -376,6 +404,25 @@ class PosixCommitBackend(CommitBackend):
 
     def write_advisory(self, path: str, content: str) -> None:
         _atomic_write(path, content)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list_names(self, dirpath: str) -> list[str]:
+        try:
+            return sorted(os.listdir(dirpath))
+        except FileNotFoundError:
+            return []
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 class SnapshotStore:
@@ -411,18 +458,24 @@ class SnapshotStore:
         advisory HEAD cache and probing FORWARD past any commits whose
         cache update was lost (crash between manifest create and cache
         write, or two writers' cache writes landing out of order). With
-        no cache (fresh copy of an old store) fall back to a dir scan."""
+        no cache (fresh copy of an old store) fall back to a listing —
+        and probe forward from ITS max too, because object-store
+        listings may lag recent puts (eventual list consistency);
+        per-key exists() is read-after-write consistent, so the probe
+        always lands on the true head as long as the listing surfaces
+        at least one manifest."""
         head = self._head_path(table)
         sid: int | None = None
-        if os.path.exists(head):
-            with open(head) as fh:
-                txt = fh.read().strip()
+        if self.backend.exists(head):
+            txt = self.backend.read_text(head).strip()
             if txt:
                 sid = int(txt)
         if sid is None:
             ids = self.snapshot_ids(table)
-            return ids[-1] if ids else None
-        while os.path.exists(self._manifest_path(table, sid + 1)):
+            if not ids:
+                return None
+            sid = ids[-1]
+        while self.backend.exists(self._manifest_path(table, sid + 1)):
             sid += 1
         return sid
 
@@ -452,16 +505,19 @@ class SnapshotStore:
         sid = self._resolve_sid(table, snapshot_id)
         if sid is None:
             return None
-        with open(self._manifest_path(table, sid)) as fh:
-            return Manifest.from_json(fh.read())
+        return Manifest.from_json(
+            self.backend.read_text(self._manifest_path(table, sid))
+        )
 
     def snapshot_ids(self, table: str) -> list[int]:
-        """All snapshot ids with a manifest on disk (ascending). Every
-        manifest is committed (creation IS the commit), so the max is
-        always the current snapshot."""
+        """All snapshot ids the backend LISTS a manifest for
+        (ascending). Every manifest is committed (creation IS the
+        commit); note an object-store listing may lag the newest
+        commits, which is why `current_snapshot_id` forward-probes
+        past the max with per-key exists()."""
         return sorted(
             int(f.rsplit(".", 2)[-2])
-            for f in os.listdir(f"{self.root}/manifests")
+            for f in self.backend.list_names(f"{self.root}/manifests")
             if f.startswith(f"{table}.") and f.endswith(".json")
         )
 
@@ -482,7 +538,7 @@ class SnapshotStore:
         pointers, not branches). Returns the pinned snapshot id."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
         assert sid is not None, f"table {table} has no snapshot"
-        assert os.path.exists(self._manifest_path(table, sid)), (
+        assert self.backend.exists(self._manifest_path(table, sid)), (
             f"no snapshot {sid} for {table}"
         )
         assert name not in self.branches(table), (
@@ -496,14 +552,15 @@ class SnapshotStore:
         """name -> snapshot id for every tag on the table."""
         prefix = f"{table}.tag."
         out = {}
-        for f in os.listdir(f"{self.root}/manifests"):
+        for f in self.backend.list_names(f"{self.root}/manifests"):
             if f.startswith(prefix):
-                with open(f"{self.root}/manifests/{f}") as fh:
-                    out[f[len(prefix):]] = int(fh.read().strip())
+                out[f[len(prefix):]] = int(
+                    self.backend.read_text(f"{self.root}/manifests/{f}").strip()
+                )
         return out
 
     def drop_tag(self, table: str, name: str) -> None:
-        os.remove(self._tag_path(table, name))
+        self.backend.remove(self._tag_path(table, name))
 
     # -- branches ------------------------------------------------------------
 
@@ -524,7 +581,7 @@ class SnapshotStore:
         `expire_snapshots` like tagged ones."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
         assert sid is not None, f"table {table} has no snapshot"
-        assert os.path.exists(self._manifest_path(table, sid)), (
+        assert self.backend.exists(self._manifest_path(table, sid)), (
             f"no snapshot {sid} for {table}"
         )
         assert name not in self.tags(table), (
@@ -537,29 +594,45 @@ class SnapshotStore:
         return sid
 
     def branches(self, table: str) -> dict[str, int]:
-        """name -> snapshot id of every branch's CURRENT version."""
+        """name -> snapshot id of every branch's CURRENT version. The
+        chained version files are create-only, so like commits they are
+        found by listing + a per-key forward probe past any versions a
+        stale listing misses."""
         prefix = f"{table}.branch."
         latest: dict[str, int] = {}
-        out: dict[str, int] = {}
-        for f in os.listdir(f"{self.root}/manifests"):
+        for f in self.backend.list_names(f"{self.root}/manifests"):
             if not f.startswith(prefix):
                 continue
             name, _, ver = f[len(prefix):].rpartition(".")
             v = int(ver)
             if name not in latest or v > latest[name]:
                 latest[name] = v
-                with open(f"{self.root}/manifests/{f}") as fh:
-                    out[name] = int(fh.read().strip())
+        out: dict[str, int] = {}
+        for name, v in latest.items():
+            while self.backend.exists(self._branch_prefix(table, name) + str(v + 1)):
+                v += 1
+            out[name] = int(
+                self.backend.read_text(
+                    self._branch_prefix(table, name) + str(v)
+                ).strip()
+            )
         return out
 
     def _branch_version(self, table: str, name: str) -> int | None:
         prefix = f"{table}.branch.{name}."
         vs = [
             int(f[len(prefix):])
-            for f in os.listdir(f"{self.root}/manifests")
+            for f in self.backend.list_names(f"{self.root}/manifests")
             if f.startswith(prefix)
         ]
-        return max(vs) if vs else None
+        # version files are dense from 0, so a stale listing (even one
+        # that has not surfaced the branch at all yet) is only a probe
+        # START point: forward per-key exists() — read-after-write
+        # consistent on every store — always lands on the true version
+        v = max(vs) if vs else -1
+        while self.backend.exists(self._branch_prefix(table, name) + str(v + 1)):
+            v += 1
+        return v if v >= 0 else None
 
     def move_branch(self, table: str, name: str, snapshot_id: int) -> None:
         """Re-point a branch (Iceberg fast-forward / `replace branch`):
@@ -570,7 +643,7 @@ class SnapshotStore:
         retry contract."""
         cur = self._branch_version(table, name)
         assert cur is not None, f"no branch {name!r} on {table}"
-        assert os.path.exists(self._manifest_path(table, snapshot_id)), (
+        assert self.backend.exists(self._manifest_path(table, snapshot_id)), (
             f"no snapshot {snapshot_id} for {table}"
         )
         if not self.backend.create_exclusive(
@@ -582,9 +655,9 @@ class SnapshotStore:
 
     def drop_branch(self, table: str, name: str) -> None:
         prefix = f"{table}.branch.{name}."
-        for f in sorted(os.listdir(f"{self.root}/manifests")):
+        for f in self.backend.list_names(f"{self.root}/manifests"):
             if f.startswith(prefix):
-                os.remove(f"{self.root}/manifests/{f}")
+                self.backend.remove(f"{self.root}/manifests/{f}")
 
     def write_audit_publish(
         self,
@@ -619,14 +692,21 @@ class SnapshotStore:
         None (current). Tags and branches share one name namespace
         (creation asserts disjointness); tags resolve first."""
         if isinstance(snapshot_id, str):
-            t = self.tags(table)
-            if snapshot_id in t:
-                return t[snapshot_id]
-            b = self.branches(table)
-            assert snapshot_id in b, (
+            # direct key probes first (read-after-write consistent), so
+            # a just-created tag/branch resolves even while the
+            # enumeration listing still lags it
+            tp = self._tag_path(table, snapshot_id)
+            if self.backend.exists(tp):
+                return int(self.backend.read_text(tp).strip())
+            v = self._branch_version(table, snapshot_id)
+            assert v is not None, (
                 f"no tag or branch {snapshot_id!r} on {table}"
             )
-            return b[snapshot_id]
+            return int(
+                self.backend.read_text(
+                    self._branch_prefix(table, snapshot_id) + str(v)
+                ).strip()
+            )
         return snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
 
     def rollback(self, table: str, snapshot_id: int) -> int:
@@ -734,7 +814,7 @@ class SnapshotStore:
                 removed.append(vdir)
         for s in sids:
             if s not in keep:
-                os.remove(self._manifest_path(table, s))
+                self.backend.remove(self._manifest_path(table, s))
         # refresh the advisory cache: a stale cache pointing below the
         # kept tail would break the forward probe across expired ids
         self.backend.write_advisory(self._head_path(table), str(head))

@@ -46,3 +46,34 @@ def popcount64(a: np.ndarray) -> np.ndarray:
     """Vectorized popcount for int64 arrays (oracle-side)."""
     v = a.astype(np.uint64).view(np.uint8).reshape(*a.shape, 8)
     return np.unpackbits(v, axis=-1).sum(axis=-1).astype(np.int64)
+
+
+@pytest.fixture(params=["posix", "objstore"], ids=["posix", "objstore"])
+def backend_matrix(request, monkeypatch):
+    """Runs the using module's tests on BOTH CommitBackend media: the
+    POSIX default (hard-link CAS + temp-rename) and the object-store-
+    semantics backend (conditional PUT only — no rename, no hard
+    links, eventual list consistency). Applied module-wide via
+    `pytestmark = pytest.mark.usefixtures("backend_matrix")` in the
+    store concurrency-matrix modules (test_mor / test_zonemap /
+    test_bloom); backend-specific crash/race injections live in
+    test_objectstore.py / test_incremental.py."""
+    if request.param == "objstore":
+        import ariadne_spark.store as store_mod
+        from ariadne_spark import object_backend as ob
+
+        orig = store_mod.SnapshotStore.__init__
+
+        def init(self, spark, root, backend=None):
+            orig(
+                self,
+                spark,
+                root,
+                backend if backend is not None else ob.ObjectStoreCommitBackend(),
+            )
+
+        monkeypatch.setattr(store_mod.SnapshotStore, "__init__", init)
+        yield request.param
+        ob.reset_object_store()
+    else:
+        yield request.param

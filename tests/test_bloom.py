@@ -6,6 +6,9 @@ fingerprint."""
 
 import pytest
 
+# every test in this module runs on BOTH commit backends
+pytestmark = pytest.mark.usefixtures("backend_matrix")
+
 from ariadne_spark.store import SnapshotStore, bloom_positions
 
 

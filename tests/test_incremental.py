@@ -738,6 +738,20 @@ def test_commit_backend_seam_cas_win_lose(spark, tmp_path_factory):
             self.advisory.append(path)
             self.inner.write_advisory(path, content)
 
+        # read primitives pass straight through — only the write side
+        # is what this test records
+        def read_text(self, path):
+            return self.inner.read_text(path)
+
+        def exists(self, path):
+            return self.inner.exists(path)
+
+        def list_names(self, dirpath):
+            return self.inner.list_names(dirpath)
+
+        def remove(self, path):
+            self.inner.remove(path)
+
     be = RecordingBackend()
     store = SnapshotStore(spark, str(tmp / "s"), backend=be)
     store.write_table(mk([("a", 1), ("b", 2)]), "t", "pk")  # sid 0

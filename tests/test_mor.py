@@ -8,6 +8,9 @@ documented global-tombstone contract."""
 import os
 
 import pytest
+
+# every test in this module runs on BOTH commit backends
+pytestmark = pytest.mark.usefixtures("backend_matrix")
 from pyspark.sql import functions as F
 
 from ariadne_spark.store import SnapshotStore

@@ -14,6 +14,9 @@ pruning must be an optimization only, never a semantics change.
 import pyspark.sql.functions as F
 import pytest
 
+# every test in this module runs on BOTH commit backends
+pytestmark = pytest.mark.usefixtures("backend_matrix")
+
 from ariadne_spark.store import (
     SnapshotStore,
     _stat_lower,
