@@ -1564,6 +1564,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+        # REAL baseline JPEG roundtrip gate (functions/jpeg.py — spec
+        # DCT+Huffman interchange streams, not the fjpg stand-in): a
+        # deterministic 1-in-40 sample of the corpus migrates through
+        # encode_jpeg/decode_jpeg at 4:4:4 q98; violations = any row
+        # below the 40 dB PSNR gate, with a bad container magic, or
+        # with changed dims. Golden hand-assembled-fixture oracles live
+        # in tests/test_jpeg.py.
+        from ariadne_spark.operators.decode import jpeg_real_roundtrip
+
+        jsample = images.where(
+            F.regexp_extract("image_id", r"(\d+)$", 1).cast("long") % 40 == 0
+        )
+        jrt = (
+            jpeg_real_roundtrip(jsample, quality=98)
+            .groupBy("fmt")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        (F.col("psnr") < 40.0)
+                        | ~F.col("container_ok")
+                        | ~F.col("dims_ok"),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_pixel_violations"),
+                F.min("psnr").alias("min_psnr"),
+            )
+            .select(
+                F.lit("jpeg_real").alias("stage"), "fmt",
+                F.col("n_rows").cast("long"),
+                F.col("n_pixel_violations").cast("long"),
+                F.lit(0).cast("long").alias("n_caption_violations"),
+                F.lit(0).cast("long").alias("n_phash_violations"),
+                F.col("min_psnr").cast("double"),
+            )
+        )
+
         out = (
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
@@ -1574,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(bat)
             .unionByName(ag)
             .unionByName(pfp)
+            .unionByName(jrt)
         )
         bad = out.where(
             (F.col("n_pixel_violations") > 0)

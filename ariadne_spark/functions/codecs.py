@@ -7,11 +7,16 @@ image libraries (no PIL), so the engine ships:
 
 - a real, minimal PNG codec (RGB8, filter 0, zlib) — fully lossless and
   deterministic; readable by any standard PNG tool;
-- a clearly-marked DETERMINISTIC FAKE lossy codec for the 'jpeg' format
-  tag ("FJPG"): 4x uniform quantization + zlib. It is NOT a real JPEG —
-  it is a stand-in that exercises the lossy path with a known error
-  bound (center-quantized, max |err| 2 -> PSNR ≈ 46 dB > 40 dB gate).
-  Swap `encode_fjpg/decode_fjpg` for a real JPEG lib in production;
+- a REAL baseline JPEG/JFIF codec under the 'jpeg' tag (functions/
+  jpeg.py: Annex-K DCT + Huffman, 4:2:0 and 4:4:4) — standards-
+  conforming interchange format; swap for a native libjpeg binding via
+  `register_codec` when throughput matters;
+- a clearly-marked DETERMINISTIC FAKE lossy codec under the 'fjpg' tag:
+  4x uniform quantization + zlib. It is NOT a real JPEG — it is the
+  bench stand-in whose O(n) numpy decode keeps the 2M-image synthetic
+  corpus decodable at bench speed with a known error bound (center-
+  quantized, max |err| 2 -> PSNR ≈ 46 dB > 40 dB gate); the real
+  entropy stage is a per-coefficient loop ~100x slower per image;
 - a real 24-bit BMP codec (uncompressed BI_RGB) — lossless, standard.
 
 Formats dispatch through the CODECS registry keyed by `fmt` (the
@@ -126,9 +131,22 @@ def decode_bmp(data: bytes) -> np.ndarray:
 # (`docs/ARCHITECTURE.md:53-55`, capture handlers at
 # `query_code_tree/capture_handlers/capture_handlers.{lang}.ts`): new
 # formats plug in via `register_codec` without touching dispatch.
+def _encode_jpeg_default(px: np.ndarray) -> bytes:
+    from .jpeg import encode_jpeg
+
+    return encode_jpeg(px, quality=95, subsample="420")
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(data)
+
+
 CODECS: dict[str, tuple] = {
     "png": (encode_png, decode_png),
-    "jpeg": (encode_fjpg, decode_fjpg),
+    "jpeg": (_encode_jpeg_default, _decode_jpeg),
+    "fjpg": (encode_fjpg, decode_fjpg),
     "bmp": (encode_bmp, decode_bmp),
 }
 

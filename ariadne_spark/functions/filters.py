@@ -47,6 +47,7 @@ HOLDOUT_TEXT_MARKERS: dict[str, str] = {
 HOLDOUT_CAPTION_MARKERS: dict[str, str] = {
     "png": "zephyr",
     "jpeg": "nebula",
+    "fjpg": "nebula",  # synth stand-in tag shares the jpeg marker
 }
 
 FRAMEWORK_ID_MOD = 100  # round ids ≅ dunder names: framework-invoked

@@ -1,0 +1,577 @@
+"""Real baseline JPEG (JFIF) codec — pure numpy + stdlib.
+
+This container ships no image libraries, so the engine implements the
+ISO/IEC 10918-1 baseline sequential process directly: 8x8 FDCT/IDCT as
+orthonormal matrix products, Annex K quantization tables with IJG
+quality scaling, Annex K "typical" Huffman tables, 4:4:4 and 4:2:0
+chroma subsampling, JFIF headers, byte stuffing, and restart markers
+(decode side). Every structural element follows the public spec, so
+the encoder's output is a standards-conforming interchange JPEG and
+the decoder reads baseline JPEGs produced elsewhere (progressive SOF2
+raises NotImplementedError loudly).
+
+Scale posture: the DCT/quantization stages are vectorized across all
+blocks of an image at once; the entropy stage is a per-coefficient
+Python loop, which is fine inside Arrow-batched UDFs for the
+correctness path but is NOT the 2M-image bench hot path — the synth
+bench corpus deliberately uses the 'fjpg' stand-in codec so round-
+over-round decode throughput stays comparable (see codecs.py). A
+production deployment swaps this module for a native libjpeg binding
+via `register_codec` without touching any operator.
+
+Reference analog: the per-language tree-sitter parse stage
+(`packages/core/src/project/project.ts:63-101`) — here the "grammar"
+is the JPEG interchange format itself.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# constant tables (ISO 10918-1 Annex K — public spec)
+# --------------------------------------------------------------------------
+
+# K.1 luminance / K.2 chrominance base quantization tables (raster order)
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# K.3–K.6 typical Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag() -> np.ndarray:
+    """Raster index of the k-th coefficient in zigzag scan order.
+    Generated, not transcribed: diagonal s = r+c ascending; odd
+    diagonals run top-right -> bottom-left (row ascending), even ones
+    the reverse — the spec's Figure 5 traversal."""
+    cells = [(r, c) for r in range(8) for c in range(8)]
+    cells.sort(key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]))
+    return np.array([r * 8 + c for r, c in cells], dtype=np.int64)
+
+
+ZIG = _zigzag()
+
+# orthonormal 8-point DCT-II matrix: T @ block @ T.T is exactly the
+# spec's FDCT (A.3.3) and T.T @ coef @ T its IDCT
+_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _T[_k, _n] = np.sqrt((1 if _k else 0.5) / 4.0) * np.cos(
+            (2 * _n + 1) * _k * np.pi / 16.0
+        )
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (public libjpeg convention): 1..100 ->
+    (luma, chroma) tables, every entry clamped to [1, 255]."""
+    q = int(quality)
+    assert 1 <= q <= 100, "quality must be in 1..100"
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    mk = lambda base: np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)  # noqa: E731
+    return mk(QT_LUMA), mk(QT_CHROMA)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (spec C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+ENC_DC = (_build_codes(DC_LUMA_BITS, DC_LUMA_VALS), _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+ENC_AC = (_build_codes(AC_LUMA_BITS, AC_LUMA_VALS), _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _csize(v: int) -> int:
+    """Coefficient magnitude category (spec F.1.2.1.1)."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (H//8 * W//8, 8, 8) in raster block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _deblockify(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    return blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _quant_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(H,W) plane -> (nblocks, 64) quantized coefficients in ZIGZAG
+    order — DCT + quantization fully vectorized across blocks."""
+    blocks = _blockify(plane) - 128.0
+    coefs = _T @ blocks @ _T.T
+    q = np.rint(coefs / qt.astype(np.float64)).astype(np.int64)
+    # baseline range limit (spec F.1.2): coefficients are 11-bit-
+    # magnitude at most; without this an all-black block at quality
+    # 100 (DC = -1024) has no Huffman size category
+    q = np.clip(q, -1023, 1023)
+    return q.reshape(-1, 64)[:, ZIG]
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_tbl, ac_tbl) -> int:
+    """Huffman-encode one block (zigzag coefficients); returns new DC
+    predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _csize(diff)
+    code, ln = dc_tbl[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _csize(v)
+        code, ln = ac_tbl[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tbl[0x00]  # EOB
+        w.put(code, ln)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 95, subsample: str = "420") -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes. `subsample` is '420'
+    (2x2 chroma, the interchange default) or '444' (no subsampling —
+    use with quality >= 97 when a tight PSNR bound matters: box-
+    averaged chroma is irreducibly lossy on high-frequency content)."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    assert subsample in ("420", "444")
+    s2 = 2 if subsample == "420" else 1
+    mcu = 8 * s2
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_ycbcr(padded)
+    if s2 == 2:
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    qly, qlc = quality_tables(quality)
+    zy = _quant_blocks(y, qly)
+    zcb = _quant_blocks(cb, qlc)
+    zcr = _quant_blocks(cr, qlc)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0x00]) + bytes(qly.reshape(64)[ZIG].astype(np.uint8)))
+    out += _seg(0xFFDB, bytes([0x01]) + bytes(qlc.reshape(64)[ZIG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (s2 << 4) | s2, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(0xFFC0, sof)
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += _seg(0xFFC4, bytes([tc_th] + bits + vals))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    bw_y = pw // 8
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for mr in range(ph // mcu):
+        for mc in range(pw // mcu):
+            if s2 == 2:
+                for dy in range(2):
+                    for dx in range(2):
+                        idx = (2 * mr + dy) * bw_y + (2 * mc + dx)
+                        preds[0] = _encode_block(
+                            writer, zy[idx], preds[0], ENC_DC[0], ENC_AC[0]
+                        )
+                cidx = mr * (pw // 16) + mc
+                preds[1] = _encode_block(writer, zcb[cidx], preds[1], ENC_DC[1], ENC_AC[1])
+                preds[2] = _encode_block(writer, zcr[cidx], preds[2], ENC_DC[1], ENC_AC[1])
+            else:
+                idx = mr * bw_y + mc
+                preds[0] = _encode_block(writer, zy[idx], preds[0], ENC_DC[0], ENC_AC[0])
+                preds[1] = _encode_block(writer, zcb[idx], preds[1], ENC_DC[1], ENC_AC[1])
+                preds[2] = _encode_block(writer, zcr[idx], preds[2], ENC_DC[1], ENC_AC[1])
+    writer.flush()
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+class _DecTable:
+    """Spec F.16 DECODE tables: mincode/maxcode/valptr per code length."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over de-stuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def take(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_symbol(r: _BitReader, t: _DecTable) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        if t.maxcode[ln] >= 0 and code <= t.maxcode[ln]:
+            return t.vals[t.valptr[ln] + code - t.mincode[ln]]
+    raise ValueError("invalid huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect the scan's entropy bytes from `pos`, de-stuffing 0xFF00
+    and splitting at RSTn markers; returns (intervals, next marker
+    position)."""
+    intervals: list[bytearray] = [bytearray()]
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            intervals[-1].append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            intervals[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn — interval boundary
+            intervals.append(bytearray())
+            i += 2
+        else:
+            break  # a real marker ends the scan
+    return [bytes(iv) for iv in intervals], i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> HxWx3 uint8 RGB (grayscale replicated to
+    3 channels). Supports SOF0/SOF1, 8-bit, 1 or 3 components, any
+    sampling factors in {1,2}x{1,2}, restart intervals, multi-table
+    DQT/DHT segments. Progressive (SOF2) and arithmetic coding raise
+    NotImplementedError."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _DecTable] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    i = 2
+    n = len(data)
+    out_planes: dict[int, np.ndarray] = {}
+    while i < n:
+        assert data[i] == 0xFF, f"marker expected at byte {i}"
+        m = data[i + 1]
+        i += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", data[i : i + 2])
+        body = data[i + 2 : i + seglen]
+        if m == 0xDB:  # DQT — possibly several tables
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                assert pq == 0, "only 8-bit quant tables supported (baseline)"
+                zz = np.frombuffer(body[p + 1 : p + 65], np.uint8).astype(np.int64)
+                raster = np.zeros(64, np.int64)
+                raster[ZIG] = zz
+                qtables[tq] = raster
+                p += 65
+        elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            assert prec == 8, "baseline JPEG is 8-bit"
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{m:02X}; progressive/"
+                "arithmetic/hierarchical) — baseline sequential only"
+            )
+        elif m == 0xC4:  # DHT — possibly several tables
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _DecTable(bits, vals)
+                p += 17 + nv
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:  # SOS — entropy-coded scan follows
+            ns = body[0]
+            scan = []
+            for k in range(ns):
+                cid, tdta = body[1 + 2 * k], body[2 + 2 * k]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            intervals, i = _split_entropy(data, i + seglen)
+            out_planes = _decode_scan(scan, intervals, qtables, huff, h, w, restart)
+            continue  # i already advanced past the scan
+        # APPn / COM / others: skip
+        i += seglen
+    assert comps and out_planes, "no decodable scan found"
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        p = out_planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(scan, intervals, qtables, huff, h, w, restart):
+    """Entropy-decode every MCU; returns {component id: float plane}
+    at each component's own (padded) resolution. IDCT is batched per
+    component — one matrix product over all its blocks."""
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if len(scan) == 1:
+        # non-interleaved single-component scan: MCU is one block
+        hmax = vmax = scan[0][0]["h"] = scan[0][0]["v"] = 1
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcols, mrows = -(-w // mcu_w), -(-h // mcu_h)
+    state = {}
+    for c, _, _ in scan:
+        bw, bh = mcols * c["h"], mrows * c["v"]
+        state[c["id"]] = {
+            "zz": np.zeros((bh * bw, 64), np.int64),
+            "bw": bw,
+            "bh": bh,
+        }
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    reader = _BitReader(intervals[0])
+    interval_idx = 0
+    for mi in range(mrows * mcols):
+        if restart and mi and mi % restart == 0:
+            interval_idx += 1
+            reader = _BitReader(intervals[interval_idx])
+            pred = {c["id"]: 0 for c, _, _ in scan}
+        mr, mc = divmod(mi, mcols)
+        for c, td, ta in scan:
+            dct, act = huff[(0, td)], huff[(1, ta)]
+            st = state[c["id"]]
+            for dy in range(c["v"]):
+                for dx in range(c["h"]):
+                    zz = st["zz"][(mr * c["v"] + dy) * st["bw"] + mc * c["h"] + dx]
+                    s = _read_symbol(reader, dct)
+                    diff = _extend(reader.take(s), s)
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k <= 63:
+                        rs = _read_symbol(reader, act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        assert k <= 63, "AC run past block end"
+                        zz[k] = _extend(reader.take(s), s)
+                        k += 1
+    out = {}
+    for c, _, _ in scan:
+        st = state[c["id"]]
+        qt = qtables[c["tq"]][ZIG].astype(np.float64)
+        coefs_zz = st["zz"].astype(np.float64) * qt
+        raster = np.zeros_like(coefs_zz)
+        raster[:, ZIG] = coefs_zz
+        blocks = _T.T @ raster.reshape(-1, 8, 8) @ _T + 128.0
+        out[c["id"]] = _deblockify(blocks, st["bh"], st["bw"])
+    return out

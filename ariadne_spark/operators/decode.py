@@ -439,3 +439,51 @@ def reencode_images(images: DataFrame, to_fmt: str) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         re_enc, REENCODE_SCHEMA
     )
+
+
+JPEG_GATE_SCHEMA = (
+    "image_id string, fmt string, psnr double, container_ok boolean, "
+    "dims_ok boolean"
+)
+
+
+def jpeg_real_roundtrip(images: DataFrame, quality: int = 98) -> DataFrame:
+    """Migrate each payload through the REAL baseline JPEG codec
+    (functions/jpeg.py — spec DCT + Annex-K Huffman, an actual
+    interchange-format stream, not the 'fjpg' stand-in) and gate the
+    roundtrip: decode original -> encode_jpeg -> decode_jpeg -> PSNR
+    vs the pre-encode pixels, plus container (SOI magic) and dims
+    checks. 4:4:4 because the gate measures CODEC fidelity, not
+    subsampling policy (box-averaged chroma is irreducibly lossy on
+    high-frequency content); quality 98 keeps quantization error above
+    the engine's 40 dB lossy gate even on the synth corpus's uniform-
+    noise images with ~3.5 dB margin — the adversarial case; natural
+    images sit well above. One Arrow-batched pass, zero shuffles. The entropy stage is
+    per-coefficient Python, so callers sample (x06 gates ~50 rows);
+    the bench hot path stays on the O(n)-numpy stand-in codec."""
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+    def gate(iterator):
+        for pdf in iterator:
+            ids, psnrs, containers, dims = [], [], [], []
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                jp = encode_jpeg(px, quality=quality, subsample="444")
+                back = decode_jpeg(jp)
+                ids.append(img_id)
+                psnrs.append(float(min(psnr(px, back), 99.0)))
+                containers.append(jp[:2] == b"\xff\xd8")
+                dims.append(back.shape == px.shape)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "fmt": "jpeg",
+                    "psnr": psnrs,
+                    "container_ok": containers,
+                    "dims_ok": dims,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gate, JPEG_GATE_SCHEMA
+    )

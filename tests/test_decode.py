@@ -8,13 +8,13 @@ from ariadne_spark.operators.decode import decode_features, invariant_summary
 
 def test_invariants_hold_for_every_row(spark, images_df):
     rows = invariant_summary(images_df).collect()
-    assert {r["fmt"] for r in rows} == {"png", "jpeg"}
+    assert {r["fmt"] for r in rows} == {"png", "fjpg"}
     for r in rows:
         assert r["n_pixel_violations"] == 0, r
         assert r["n_caption_violations"] == 0, r
         assert r["n_phash_violations"] == 0, r
     png = next(r for r in rows if r["fmt"] == "png")
-    jpeg = next(r for r in rows if r["fmt"] == "jpeg")
+    jpeg = next(r for r in rows if r["fmt"] == "fjpg")
     assert png["min_psnr"] == 99.0  # exact decode, clamped inf
     assert 40.0 <= jpeg["min_psnr"]
 

@@ -77,7 +77,7 @@ class TestPhash:
     def test_phash_from_lossy_bytes_close(self):
         px = synth_images.render_pixels(9, 32, 32)
         h_exact = phash.np_phash_from_pixels(px)
-        h_lossy = phash.np_phash_from_bytes(codecs.encode_fjpg(px), "jpeg")
+        h_lossy = phash.np_phash_from_bytes(codecs.encode_fjpg(px), "fjpg")
         assert bin((h_exact ^ h_lossy) & (2**64 - 1)).count("1") <= 6
 
 

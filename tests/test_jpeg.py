@@ -1,0 +1,224 @@
+"""Real baseline JPEG codec (functions/jpeg.py).
+
+The golden fixtures are hand-assembled from the ISO 10918-1 spec — no
+image library involved. For a flat gray-160 8x8 block with an all-16
+quant table: level shift d=32, orthonormal FDCT DC = 8*d = 256,
+quantized DC = 16 -> DC category 5, Annex-K DC-luma code '110' +
+value bits '10000', then AC EOB '1010'; the 12-bit stream padded with
+1s is exactly 0xD0 0xAF. A decoder that reproduces 160 on every pixel
+has its header parsing, canonical Huffman construction, dequantize,
+and IDCT all simultaneously right — any error in the chain lands on a
+different gray level."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ariadne_spark.functions import codecs
+from ariadne_spark.functions.jpeg import (
+    ZIG,
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+DC_LUMA = bytes(
+    [0x00] + [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0] + list(range(12))
+)
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+
+
+def _ac_luma_dht() -> bytes:
+    from ariadne_spark.functions.jpeg import AC_LUMA_VALS
+
+    return bytes([0x10] + AC_LUMA_BITS + AC_LUMA_VALS)
+
+
+def _gray_headers(w: int, h: int) -> bytes:
+    out = b"\xff\xd8"
+    out += _seg(0xFFDB, bytes([0x00] + [16] * 64))  # all-16 quant table
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, DC_LUMA)
+    out += _seg(0xFFC4, _ac_luma_dht())
+    return out
+
+
+def test_golden_flat_gray_block_decodes_exactly():
+    data = (
+        _gray_headers(8, 8)
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\xd0\xaf"  # hand-computed entropy bytes (module docstring)
+        + b"\xff\xd9"
+    )
+    px = decode_jpeg(data)
+    assert px.shape == (8, 8, 3)
+    np.testing.assert_array_equal(px, np.full((8, 8, 3), 160, np.uint8))
+
+
+def test_golden_restart_marker_resets_dc_predictor():
+    """Two flat MCUs with DRI=1 and an RST0 between them: the second
+    block's predictor resets, so the SAME entropy bytes decode to the
+    SAME gray — a decoder that fails to reset lands on 192."""
+    data = (
+        _gray_headers(16, 8)
+        + _seg(0xFFDD, struct.pack(">H", 1))  # DRI = 1 MCU
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\xd0\xaf" + b"\xff\xd0" + b"\xd0\xaf"
+        + b"\xff\xd9"
+    )
+    px = decode_jpeg(data)
+    assert px.shape == (8, 16, 3)
+    np.testing.assert_array_equal(px, np.full((8, 16, 3), 160, np.uint8))
+
+
+def test_progressive_rejected_loudly():
+    data = b"\xff\xd8" + _seg(
+        0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(data)
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(AssertionError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+# ---------------------------------------------------------------------------
+# encoder structure: the output is a conforming interchange stream
+# ---------------------------------------------------------------------------
+
+
+def _walk_segments(data: bytes) -> list[int]:
+    """Return the marker sequence, validating every segment length."""
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    markers, i = [], 2
+    while i < len(data) - 2:
+        assert data[i] == 0xFF
+        m = data[i + 1]
+        markers.append(m)
+        (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+        i += 2 + ln
+        if m == 0xDA:  # scan: skip entropy bytes to EOI
+            break
+    return markers
+
+
+def test_encoder_emits_conforming_marker_sequence():
+    px = np.full((20, 30, 3), (10, 200, 60), np.uint8)
+    data = encode_jpeg(px, 85, "420")
+    ms = _walk_segments(data)
+    assert ms[0] == 0xE0  # JFIF APP0 first
+    assert ms.count(0xDB) == 2 and ms.count(0xC4) == 4
+    assert ms[-1] == 0xDA and 0xC0 in ms
+    # JFIF identifier present
+    assert data[6:11] == b"JFIF\x00"
+
+
+def test_quality_scaling_monotone_and_clamped():
+    l50, c50 = quality_tables(50)
+    l90, _ = quality_tables(90)
+    l10, _ = quality_tables(10)
+    assert (l90 <= l50).all() and (l50 <= l10).all()
+    assert quality_tables(100)[0].max() == 1  # lossless-ish tables
+    assert l10.max() <= 255 and l10.min() >= 1
+    assert (l50 == np.clip(quality_tables(50)[0], 1, 255)).all()
+
+
+def test_zigzag_is_the_spec_traversal():
+    # first and last few entries of Figure A.6
+    assert list(ZIG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(ZIG[-6:]) == [61, 54, 47, 55, 62, 63]
+    assert sorted(ZIG.tolist()) == list(range(64))
+
+
+# ---------------------------------------------------------------------------
+# roundtrips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (1, 1), (7, 5), (37, 53), (64, 48)])
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_roundtrip_shapes(shape, subsample):
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, (*shape, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(px, 90, subsample))
+    assert out.shape == px.shape and out.dtype == np.uint8
+
+
+def test_flat_color_is_near_exact_both_subsamplings():
+    px = np.full((24, 40, 3), (200, 100, 50), np.uint8)
+    for ss in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(px, 95, ss))
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 1, ss
+
+
+def test_noise_psnr_gates():
+    """Worst-case content (uniform noise): 4:4:4 q98 must clear the
+    engine's 40 dB lossy gate with margin; q100 is rounding-only (~50 dB)."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    assert codecs.psnr(px, decode_jpeg(encode_jpeg(px, 98, "444"))) >= 42.0
+    assert codecs.psnr(px, decode_jpeg(encode_jpeg(px, 100, "444"))) >= 48.0
+
+
+def test_smooth_gradient_quality_ladder():
+    """Natural-statistics content: PSNR grows with quality, 4:2:0
+    compresses harder than 4:4:4, and q75/420 (the interchange
+    default) clears 40 dB."""
+    xx, yy = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 48))
+    px = np.stack(
+        [xx * 200 + 20, yy * 180 + 30, (xx + yy) * 100 + 20], axis=2
+    ).astype(np.uint8)
+    psnrs = [
+        codecs.psnr(px, decode_jpeg(encode_jpeg(px, q, "420"))) for q in (30, 75, 95)
+    ]
+    assert psnrs[0] < psnrs[1] < psnrs[2]
+    assert psnrs[1] >= 40.0
+    assert len(encode_jpeg(px, 75, "420")) < len(encode_jpeg(px, 75, "444"))
+    assert len(encode_jpeg(px, 75, "420")) < px.nbytes // 5  # real compression
+
+
+def test_extreme_blocks_at_q100():
+    """All-black/all-white blocks exercise the baseline coefficient
+    range clamp (DC=±1024 -> ±1023) without visible error."""
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:8, :8] = 255
+    out = decode_jpeg(encode_jpeg(px, 100, "444"))
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 1
+
+
+# ---------------------------------------------------------------------------
+# registry integration: 'jpeg' is the real codec now
+# ---------------------------------------------------------------------------
+
+
+def test_registry_jpeg_is_real_and_fjpg_is_the_standin():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    real = codecs.encode_image(px, "jpeg")
+    assert real[:2] == b"\xff\xd8"  # SOI — a real JPEG container
+    fake = codecs.encode_image(px, "fjpg")
+    assert fake[:4] == codecs.FJPG_MAGIC
+    back = codecs.decode_image(real, "jpeg")
+    assert back.shape == px.shape
+
+
+def test_phash_survives_real_jpeg_recompression():
+    from ariadne_spark.functions import phash
+
+    # phash operates on smoothed content; real JPEG at default quality
+    # must not move it more than a few bits even on noise
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    h_exact = phash.np_phash_from_pixels(px)
+    h_jpeg = phash.np_phash_from_pixels(codecs.decode_image(codecs.encode_image(px, "jpeg"), "jpeg"))
+    assert bin((h_exact ^ h_jpeg) & (2**64 - 1)).count("1") <= 6

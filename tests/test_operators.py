@@ -238,7 +238,7 @@ class TestTiles:
             exp[(a, b)] = exp.get((a, b), 0) + 1
         assert pyr == exp
 
-    @pytest.mark.parametrize("fmt", ["png", "jpeg"])
+    @pytest.mark.parametrize("fmt", ["png", "fjpg"])
     def test_rasterize_roundtrip(self, spark, images_df, fmt):
         z = 4
         tiles = rasterize_tiles(images_df, z, fmt=fmt)
