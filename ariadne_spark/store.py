@@ -890,7 +890,15 @@ class SnapshotStore:
         overwritten underneath the rewrite is skipped at commit time —
         compaction never clobbers newer data (Iceberg's
         rewrite-vs-overwrite conflict rule); its rewritten files stay
-        unreferenced orphans."""
+        unreferenced orphans.
+
+        Spatial clustering (the Z-ORDER `rewrite_data_files` analog):
+        pass `sort_cols=[cells.hilbert_key(cells.cell_encode(lon, lat,
+        res))]` with a `max_records_per_file` bound — each rewritten
+        file then covers a tight Hilbert range, the refreshed manifest
+        records per-file lon/lat zone maps, and a subsequent
+        `read(where=bbox)` opens only the overlapping files
+        (pinned in tests/test_zonemap.py)."""
         base = self.manifest(table)
         assert base is not None, f"table {table} has no snapshot"
         key = base.key
@@ -1047,10 +1055,80 @@ class SnapshotStore:
         fingerprints what is actually stored."""
         if not any(e.startswith("__pk=") for e in os.listdir(vdir)):
             return {}  # zero-row write: partitionBy emits no dirs
-        return partition_summary(
+        summary = partition_summary(
             self.spark.read.parquet(vdir).drop("__pk"), key, stats_cols,
             bloom_cols, bloom_bits or BLOOM_BITS_DEFAULT,
         )
+        if stats_cols:
+            fz = self._file_zone_maps(vdir, stats_cols)
+            for k, files in fz.items():
+                # a single-file partition is fully described by its
+                # partition-level stats; per-file entries only earn
+                # their manifest bytes when a scan can skip SOME files
+                if k in summary and len(files) > 1:
+                    summary[k]["files"] = files
+        return summary
+
+    def _file_zone_maps(
+        self, vdir: str, stats_cols: list[str]
+    ) -> dict[str, list[dict]]:
+        """Per-FILE min/max/null-count zone maps for the files just
+        written under `vdir`, collected from parquet FOOTERS (metadata
+        only — no data page is read). Recorded in the manifest so
+        `read(where=...)` can skip files without listing or opening
+        them — Iceberg's per-data-file column stats. Pays off when the
+        write was clustered (`sort_cols`, e.g. a Hilbert key over
+        lon/lat): each file then covers a tight key range and a bbox
+        read touches only the overlapping files.
+
+        100 TB note: this driver-side footer pass is bounded by file
+        COUNT (one footer ~ a few KB), not data size; at cluster scale
+        the same stats come from the writing tasks themselves (Iceberg
+        writers attach them to the commit), which this seam mirrors —
+        the manifest shape is identical either way."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, list[dict]] = {}
+        for entry in sorted(os.listdir(vdir)):
+            if not entry.startswith("__pk="):
+                continue
+            d = f"{vdir}/{entry}"
+            files = []
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(f"{d}/{fname}").metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                stats: dict[str, dict] = {}
+                for c in stats_cols:
+                    if c not in names:
+                        continue  # pre-evolution file: no bound, kept
+                    idx = names.index(c)
+                    mins, maxs, nulls = [], [], 0
+                    complete = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            complete = False
+                        else:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                        nulls += int(st.null_count) if st and st.has_null_count else 0
+                    if complete and mins:
+                        stats[c] = {
+                            "min": _stat_lower(min(mins)),
+                            "max": _stat_upper(max(maxs)),
+                            "nulls": nulls,
+                        }
+                    elif not mins:
+                        # all row groups lack min/max: all-NULL column
+                        stats[c] = {"min": None, "max": None, "nulls": nulls}
+                    # else: partial stats -> record no bound (conservative)
+                files.append(
+                    {"name": fname, "n_rows": int(md.num_rows), "stats": stats}
+                )
+            out[entry[len("__pk="):]] = files
+        return out
 
     def write_table(
         self, df: DataFrame, table: str, key: str, sort_cols=None,
@@ -1491,6 +1569,43 @@ class SnapshotStore:
                 out.append(k)
         return sorted(out)
 
+    @staticmethod
+    def _prune_file_entries(part: dict, where: dict[str, tuple]) -> list[str] | None:
+        """File names within a partition that can possibly satisfy
+        `where`, judged by the manifest's per-FILE zone maps (recorded
+        at write time from parquet footers — see `_file_zone_maps`).
+        Returns None when the partition records no per-file stats (the
+        caller reads the whole partition dir). Same conservative rules
+        as `_prune_manifest`: a file missing stats for a predicate
+        column is kept; an all-NULL column never matches a range."""
+        files = part.get("files")
+        if not files:
+            return None
+        out = []
+        for fe in files:
+            stats = fe.get("stats") or {}
+            keep = True
+            for col, (lo, hi) in where.items():
+                if lo is None and hi is None:
+                    continue
+                s = stats.get(col)
+                if s is None:
+                    continue
+                if s["min"] is None and s["max"] is None:
+                    if s.get("nulls", 0) >= fe.get("n_rows", float("inf")):
+                        keep = False
+                        break
+                    continue
+                if hi is not None and s["min"] is not None and s["min"] > hi:
+                    keep = False
+                    break
+                if lo is not None and s["max"] is not None and s["max"] < lo:
+                    keep = False
+                    break
+            if keep:
+                out.append(fe["name"])
+        return out
+
     def read(
         self,
         table: str,
@@ -1504,9 +1619,13 @@ class SnapshotStore:
         the selected partitions' files are listed at all.
 
         `where={col: (lo, hi)}` additionally zone-map-prunes partitions
-        via `prune_keys` AND applies the residual inclusive-range filter,
-        so the result is exactly the full scan filtered — the pruning is
-        an optimization, never a semantics change."""
+        via `prune_keys`, then prunes individual FILES inside surviving
+        partitions via the manifest's per-file stats (recorded by
+        `_file_zone_maps` when the table has `stats_cols`; most
+        effective after a Hilbert-clustered `compact`), AND applies the
+        residual inclusive-range filter, so the result is exactly the
+        full scan filtered — the pruning is an optimization, never a
+        semantics change."""
         m = self.manifest(table, snapshot_id)
         assert m is not None, f"table {table} has no snapshot"
         if where:
@@ -1516,7 +1635,20 @@ class SnapshotStore:
             zone = set(self._prune_manifest(m, where))
             keys = [k for k in (keys if keys is not None else m.partitions) if k in zone]
         sel = m.partitions if keys is None else {k: m.partitions[k] for k in keys if k in m.partitions}
-        paths = [self._abs_path(p["path"]) for p in sel.values()]
+        paths = []
+        for p in sel.values():
+            base = self._abs_path(p["path"])
+            fnames = self._prune_file_entries(p, where) if where else None
+            if fnames is None:
+                paths.append(base)
+            else:
+                # file-level zone-map pruning: only the files whose
+                # recorded min/max can match are ever listed/opened —
+                # with a clustered layout (compact sort_cols = Hilbert
+                # key) this skips most of a partition on a bbox read.
+                # An empty list is correct: no file can match, and the
+                # residual filter would drop every row anyway.
+                paths.extend(f"{base}/{fn}" for fn in fnames)
         from pyspark.sql.types import StructType
 
         if not paths:

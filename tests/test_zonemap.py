@@ -343,3 +343,103 @@ def test_write_audit_publish_gates_the_published_view(spark, store):
     sid2, ok2 = store.write_audit_publish(good2, "t", "k", audit)
     assert ok2 and store.branches("t") == {"published": sid2}
     assert store.read("t", snapshot_id="published").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# per-FILE zone maps + Hilbert-clustered layout
+# ---------------------------------------------------------------------------
+
+
+def _geo_frame(spark, n=4000):
+    """Deterministic skew-realistic lon/lat rows (synth geo law) under
+    a SINGLE partition key, so all pruning power must come from the
+    per-FILE zone maps, not partition pruning."""
+    import numpy as np
+
+    from ariadne_spark.synth.images import geo_micro
+
+    ids = np.arange(n, dtype=np.int64)
+    lon_u, lat_u = geo_micro(ids)
+    rows = [
+        (int(i), "all", int(lo), int(la))
+        for i, lo, la in zip(ids, lon_u, lat_u)
+    ]
+    return spark.createDataFrame(rows, "id long, k string, lon_u long, lat_u long")
+
+
+def test_hilbert_clustered_compact_prunes_files_on_bbox_read(spark, store):
+    """The Z-ORDER rewrite_data_files analog end-to-end: an id-ordered
+    write leaves every file spanning the whole globe (a bbox read must
+    open ALL of them); compacting with a Hilbert sort key re-clusters
+    the same rows so each file covers a tight curve range, and the SAME
+    bbox read — same API, same results — opens only the few overlapping
+    files via the manifest's per-file zone maps."""
+    from ariadne_spark.functions import cells
+
+    df = _geo_frame(spark)
+    store.write_table(
+        df, "geo", key="k", stats_cols=["lon_u", "lat_u"],
+        sort_cols=[F.col("id")], max_records_per_file=125,
+    )
+    # ~0.6 x 0.6 deg bbox on the Paris-ish synth hotspot (~280 rows)
+    bbox = {
+        "lon_u": (182_050_000, 182_650_000),
+        "lat_u": (138_550_000, 139_150_000),
+    }
+    before_df = store.read("geo", where=bbox)
+    before_rows = sorted((r["id"],) for r in before_df.collect())
+    before_files = len(before_df.inputFiles())
+    assert before_rows, "bbox must actually match rows"
+    assert before_files >= 30, "unclustered layout must read ~every file"
+
+    sid = store.compact(
+        "geo",
+        sort_cols=[cells.hilbert_key(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 14))],
+        max_records_per_file=125,
+    )
+    after_df = store.read("geo", where=bbox)
+    after_rows = sorted((r["id"],) for r in after_df.collect())
+    after_files = len(after_df.inputFiles())
+
+    assert after_rows == before_rows, "clustering must not change results"
+    # measured: 32 -> 8 files (the residue IS the hotspot: ~900 hotspot
+    # rows / 125 per file ≈ 7 files whose bboxes genuinely overlap)
+    assert after_files * 4 <= before_files, (
+        f"Hilbert clustering should skip most files: read {after_files} "
+        f"of {before_files}"
+    )
+    # the manifest records per-file stats for the multi-file partition
+    m = store.manifest("geo", sid)
+    files = m.partitions["all"].get("files")
+    assert files and len(files) >= 30
+    assert all("lon_u" in fe["stats"] and "lat_u" in fe["stats"] for fe in files)
+    assert sum(fe["n_rows"] for fe in files) == 4000
+
+
+def test_file_pruning_is_semantics_preserving_with_updates(spark, store):
+    """File-level pruning composes with overwrites and missing stats:
+    results always equal full-scan-then-filter, and files written
+    without stats are conservatively kept."""
+    df = _geo_frame(spark, 1200)
+    store.write_table(
+        df, "geo2", key="k", stats_cols=["lon_u", "lat_u"],
+        max_records_per_file=100,
+    )
+    bbox = {"lon_u": (100_000_000, 200_000_000), "lat_u": (None, 120_000_000)}
+    got = store.read("geo2", where=bbox)
+    want = store.read("geo2").where(
+        (F.col("lon_u") >= 100_000_000)
+        & (F.col("lon_u") <= 200_000_000)
+        & (F.col("lat_u") <= 120_000_000)
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+    # single-file partitions don't carry a redundant files list
+    small = _geo_frame(spark, 30)
+    store.write_table(small, "geo3", key="k", stats_cols=["lon_u"])
+    m = store.manifest("geo3")
+    assert "files" not in m.partitions["all"]
+    # a no-stats table never file-prunes (and never errors)
+    store.write_table(small, "geo4", key="k")
+    assert store.read("geo4", where={"lon_u": (0, 1)}).count() == small.where(
+        (F.col("lon_u") >= 0) & (F.col("lon_u") <= 1)
+    ).count()
