@@ -73,8 +73,11 @@ def _noop(df) -> None:
 def ensure_images(spark, n: int) -> str:
     """Distributed, deterministic synthesis of the n-row images table
     (cached — synthesis is fixture setup, not the measured workload)."""
-    path = f"{CACHE_DIR}/images_{n}.parquet"
-    done = f"{CACHE_DIR}/images_{n}.done"
+    # cache key v2: round 4 re-tagged the synth lossy format string to
+    # 'fjpg' (blobs/phashes unchanged, but a stale fmt='jpeg' fixture
+    # would route FJPG blobs into the REAL jpeg decoder and fail loudly)
+    path = f"{CACHE_DIR}/images_v2_{n}.parquet"
+    done = f"{CACHE_DIR}/images_v2_{n}.done"
     if not os.path.exists(done):
         from ariadne_spark.synth.images import images_df
 
@@ -152,7 +155,7 @@ def incremental_update_scenario(spark, n: int = 20_000) -> float:
     # (e.g. the knn table gained Resolution.reason in round 3) or the
     # partition-scoped update is rejected by schema conformance —
     # bump the suffix whenever a pipeline table gains/loses a column
-    base = f"{CACHE_DIR}/inc_store_{n}_v3"
+    base = f"{CACHE_DIR}/inc_store_{n}_v4"  # rebuilt off the v2 fixture
     done = f"{base}.done"
     if not os.path.exists(done):
         shutil.rmtree(base, ignore_errors=True)

@@ -46,8 +46,11 @@ def ensure_images(n: int) -> str:
     from ariadne_spark.session import get_spark
     from ariadne_spark.synth.images import images_df
 
-    path = f"{CACHE_DIR}/images_{n}.parquet"
-    done = f"{CACHE_DIR}/images_{n}.done"
+    # cache key v2: round 4 re-tagged the synth lossy format string to
+    # 'fjpg' (blobs/phashes unchanged, but a stale fmt='jpeg' fixture
+    # would route FJPG blobs into the REAL jpeg decoder and fail loudly)
+    path = f"{CACHE_DIR}/images_v2_{n}.parquet"
+    done = f"{CACHE_DIR}/images_v2_{n}.done"
     if not os.path.exists(done):
         spark = get_spark(app_name="ariadne_synth")
         images_df(spark, n).write.mode("overwrite").parquet(path)
