@@ -116,11 +116,27 @@ def kring_offsets(k: int = 1) -> list[tuple[int, int]]:
     return [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
 
 
-def cell_neighbors_df(cells_df, cell_col: str, res: int, k: int = 1):
+def half_kring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """(0,0) plus one offset per ANTIPODAL PAIR of the k-ring: dy > 0,
+    or dy == 0 and dx > 0. For any two distinct cells within Chebyshev
+    distance k, exactly one of (A-B, B-A) is in this set (requires grid
+    width > 2k so the x-wraparound cannot alias dx and -dx) — the basis
+    for the mirrored half-replication candidate join in knn_edges."""
+    return [(0, 0)] + [
+        (dx, dy)
+        for dx in range(-k, k + 1)
+        for dy in range(0, k + 1)
+        if dy > 0 or dx > 0
+    ]
+
+
+def cell_neighbors_df(cells_df, cell_col: str, res: int, k: int = 1, offsets=None):
     """Explode each cell into its k-ring (x wraps, y clamps).
 
     Returns the input with an extra `neighbor_cell` column; one row per
-    neighbor. Pure column math — no shuffle, no UDF.
+    neighbor. Pure column math — no shuffle, no UDF. `offsets`
+    (list[(dx, dy)]) overrides the full k-ring, e.g. with
+    half_kring_offsets for the mirrored kNN candidate join.
     """
     n = 1 << res
     x = F.shiftright(F.col(cell_col), X_SHIFT) % F.lit(1 << X_SHIFT)
@@ -128,7 +144,7 @@ def cell_neighbors_df(cells_df, cell_col: str, res: int, k: int = 1):
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in kring_offsets(k)
+            for dx, dy in (kring_offsets(k) if offsets is None else offsets)
         ]
     )
     exploded = cells_df.withColumn("_off", F.explode(offsets))

@@ -16,12 +16,16 @@ cardinality"):
    guarantees a shared band — pigeonhole) intersected with k-ring cell
    locality. This is the big shuffle: at 10^12 rows the candidate join
    shuffles on a composite key whose cardinality (n_bands x 2^16 x
-   n_cells) is high enough to spread load. The join executes as a
-   SHUFFLED-HASH join building on the un-replicated probe side (no
-   sort of the 9x-replicated build side; spill-capable per
-   SPARK-32399) with `join_strategy='merge'` as the sort-merge
-   fallback; dense-cell skew is handled by optional salting (see
-   `salt` param) + AQE skew-join as backstop.
+   n_cells) is high enough to spread load. On the symmetric self-join
+   path the build side replicates to only the HALF ring (center + one
+   offset per antipodal pair: 5 cells at kring=1, not 9) and each
+   unordered pair is found once then mirrored into both directed edges
+   post-join (`mirror` param) — 4/9 of the replica shuffle volume
+   gone. The join executes as a SHUFFLED-HASH join building on the
+   un-replicated probe side (no sort of the replica-heavy build side;
+   spill-capable per SPARK-32399) with `join_strategy='merge'` as the
+   sort-merge fallback; dense-cell skew is handled by optional salting
+   (see `salt` param) + AQE skew-join as backstop.
 2. Exact filter — `bit_count(xor)) <= max_hamming`, JVM built-in.
 3. Dedup — a pair found via several bands collapses via groupBy min.
 4. Top-k — `row_number` over (src) ordered by (distance, dst_id):
@@ -41,7 +45,12 @@ from ..functions.phash import hamming, phash_band
 DEFAULT_RES = 5
 
 
-def _prune_pays(probe_cells: list[int], build_cells: list[int], res: int, kring: int) -> bool:
+def _prune_pays(
+    probe_cells: list[int],
+    build_cells: list[int],
+    res: int,
+    offsets: list[tuple[int, int]],
+) -> bool:
     """Driver-side estimate of the build-replica fraction the occupied-
     cell semi-join would prune: for every (build cell, ring offset)
     target, is the target an occupied PROBE cell? Pruning costs a
@@ -49,14 +58,15 @@ def _prune_pays(probe_cells: list[int], build_cells: list[int], res: int, kring:
     prunes nothing — measured), so it only runs when it would drop
     >= 25% of replicas. Purely physical: results are identical either
     way (unpruned replicas land in probe-less cells and the join drops
-    them)."""
+    them). `offsets` is the replica offset set actually in use (full
+    k-ring, or the half-ring when the mirrored join is on)."""
     occ = set(probe_cells)
     n = 1 << res
     kept = total = 0
     for cell in build_cells:
         x = (cell >> cells.X_SHIFT) & cells.XY_MASK
         y = cell & cells.XY_MASK
-        for dx, dy in cells.kring_offsets(kring):
+        for dx, dy in offsets:
             nx, ny = (x + dx) % n, y + dy
             if 0 <= ny < n:
                 total += 1
@@ -78,6 +88,7 @@ def knn_edges(
     salt_target_rows: int = 200_000,
     prune_build: bool | None = None,
     join_strategy: str = "hash",
+    mirror: bool | None = None,
 ) -> DataFrame:
     """-> (src_image_id, dst_image_id, hamming, rank, confidence,
     reason) — the full Resolution{confidence, reason} contract
@@ -108,9 +119,19 @@ def knn_edges(
     side into a shuffled-hash join — no sort of the replica-heavy build
     side; spill-capable since Spark 3.1 (SPARK-32399), so it holds at
     any partition size AQE's sizing allows, and AQE's skew splitter
-    still applies. 'merge' restores the sort-merge plan. Both knobs are
-    physical only: the result rows are identical (asserted in
-    tests/test_operators.py)."""
+    still applies. 'merge' restores the sort-merge plan.
+
+    `mirror=None` (auto) enables HALF-RING replication on the symmetric
+    self-join path (no `build_images`): the build side replicates to
+    only (0,0) + one offset per antipodal pair (5 cells instead of 9 at
+    kring=1 — the dominant shuffle drops ~44%), each unordered pair is
+    found exactly once, and both directed edges are emitted post-join
+    by a zero-shuffle posexplode. Requires grid width > 2*kring+1 so
+    x-wraparound cannot alias an offset with its negation; auto falls
+    back to the full ring otherwise, and always when `build_images` is
+    given (probe/build sets differ, so mirroring a found pair would
+    fabricate edges). All three knobs are physical only: the result
+    rows are identical (asserted in tests/test_operators.py)."""
     if salt == "auto":
         from .skew import choose_salt_distributed
 
@@ -135,6 +156,23 @@ def knn_edges(
     banded = prep(images)
     banded_build = banded if build_images is None else prep(build_images)
 
+    if mirror is None:
+        mirror = build_images is None and (1 << res) > 2 * kring + 1
+    elif mirror:
+        assert build_images is None, (
+            "knn_edges: mirror=True is only valid for the symmetric "
+            "self-join (build_images=None) — a found (probe, build) pair "
+            "can only be reversed when both sides draw from the same set"
+        )
+        assert (1 << res) > 2 * kring + 1, (
+            f"knn_edges: mirror needs grid width {1 << res} > 2*kring+1 "
+            f"({2 * kring + 1}) so x-wraparound cannot alias an offset "
+            "with its negation"
+        )
+    offsets = (
+        cells.half_kring_offsets(kring) if mirror else cells.kring_offsets(kring)
+    )
+
     # probe side: each image under its own cell only
     # build side: each image replicated to its k-ring so cross-cell
     # neighbors are found exactly once (probe.cell == build.neighbor_cell).
@@ -158,8 +196,8 @@ def knn_edges(
                 build_cells = [r["cell"] for r in build_images.select(
                     cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res).alias("cell")
                 ).distinct().collect()]
-            prune_build = _prune_pays(probe_cells, build_cells, res, kring)
-    build = cells.cell_neighbors_df(banded_build, "cell", res, kring)
+            prune_build = _prune_pays(probe_cells, build_cells, res, offsets)
+    build = cells.cell_neighbors_df(banded_build, "cell", res, kring, offsets=offsets)
     if prune_build:
         occupied = banded.select("cell").distinct()
         build = build.join(
@@ -230,6 +268,40 @@ def knn_edges(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+    if mirror:
+        # Half-ring replication finds each unordered pair exactly once,
+        # EXCEPT same-cell pairs which the (0,0) replica surfaces in both
+        # directions — keep the (src < dst) one, then emit both directed
+        # edges from every surviving pair with a zero-shuffle explode
+        # (NOT a self-union, which would execute the candidate join
+        # twice). hamming/band/same-cell are all direction-symmetric.
+        both = F.explode(
+            F.array(
+                F.struct(
+                    F.col("src_image_id").alias("s"),
+                    F.col("dst_image_id").alias("d"),
+                ),
+                F.struct(
+                    F.col("dst_image_id").alias("s"),
+                    F.col("src_image_id").alias("d"),
+                ),
+            )
+        )
+        pairs = (
+            pairs.where(
+                (~F.col("dst_same_cell"))
+                | (F.col("src_image_id") < F.col("dst_image_id"))
+            )
+            .select(both.alias("_sd"), "hamming", "band_id", "dst_same_cell")
+            .select(
+                F.col("_sd.s").alias("src_image_id"),
+                F.col("_sd.d").alias("dst_image_id"),
+                "hamming",
+                "band_id",
+                "dst_same_cell",
+            )
+        )
 
     w = Window.partitionBy("src_image_id").orderBy("hamming", "dst_image_id")
     return (

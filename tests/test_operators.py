@@ -143,26 +143,68 @@ class TestKnn:
         assert len(got) > 50  # fixture sanity: hotspot cells produce links
 
     def test_physical_knobs_do_not_change_results(self, spark, images_df):
-        """prune_build and join_strategy are physical-plan choices only:
-        every combination returns the identical edge set (unpruned build
-        replicas land in probe-less cells and the join drops them; hash
-        vs merge picks the algorithm, not the rows)."""
+        """prune_build, join_strategy, and mirror are physical-plan
+        choices only: every combination returns the identical edge set
+        (unpruned build replicas land in probe-less cells and the join
+        drops them; hash vs merge picks the algorithm, not the rows;
+        half-ring + post-join mirroring finds the same unordered pairs
+        once instead of twice). reason/confidence included: provenance
+        strings must survive the mirror path byte-identically."""
+        cols = (
+            "src_image_id", "dst_image_id", "hamming", "rank",
+            "confidence", "reason",
+        )
         base = {
-            (r.src_image_id, r.dst_image_id, r.hamming, r.rank)
+            tuple(r[c] for c in cols)
             for r in knn_edges(
-                images_df, k=3, max_hamming=16, prune_build=True, join_strategy="merge"
+                images_df, k=3, max_hamming=16, prune_build=True,
+                join_strategy="merge", mirror=False,
             ).collect()
         }
         for prune in (False, None):
             for strat in ("hash", "merge"):
-                got = {
-                    (r.src_image_id, r.dst_image_id, r.hamming, r.rank)
-                    for r in knn_edges(
-                        images_df, k=3, max_hamming=16,
-                        prune_build=prune, join_strategy=strat,
-                    ).collect()
-                }
-                assert got == base, (prune, strat)
+                for mir in (False, True, None):
+                    got = {
+                        tuple(r[c] for c in cols)
+                        for r in knn_edges(
+                            images_df, k=3, max_hamming=16,
+                            prune_build=prune, join_strategy=strat,
+                            mirror=mir,
+                        ).collect()
+                    }
+                    assert got == base, (prune, strat, mir)
+
+    def test_half_kring_offsets_partition(self):
+        """half_kring_offsets picks exactly one of each antipodal pair
+        (plus the center) — the invariant that makes 'found once,
+        mirrored into both directions' exact."""
+        from ariadne_spark.functions import cells
+
+        for k in (1, 2, 3):
+            full = set(cells.kring_offsets(k))
+            half = cells.half_kring_offsets(k)
+            hs = set(half)
+            assert (0, 0) in hs
+            assert len(half) == len(hs) and hs <= full
+            assert len(hs) == (len(full) - 1) // 2 + 1
+            for off in full - {(0, 0)}:
+                neg = (-off[0], -off[1])
+                assert (off in hs) != (neg in hs), off
+
+    def test_mirror_kring2(self, spark, images_df):
+        """Half-ring mirroring stays exact on the wider ring (13 replica
+        cells instead of 25)."""
+        cols = ("src_image_id", "dst_image_id", "hamming", "rank", "reason")
+        runs = [
+            {
+                tuple(r[c] for c in cols)
+                for r in knn_edges(
+                    images_df, k=3, max_hamming=16, kring=2, mirror=mir
+                ).collect()
+            }
+            for mir in (False, True)
+        ]
+        assert runs[0] == runs[1] and len(runs[0]) > 50
 
     def test_confidence_grades(self, spark, images_df):
         rows = knn_edges(images_df, k=3, max_hamming=16).collect()
