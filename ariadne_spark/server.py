@@ -48,6 +48,12 @@ class UnknownTool(KeyError):
     failures map to INTERNAL_ERROR, never METHOD_NOT_FOUND."""
 
 
+class HandlerError(Exception):
+    """Wraps any exception a tool handler BODY raises, so handler
+    failures always map to INTERNAL_ERROR — even a ValueError, which
+    the dispatcher otherwise reserves for parameter validation."""
+
+
 class ToolRegistry:
     """name -> {description, params, handler}. `params` is the
     declared parameter set: {name: (type, default)} — unknown or
@@ -76,12 +82,19 @@ class ToolRegistry:
         return sorted(self._tools)
 
     def describe(self) -> list[dict]:
+        # required params (default is the `...` sentinel) must NOT leak
+        # Ellipsis into the wire dict — it is not JSON-serializable and
+        # would crash serve()'s json.dumps on every tools/list response
         return [
             {
                 "name": n,
                 "description": t["description"],
                 "params": {
-                    p: {"type": ty.__name__, "default": dv}
+                    p: (
+                        {"type": ty.__name__, "required": True}
+                        if dv is ...
+                        else {"type": ty.__name__, "default": dv}
+                    )
                     for p, (ty, dv) in t["params"].items()
                 },
             }
@@ -206,7 +219,10 @@ class ToolServer:
         # record at dispatch (reference: query_stats.ts records in the
         # registry wrapper), so usage analytics include failed runs
         api.record_query(self.store, name)
-        return self.registry.handler(name)(**kwargs)
+        try:
+            return self.registry.handler(name)(**kwargs)
+        except Exception as e:
+            raise HandlerError(f"{type(e).__name__}: {e}") from e
 
     def handle(self, req: dict) -> dict | None:
         rid = req.get("id")
@@ -236,9 +252,11 @@ class ToolServer:
                 return err(METHOD_NOT_FOUND, f"unknown method {method!r}")
         except UnknownTool as e:
             return err(METHOD_NOT_FOUND, str(e))
+        except HandlerError as e:  # handler failure -> JSON-RPC error, not a crash
+            return err(INTERNAL_ERROR, str(e))
         except ValueError as e:
             return err(INVALID_PARAMS, str(e))
-        except Exception as e:  # handler failure -> JSON-RPC error, not a crash
+        except Exception as e:  # dispatcher-internal failure
             return err(INTERNAL_ERROR, f"{type(e).__name__}: {e}")
         if rid is None:
             return None

@@ -95,7 +95,15 @@ def test_tools_list_and_direct_stats(srv):
         ["list_orphans", "neighborhood", "get_stats", "corpus_card", "query_stats"]
     )
     nb = next(t for t in listing["result"]["tools"] if t["name"] == "neighborhood")
-    assert nb["params"]["image_id"] == {"type": "str", "default": Ellipsis}
+    assert nb["params"]["image_id"] == {"type": "str", "required": True}
+    assert nb["params"]["depth"] == {"type": "int", "default": 2}
+    # the listing must survive the wire: serve() json.dumps every
+    # response, so nothing in describe() may be non-serializable
+    # (a required-param Ellipsis default used to crash here)
+    inp, out = io.StringIO(_rpc("tools/list", {}, 11) + "\n"), io.StringIO()
+    assert srv.serve(inp, out) == 1
+    wire = json.loads(out.getvalue())
+    assert [t["name"] for t in wire["result"]["tools"]] == names
 
     stats = srv.handle({"jsonrpc": "2.0", "id": 10, "method": "get_stats"})
     assert stats["result"]["n_images"] == 4
@@ -134,6 +142,19 @@ def test_protocol_error_paths(srv):
         {"jsonrpc": "2.0", "id": 5, "method": "get_stats", "params": {"verbose": 1}}
     )
     assert r["error"]["code"] == INVALID_PARAMS
+    # an exception raised INSIDE a handler body — even a ValueError —
+    # is a handler failure (INTERNAL_ERROR), not a params error: the
+    # dispatcher reserves INVALID_PARAMS for its own declared-param
+    # validation (HandlerError wrapping pins this)
+    r = srv.handle({"jsonrpc": "2.0", "id": 7, "method": "neighborhood",
+                    "params": {"image_id": "img_a", "direction": "sideways"}})
+    assert r["error"]["code"] == -32603
+    srv.registry.register(
+        "boom", "always raises ValueError", {}, lambda: (_ for _ in ()).throw(
+            ValueError("not a params problem"))
+    )
+    r = srv.handle({"jsonrpc": "2.0", "id": 8, "method": "boom"})
+    assert r["error"]["code"] == -32603 and "ValueError" in r["error"]["message"]
     # handler failure surfaces as internal error, not a crash
     srv.frames.pop("docs")
     r = srv.handle({"jsonrpc": "2.0", "id": 6, "method": "corpus_card"})
