@@ -34,33 +34,66 @@ def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
 
 
 _DCT = _dct_matrix()
-_GRID_CACHE: dict = {}  # (h, w) -> np.ix_ subsample grid (images repeat sizes)
+# only the top-left 8x8 coefficient block survives, so multiply by the
+# 8-row slice directly: D8 @ L @ D8.T == (D @ L @ D.T)[:8,:8] exactly —
+# each output element is the same k-dimension dot product, and dgemm's
+# per-element accumulation order does not depend on the output shape
+# (verified bit-identical over random luma inputs; the bench's
+# recompute-vs-stored assert re-verifies over the whole corpus). 6.5x
+# fewer FLOPs than the full 32x32 pair.
+_DCT8 = _DCT[:8].copy()
+_DCT8_T = _DCT8.T.copy()
+_GRID_CACHE: dict = {}  # (h, w) -> subsample row/col index arrays
 
 
-def _coef_block(px: np.ndarray) -> np.ndarray:
-    """HxWx3 uint8 -> the 64 low-frequency DCT coefficients (float64).
+def _subsample(px: np.ndarray) -> np.ndarray:
+    """HxWx3 -> 32x32x3 nearest-neighbor grid sample (uint8, no math).
 
-    Subsample BEFORE the luma arithmetic (pointwise integer ops commute
-    with sampling — bit-identical, 4x+ less work for >32px images); the
-    two 32x32 matmuls stay per-image 2-D `@` so the float operation
-    order is exactly the original's."""
+    Uniform decimation (h and w multiples of 32) is a strided slice —
+    a view, no gather; other shapes take the same (arange(N)*dim)//N
+    grid via two `take`s (measured ~1.5x cheaper than one np.ix_
+    fancy-index). Both produce the identical sample set."""
     h, w = px.shape[:2]
+    if h % _DCT_N == 0 and w % _DCT_N == 0:
+        return px[:: h // _DCT_N, :: w // _DCT_N]
     key = (h, w)
     grid = _GRID_CACHE.get(key)
     if grid is None:
         yi = (np.arange(_DCT_N) * h) // _DCT_N
         xi = (np.arange(_DCT_N) * w) // _DCT_N
-        grid = _GRID_CACHE[key] = np.ix_(yi, xi)
-    s = px[grid]
-    # int32 is exact here (max 255*(299+587+114) = 255000 < 2^31) and
-    # halves the integer bandwidth vs int64
-    luma = (
-        299 * s[:, :, 0].astype(np.int32)
-        + 587 * s[:, :, 1].astype(np.int32)
-        + 114 * s[:, :, 2].astype(np.int32)
-    ) // 1000
-    coef = _DCT @ luma.astype(np.float64) @ _DCT.T
-    return coef[:8, :8].ravel()
+        grid = _GRID_CACHE[key] = (yi, xi)
+    return px.take(grid[0], axis=0).take(grid[1], axis=1)
+
+
+def _coef_blocks(pixel_list) -> np.ndarray:
+    """list of HxWx3 uint8 -> (n, 64) low-frequency DCT blocks (float64).
+
+    Images are grouped by shape so the luma arithmetic and the float
+    conversions run once per GROUP over a contiguous (m,32,32,*) stack
+    (pointwise integer ops are elementwise — batching cannot change a
+    value), and the 8x32 / 32x8 matmul pair broadcasts over the stack
+    (numpy applies the same 2-D dgemm per slice — bit-identical to the
+    per-image form; covered by test_foundations' per-image parity).
+    Subsample BEFORE the luma arithmetic: pointwise ops commute with
+    sampling, 4x+ less work for >32px images."""
+    out = np.empty((len(pixel_list), 64))
+    groups: dict = {}
+    for i, px in enumerate(pixel_list):
+        groups.setdefault(px.shape[:2], []).append(i)
+    for idxs in groups.values():
+        sub = np.stack([_subsample(pixel_list[i]) for i in idxs])
+        # int32 is exact here (max 255*(299+587+114) = 255000 < 2^31)
+        # and halves the integer bandwidth vs int64; converting the
+        # three channel planes separately beats one 4-D astype (no
+        # strided 3-channel temporary)
+        luma = (
+            299 * sub[..., 0].astype(np.int32)
+            + 587 * sub[..., 1].astype(np.int32)
+            + 114 * sub[..., 2].astype(np.int32)
+        ) // 1000
+        coef = _DCT8 @ luma.astype(np.float64) @ _DCT8_T
+        out[idxs] = coef.reshape(len(idxs), 64)
+    return out
 
 
 def _pack_bits(bits: np.ndarray) -> np.ndarray:
@@ -74,7 +107,7 @@ def _pack_bits(bits: np.ndarray) -> np.ndarray:
 
 def np_phash_from_pixels(px: np.ndarray) -> int:
     """HxWx3 uint8 -> 64-bit perceptual hash (signed int64)."""
-    block = _coef_block(px)
+    block = _coef_blocks([px])[0]
     bits = (block > np.median(block)).reshape(1, 64)
     return int(_pack_bits(bits)[0])
 
@@ -87,15 +120,14 @@ def np_phash_from_bytes(data: bytes, fmt: str) -> int:
 def phash_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
     """Arrow-batched phash: Series[binary], Series[string] -> Series[long].
 
-    Decode + DCT run per image (the float path must stay bit-identical
-    to the single-image form); the median threshold and bit packing are
-    vectorized across the whole Arrow batch (np.median over axis=1
-    performs the identical per-row computation)."""
+    Decode runs per image (entropy coding is inherently per-payload);
+    everything after — luma, DCT, median threshold, bit packing — is
+    vectorized across the whole Arrow batch via `_coef_blocks`
+    shape-group batching (np.median over axis=1 performs the identical
+    per-row computation)."""
     if len(data) == 0:
         return pd.Series([], dtype="int64")
-    blocks = np.stack(
-        [_coef_block(decode_image(d, f)) for d, f in zip(data, fmt)]
-    )
+    blocks = _coef_blocks([decode_image(d, f) for d, f in zip(data, fmt)])
     med = np.median(blocks, axis=1, keepdims=True)
     return pd.Series(_pack_bits(blocks > med), dtype="int64")
 
