@@ -1601,6 +1601,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+        # corrupt-payload quarantine rides along (the 100TB operability
+        # gate: decode stages must never die on a bad blob). Plant five
+        # corruption classes JVM-side on disjoint deterministic id
+        # slices, then require quarantine_scan to classify EVERY row —
+        # clean and planted — exactly; violations = any verdict
+        # disagreeing with the plant (zero-gated below). Per-class
+        # python oracles + parallelism invariance in tests/test_decode.
+        from ariadne_spark.operators.decode import quarantine_scan
+
+        idn = F.regexp_extract("image_id", r"(\d+)$", 1).cast("long") % 50
+        planted = (
+            images.select("image_id", "bytes", "w", "h", "fmt")
+            .withColumn(
+                "bytes",
+                F.when(idn == 1, F.expr("substring(bytes, 1, 16)"))
+                .when(idn == 3, F.concat(F.lit(b"XX"), F.expr("substring(bytes, 3)")))
+                .when(idn == 4, F.lit(None).cast("binary"))
+                .otherwise(F.col("bytes")),
+            )
+            .withColumn(
+                "fmt", F.when(idn == 2, F.lit("tiff")).otherwise(F.col("fmt"))
+            )
+            .withColumn(
+                "w", F.when(idn == 5, F.col("w") + 1).otherwise(F.col("w"))
+            )
+            .withColumn(
+                "expected",
+                F.when(idn == 1, F.lit("decode_error"))
+                .when(idn == 2, F.lit("unknown_fmt"))
+                .when(idn == 3, F.lit("bad_magic"))
+                .when(idn == 4, F.lit("null_bytes"))
+                .when(idn == 5, F.lit("dim_mismatch")),
+            )
+        )
+        qsc = (
+            quarantine_scan(planted)
+            .join(planted.select("image_id", "expected"), "image_id")
+            .groupBy(F.coalesce("error_kind", F.lit("ok")).alias("fmt"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        ~F.col("error_kind").eqNullSafe(F.col("expected")), 1
+                    ).otherwise(0)
+                ).alias("n_pixel_violations"),
+            )
+            .select(
+                F.lit("quarantine").alias("stage"), "fmt",
+                F.col("n_rows").cast("long"),
+                F.col("n_pixel_violations").cast("long"),
+                F.lit(0).cast("long").alias("n_caption_violations"),
+                F.lit(0).cast("long").alias("n_phash_violations"),
+                F.lit(None).cast("double").alias("min_psnr"),
+            )
+        )
+
+        kinds = {r["fmt"] for r in qsc.select("fmt").collect()}
+        assert kinds == {
+            "ok", "decode_error", "unknown_fmt", "bad_magic",
+            "null_bytes", "dim_mismatch",
+        }, f"quarantine classes missing: {kinds}"
+
         out = (
             inv.unionByName(rz)
             .unionByName(pad(aud, "audio", "wav"))
@@ -1612,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(ag)
             .unionByName(pfp)
             .unionByName(jrt)
+            .unionByName(qsc)
         )
         bad = out.where(
             (F.col("n_pixel_violations") > 0)

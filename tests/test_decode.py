@@ -333,3 +333,88 @@ def test_pixel_fingerprint_parallelism_invariant(spark, tmp_path):
     b = {r["image_id"]: r["pixel_fp"]
          for r in pixel_fingerprint(imgs.repartition(9)).collect()}
     assert a == b and len(a) == 40
+
+
+def _planted_corrupt_df(spark, images_df, n=60):
+    """Sample of the fixture with five corruption classes planted on
+    disjoint slices (python-side twin of the x06 JVM planting).
+    Returns (df, expected: id -> error_kind or None)."""
+    import pandas as pd
+
+    src = images_df.limit(n).collect()
+    rows, expected = [], {}
+    for i, r in enumerate(src):
+        blob, fmt, w, h = bytes(r["bytes"]), r["fmt"], r["w"], r["h"]
+        kind = None
+        cls = i % 10
+        if cls == 1:
+            blob, kind = blob[:16], "decode_error"
+        elif cls == 2:
+            fmt, kind = "tiff", "unknown_fmt"
+        elif cls == 3:
+            blob, kind = b"XX" + blob[2:], "bad_magic"
+        elif cls == 4:
+            blob, kind = None, "null_bytes"
+        elif cls == 5:
+            blob, kind = b"", "null_bytes"
+        elif cls == 6:
+            w, kind = w + 1, "dim_mismatch"
+        rows.append({"image_id": r["image_id"], "bytes": blob, "w": w,
+                     "h": h, "fmt": fmt})
+        expected[r["image_id"]] = kind
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    return df, expected
+
+
+def test_quarantine_scan_classifies_planted_corruption(spark, images_df):
+    """Every corruption class gets its exact deterministic verdict;
+    clean rows pass. The scan itself never raises."""
+    from ariadne_spark.operators.decode import quarantine_scan
+
+    df, expected = _planted_corrupt_df(spark, images_df)
+    got = {r["image_id"]: (r["ok"], r["error_kind"])
+           for r in quarantine_scan(df).collect()}
+    assert len(got) == len(expected)
+    for img_id, kind in expected.items():
+        ok, ek = got[img_id]
+        assert ek == kind and ok == (kind is None), (img_id, kind, got[img_id])
+    # all five kinds + clean rows actually exercised
+    assert {k for k in expected.values()} == {
+        None, "decode_error", "unknown_fmt", "bad_magic", "null_bytes",
+        "dim_mismatch",
+    }
+
+
+def test_quarantine_scan_parallelism_invariant(spark, images_df):
+    from ariadne_spark.operators.decode import quarantine_scan
+
+    df, _ = _planted_corrupt_df(spark, images_df)
+    a = sorted(map(tuple, quarantine_scan(df.repartition(1)).collect()))
+    b = sorted(map(tuple, quarantine_scan(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_quarantine_guard_protects_downstream(spark, images_df):
+    """The operability contract: a decode stage run directly on a
+    corrupted corpus kills the job; the same stage over quarantine
+    survivors (left-semi join) completes, covering exactly the clean
+    rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions.phash import phash_udf
+    from ariadne_spark.operators.decode import quarantine_scan
+
+    df, expected = _planted_corrupt_df(spark, images_df)
+    with pytest.raises(Exception):
+        df.select(phash_udf("bytes", "fmt").alias("ph")).collect()
+    survivors = df.join(
+        quarantine_scan(df).where("ok").select("image_id"),
+        "image_id",
+        "left_semi",
+    )
+    n = survivors.select(phash_udf("bytes", "fmt").alias("ph")).count()
+    assert n == sum(1 for k in expected.values() if k is None)
