@@ -492,7 +492,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cid)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             intervals, i = _split_entropy(data, i + seglen)
-            out_planes = _decode_scan(scan, intervals, qtables, huff, h, w, restart)
+            # MERGE scans: a spec-legal non-interleaved baseline stream
+            # carries one SOS per component (some encoders emit this) —
+            # replacing would keep only the last component's plane
+            hmax_g = max(c["h"] for c in comps)
+            vmax_g = max(c["v"] for c in comps)
+            out_planes.update(
+                _decode_scan(
+                    scan, intervals, qtables, huff, h, w, restart,
+                    hmax_g, vmax_g,
+                )
+            )
             continue  # i already advanced past the scan
         # APPn / COM / others: skip
         i += seglen
@@ -514,20 +524,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(scan, intervals, qtables, huff, h, w, restart):
+def _decode_scan(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
     """Entropy-decode every MCU; returns {component id: float plane}
     at each component's own (padded) resolution. IDCT is batched per
-    component — one matrix product over all its blocks."""
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
+    component — one matrix product over all its blocks.
+
+    Geometry per spec A.2: an INTERLEAVED scan's MCU grid derives from
+    the FRAME's max sampling factors (hmax_g/vmax_g — equal to the
+    scan's own max when the scan carries every component, the common
+    case) with h_i x v_i blocks per component per MCU; a single-
+    component NON-INTERLEAVED scan's MCU is one block on the
+    component's OWN sample grid, ceil(w*h_i/hmax)/8 blocks across
+    (A.2.2) — using the full-resolution grid there would mis-size
+    subsampled chroma planes. The shared comps dicts are never
+    mutated (a mutation would corrupt later scans and the final
+    upsample)."""
     if len(scan) == 1:
-        # non-interleaved single-component scan: MCU is one block
-        hmax = vmax = scan[0][0]["h"] = scan[0][0]["v"] = 1
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcols, mrows = -(-w // mcu_w), -(-h // mcu_h)
+        c0 = scan[0][0]
+        cw = -(-(w * c0["h"]) // hmax_g)
+        ch = -(-(h * c0["v"]) // vmax_g)
+        mcols, mrows = -(-cw // 8), -(-ch // 8)
+        eff = {c0["id"]: (1, 1)}
+    else:
+        mcu_w, mcu_h = 8 * hmax_g, 8 * vmax_g
+        mcols, mrows = -(-w // mcu_w), -(-h // mcu_h)
+        eff = {c["id"]: (c["h"], c["v"]) for c, _, _ in scan}
     state = {}
     for c, _, _ in scan:
-        bw, bh = mcols * c["h"], mrows * c["v"]
+        eh, ev = eff[c["id"]]
+        bw, bh = mcols * eh, mrows * ev
         state[c["id"]] = {
             "zz": np.zeros((bh * bw, 64), np.int64),
             "bw": bw,
@@ -545,9 +570,10 @@ def _decode_scan(scan, intervals, qtables, huff, h, w, restart):
         for c, td, ta in scan:
             dct, act = huff[(0, td)], huff[(1, ta)]
             st = state[c["id"]]
-            for dy in range(c["v"]):
-                for dx in range(c["h"]):
-                    zz = st["zz"][(mr * c["v"] + dy) * st["bw"] + mc * c["h"] + dx]
+            ev_h, ev_v = eff[c["id"]]
+            for dy in range(ev_v):
+                for dx in range(ev_h):
+                    zz = st["zz"][(mr * ev_v + dy) * st["bw"] + mc * ev_h + dx]
                     s = _read_symbol(reader, dct)
                     diff = _extend(reader.take(s), s)
                     pred[c["id"]] += diff

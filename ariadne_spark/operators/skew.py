@@ -178,9 +178,14 @@ def adaptive_split(
     # pick shuffle-hash when it outgrows the broadcast threshold; the
     # dense frames above are bounded by n/threshold and DO broadcast
     key = cells.cell_encode(F.col("lon_u"), F.col("lat_u"), floor_res)
+    # LEFT join: every occupied floor cell is in the mapping, so the
+    # join is 1:1 for geocoded rows — but a NULL lon_u/lat_u row has a
+    # NULL key and an inner join would silently DROP it, making the
+    # operator row-count-changing. Left keeps it with a NULL
+    # split_cell, matching the base_res==max_res projection path.
     return (
         images.withColumn("__c", key)
-        .join(mapping.withColumnRenamed("c", "__c"), "__c")
+        .join(mapping.withColumnRenamed("c", "__c"), "__c", "left")
         .drop("__c")
     )
 

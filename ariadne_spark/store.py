@@ -472,12 +472,17 @@ class SnapshotStore:
                 sid = int(txt)
         if sid is None:
             ids = self.snapshot_ids(table)
-            if not ids:
-                return None
-            sid = ids[-1]
+            # ids are dense from 0, so an EMPTY (possibly stale) listing
+            # is only a probe start point too: a first commit whose
+            # advisory-HEAD write was lost AND that the lagging listing
+            # has not surfaced yet is still found by the per-key probe
+            # from 0 (read-after-write consistent on every store) —
+            # returning None here would make a durably committed table
+            # invisible and a retrying writer lose the sid-0 race forever
+            sid = ids[-1] if ids else -1
         while self.backend.exists(self._manifest_path(table, sid + 1)):
             sid += 1
-        return sid
+        return sid if sid >= 0 else None
 
     def _commit(self, m: Manifest) -> bool:
         """CAS commit: atomically CREATE the manifest file for
@@ -541,7 +546,11 @@ class SnapshotStore:
         assert self.backend.exists(self._manifest_path(table, sid)), (
             f"no snapshot {sid} for {table}"
         )
-        assert name not in self.branches(table), (
+        # namespace check by PER-KEY probe (_branch_version forward-
+        # probes version 0 even when the listing is empty) — a listing-
+        # based branches() check could miss a just-created branch on a
+        # lagging object-store LIST and let the tag silently shadow it
+        assert self._branch_version(table, name) is None, (
             f"{name!r} is already a branch on {table} (one name namespace)"
         )
         if not self.backend.create_exclusive(self._tag_path(table, name), str(sid)):
@@ -584,7 +593,9 @@ class SnapshotStore:
         assert self.backend.exists(self._manifest_path(table, sid)), (
             f"no snapshot {sid} for {table}"
         )
-        assert name not in self.tags(table), (
+        # symmetric per-key namespace probe: tags() is listing-based and
+        # a lagging LIST could miss a just-created tag of this name
+        assert not self.backend.exists(self._tag_path(table, name)), (
             f"{name!r} is already a tag on {table} (one name namespace)"
         )
         if not self.backend.create_exclusive(
@@ -1421,14 +1432,20 @@ class SnapshotStore:
         Concurrency: the clear commit rebases onto whatever is current,
         so a writer that overwrote DISJOINT partitions between the two
         commits composes fine — but an overwrite that re-introduced a
-        tombstoned pk into the rebased content would, if the clear
-        landed as-is, resurrect the pk without it ever being
-        materialized (a lost erasure). Before each clear attempt the
-        partitions changed since this call's rewrite are re-located
-        against the materialized pk set; any hit re-runs the rewrite
-        for just those partitions and re-validates. The clear commits
-        only against a state verified to physically exclude every pk
-        it stops filtering."""
+        tombstoned pk into content the clear commits over would, if the
+        clear landed as-is, resurrect the pk without it ever being
+        materialized (a lost erasure). The guard is a PROVEN-STATE map,
+        not a snapshot diff: each (partition, fingerprint) pair this
+        call has verified pk-free — the locate scan proves every
+        partition of its snapshot, a rewrite proves the partitions it
+        writes. Before each clear attempt, any current partition whose
+        fingerprint is not a proven state is re-located against the
+        materialized pk set (raw O(changed) scan); hits re-run the
+        rewrite, clean scans extend the map. This also catches commits
+        that land BEFORE/DURING the rewrite and get rebased into it —
+        a diff from the rewrite snapshot would skip those entirely.
+        The clear commits only against a state verified to physically
+        exclude every pk it stops filtering."""
         m = self.manifest(table)
         assert m is not None, f"table {table} has no snapshot"
         if not m.delete_files:
@@ -1441,7 +1458,13 @@ class SnapshotStore:
             affected |= self._locate_pk_partitions(
                 table, m.snapshot_id, key, pk, dels, m=m
             )
-        rewrite_sid = m.snapshot_id
+        # (partition -> fingerprint) states proven to physically exclude
+        # every materialized pk
+        verified: dict[str, int] = {
+            k: meta["fingerprint"]
+            for k, meta in m.partitions.items()
+            if k not in affected
+        }
         if affected:
             keys = sorted(affected)
             survivors = self._apply_delete_files(
@@ -1452,34 +1475,32 @@ class SnapshotStore:
                 materialized,
             )
             rewrite_sid = self.overwrite_partitions(survivors, table, key, keys=keys)
+            rm = self.manifest(table, rewrite_sid)
+            for k in keys:
+                if k in rm.partitions:  # emptied partitions drop out
+                    verified[k] = rm.partitions[k]["fingerprint"]
         for _ in range(COMMIT_RETRIES):
             cur = self.manifest(table)
-            if cur.snapshot_id != rewrite_sid:
-                # commits landed since this call's rewrite: an
-                # overwrite among them may physically contain a pk the
-                # clear below would stop filtering. Re-locate the
-                # materialized pks in exactly the changed partitions
-                # (raw read, O(changed) scan) and re-rewrite on a hit.
-                changed = [
-                    k
-                    for k in self.diff(table, rewrite_sid, cur.snapshot_id)
-                    if k in cur.partitions
-                ]
+            suspect = sorted(
+                k
+                for k, meta in cur.partitions.items()
+                if verified.get(k) != meta["fingerprint"]
+            )
+            if suspect:
+                raw = self.read(
+                    table, cur.snapshot_id, keys=suspect,
+                    _apply_deletes=False,
+                )
                 reaffected: set[str] = set()
-                if changed:
-                    raw = self.read(
-                        table, cur.snapshot_id, keys=changed,
-                        _apply_deletes=False,
-                    )
-                    for pk, dels in self._delete_pks(materialized).items():
-                        reaffected |= {
-                            str(r[0])
-                            for r in raw.select(key, pk)
-                            .join(F.broadcast(dels), pk, "left_semi")
-                            .select(key)
-                            .distinct()
-                            .collect()
-                        }
+                for pk, dels in self._delete_pks(materialized).items():
+                    reaffected |= {
+                        str(r[0])
+                        for r in raw.select(key, pk)
+                        .join(F.broadcast(dels), pk, "left_semi")
+                        .select(key)
+                        .distinct()
+                        .collect()
+                    }
                 if reaffected:
                     ks = sorted(reaffected)
                     survivors = self._apply_delete_files(
@@ -1489,10 +1510,17 @@ class SnapshotStore:
                         ),
                         materialized,
                     )
-                    rewrite_sid = self.overwrite_partitions(
+                    rw = self.overwrite_partitions(
                         survivors, table, key, keys=ks
                     )
+                    rm = self.manifest(table, rw)
+                    for k in ks:
+                        if k in rm.partitions:
+                            verified[k] = rm.partitions[k]["fingerprint"]
                     continue
+                # suspects scanned clean at cur: prove their states
+                for k in suspect:
+                    verified[k] = cur.partitions[k]["fingerprint"]
             # subtract ONLY the entries this call folded in: a
             # concurrent delete_rows_mor may have appended new
             # tombstones since — resetting to None would silently

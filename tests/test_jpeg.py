@@ -222,3 +222,73 @@ def test_phash_survives_real_jpeg_recompression():
     h_exact = phash.np_phash_from_pixels(px)
     h_jpeg = phash.np_phash_from_pixels(codecs.decode_image(codecs.encode_image(px, "jpeg"), "jpeg"))
     assert bin((h_exact ^ h_jpeg) & (2**64 - 1)).count("1") <= 6
+
+
+def _encode_noninterleaved(px, quality=95, subsample="420"):
+    """Spec-legal baseline stream with one SOS PER COMPONENT (the
+    non-interleaved layout some encoders emit, A.2.2) — test twin of
+    encode_jpeg built from the module's own primitives. Requires dims
+    where the per-component block grid equals the padded-plane grid
+    (multiples of 16 for 420; any dims for 444)."""
+    import struct
+
+    from ariadne_spark.functions import jpeg as J
+
+    h, w, _ = px.shape
+    s2 = 2 if subsample == "420" else 1
+    mcu = 8 * s2
+    assert subsample == "444" or (h % 16 == 0 and w % 16 == 0)
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y, cb, cr = J._rgb_to_ycbcr(padded)
+    if s2 == 2:
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    qly, qlc = J.quality_tables(quality)
+    out = bytearray(b"\xff\xd8")
+    out += J._seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += J._seg(0xFFDB, bytes([0x00]) + bytes(qly.reshape(64)[J.ZIG].astype(np.uint8)))
+    out += J._seg(0xFFDB, bytes([0x01]) + bytes(qlc.reshape(64)[J.ZIG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (s2 << 4) | s2, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += J._seg(0xFFC0, sof)
+    for tc_th, bits, vals in (
+        (0x00, J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        (0x10, J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+        (0x01, J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+        (0x11, J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+    ):
+        out += J._seg(0xFFC4, bytes([tc_th] + bits + vals))
+    for cid, plane, qt, t in ((1, y, qly, 0), (2, cb, qlc, 1), (3, cr, qlc, 1)):
+        out += J._seg(0xFFDA, bytes([1, cid, (t << 4) | t, 0, 63, 0]))
+        writer = J._BitWriter()
+        pred = 0
+        for blk in J._quant_blocks(plane, qt):  # raster block order
+            pred = J._encode_block(writer, blk, pred, J.ENC_DC[t], J.ENC_AC[t])
+        writer.flush()
+        out += bytes(writer.buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_noninterleaved_multiscan_decodes_identically_420():
+    """Three separate SOS scans (Y, Cb, Cr) at 4:2:0 must decode to
+    exactly the interleaved encoding's pixels: same quantized
+    coefficients, different entropy layout."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    il = codecs.decode_image(encode_jpeg(px, 90, "420"), "jpeg")
+    ni = codecs.decode_image(_encode_noninterleaved(px, 90, "420"), "jpeg")
+    assert np.array_equal(il, ni)
+
+
+def test_noninterleaved_multiscan_odd_dims_444():
+    """Non-interleaved at 4:4:4 with non-multiple-of-8 dims: the
+    per-component grid math must pad/crop exactly like the
+    interleaved path."""
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(20, 12, 3), dtype=np.uint8)
+    il = codecs.decode_image(encode_jpeg(px, 97, "444"), "jpeg")
+    ni = codecs.decode_image(_encode_noninterleaved(px, 97, "444"), "jpeg")
+    assert np.array_equal(il, ni)
+    assert codecs.psnr(px, ni) >= 30.0

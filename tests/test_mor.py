@@ -169,6 +169,45 @@ def test_materialize_survives_concurrent_overwrite_reinsert(spark, tmp_path):
     assert st.read("t").count() == 29
 
 
+def test_materialize_survives_rebased_overwrite_reinsert(spark, tmp_path):
+    """Variant of the race above landing BEFORE materialize's rewrite
+    commit: the competing overwrite re-inserts the tombstoned pk into a
+    DIFFERENT partition (g2, not located by the scan) in the window
+    between the locate scan and the rewrite, so the rewrite REBASES the
+    poisoned g2 in. A diff from the rewrite snapshot never inspects g2;
+    the proven-fingerprint guard must re-scan it and re-rewrite."""
+    import unittest.mock as mock
+
+    root = str(tmp_path / "s")
+    st = SnapshotStore(spark, root)
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    st.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+
+    writer = SnapshotStore(spark, root)
+    real_overwrite = SnapshotStore.overwrite_partitions
+    fired = {"n": 0}
+
+    def racy_overwrite(self, df, table, key, **kw):
+        if fired["n"] == 0 and self is st:
+            fired["n"] += 1
+            # competing commit BEFORE materialize's rewrite: g2 content
+            # plus the tombstoned pk (legal — tombstones are global
+            # filters that keep applying to overwritten content)
+            g2 = [(i, "g2", i * 10) for i in range(30) if i % 3 == 2]
+            real_overwrite(writer, _df(spark, g2 + [(4, "g2", 40)]), "t", key="grp")
+        return real_overwrite(self, df, table, key, **kw)
+
+    with mock.patch.object(SnapshotStore, "overwrite_partitions", racy_overwrite):
+        st.materialize_deletes("t")
+    assert not st.manifest("t").delete_files
+    # the erasure held in BOTH partitions: logically and physically
+    assert 4 not in {r["id"] for r in st.read("t").collect()}
+    assert 4 not in {
+        r["id"] for r in st.read("t", _apply_deletes=False).collect()
+    }
+    assert st.read("t").count() == 29
+
+
 def test_rollback_carries_and_resurrects(spark, tmp_path):
     st = SnapshotStore(spark, str(tmp_path / "s"))
     s0 = st.write_table(_df(spark, _base_rows()), "t", key="grp")

@@ -174,6 +174,39 @@ def test_branches_resolve_under_stale_listing(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_first_commit_recovered_with_lost_head_and_blind_listing(spark, tmp_path):
+    """Worst-case cold start: the FIRST commit's manifest landed via
+    conditional PUT, the advisory HEAD write crashed, and the lagging
+    listing has not surfaced any manifest yet. An early `return None`
+    on the empty listing would make the durably committed table
+    invisible (and a retrying writer lose the sid-0 CAS forever); the
+    per-key forward probe from sid 0 must recover it."""
+    st = _obj_store(spark, tmp_path, list_lag=50)
+    st.backend.fail_next("write_advisory")
+    with pytest.raises(OSError, match="injected"):
+        st.write_table(_df(spark, _rows()), "t", key="grp")
+    # the listing is blind, the HEAD is absent — probe alone recovers
+    assert st.current_snapshot_id("t") == 0
+    assert st.read("t").count() == 30
+    assert st.overwrite_partitions(_df(spark, [(0, "g0", 1)]), "t", key="grp") == 1
+
+
+def test_namespace_disjointness_survives_blind_listing(spark, tmp_path):
+    """The tag/branch one-name-namespace checks must be per-key probes:
+    a listing-based check would miss a just-created name on a lagging
+    LIST and let a tag silently shadow a branch (tags resolve first in
+    _resolve_sid, so every read of the branch name would serve the
+    pinned snapshot instead of the moving head) — and vice versa."""
+    st = _obj_store(spark, tmp_path, list_lag=50)
+    st.write_table(_df(spark, _rows()), "t", key="grp")
+    st.branch("t", "pub")
+    with pytest.raises(AssertionError, match="already a branch"):
+        st.tag("t", "pub")
+    st.tag("t", "v1")
+    with pytest.raises(AssertionError, match="already a tag"):
+        st.branch("t", "v1")
+
+
 def test_crash_before_conditional_put_leaves_old_snapshot(spark, tmp_path):
     st = _obj_store(spark, tmp_path)
     st.write_table(_df(spark, _rows()), "t", key="grp")

@@ -152,3 +152,22 @@ def test_choose_salt_distributed_matches_dict_form(spark, images_df):
         assert choose_salt_distributed(meta, res, target) == choose_salt(
             hist, target
         ), (res, target)
+
+
+def test_adaptive_split_keeps_null_geo_rows(spark):
+    """adaptive_split only ADDS a column: a row with NULL lon_u/lat_u
+    must survive (NULL split_cell), not vanish through the mapping
+    join."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [{"image_id": f"i{i}", "lon_u": i * 1000, "lat_u": i * 500}
+            for i in range(50)]
+    rows.append({"image_id": "null_geo", "lon_u": None, "lat_u": None})
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "image_id string, lon_u long, lat_u long"
+    )
+    out = adaptive_split(df, base_res=2, max_res=5, threshold=8)
+    assert out.count() == 51
+    ng = out.where(F.col("image_id") == "null_geo").collect()
+    assert len(ng) == 1 and ng[0]["split_cell"] is None
