@@ -502,15 +502,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local[32], bench.py's q21_split): the whole entry is
         # ~5.7-6.8 s, of which ~5 s is exactly these two checkpoint
         # builds (BM25 ~3 s on the deliberate all-stopword worst case +
-        # exact block matmul ~1.6 s, sequential) and each of the six
-        # kind branches then costs 0.05-0.4 s — i.e. the checkpoint
-        # converts 6 re-executions of the 5 s build into one. The
-        # round-3 in-code claim ("6.2 s -> ~2 s") overstated the win
-        # and is retracted; the entry's floor IS the build cost.
-        dense_r = exact_topk(_t(spark, sf, "embeddings"), k=3).localCheckpoint()
-        dense = dense_r.select(
-            F.lit("dense").alias("kind"), "src", "dst", "dot_q", "rank"
-        )
+        # exact block matmul ~1.6 s) and each of the six kind branches
+        # then costs 0.05-0.4 s — i.e. the checkpoint converts 6
+        # re-executions of the 5 s build into one. The round-3 in-code
+        # claim ("6.2 s -> ~2 s") overstated the win and is retracted;
+        # the entry's floor is the SLOWER of the two builds: they are
+        # independent jobs, so they are submitted from two driver
+        # threads and Spark's scheduler overlaps them (checkpointed
+        # results are identical to the sequential build — concurrency
+        # changes wall time, never content).
         d = _t(spark, sf, "documents").select("doc_id", "text")
         stride = F.greatest(
             cells.idiv(F.col("n_docs"), 6), F.lit(1).cast("long")
@@ -522,7 +522,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("doc_id") % stride == 0)
             .select(F.col("doc_id").alias("query_id"), "text")
         )
-        sp = bm25_topk(d, qs, k=3, exclude_self=True).localCheckpoint()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_dense = pool.submit(
+                lambda: exact_topk(
+                    _t(spark, sf, "embeddings"), k=3
+                ).localCheckpoint()
+            )
+            f_sp = pool.submit(
+                lambda: bm25_topk(d, qs, k=3, exclude_self=True).localCheckpoint()
+            )
+            dense_r, sp = f_dense.result(), f_sp.result()
+        dense = dense_r.select(
+            F.lit("dense").alias("kind"), "src", "dst", "dot_q", "rank"
+        )
         sparse = sp.select(
             F.lit("sparse").alias("kind"),
             F.col("query_id").alias("src"),
