@@ -66,6 +66,16 @@ def test_pip_join_has_zero_shuffles(spark, images_df, regions):
     assert "MapInPandas" in p
 
 
+def test_quarantine_scan_is_linear(spark, images_df):
+    from ariadne_spark.operators.decode import quarantine_scan
+
+    p = plan(quarantine_scan(images_df))
+    # one narrow mapInPandas pass over the scan — no shuffle at any
+    # corpus size (the verdict is per-row)
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
 def test_meta_scan_skips_bytes(spark, images_df):
     p = plan(images_df.drop("bytes").select(F.col("image_id"), F.col("phash")))
     read_schema = p.split("ReadSchema:")[1].split("\n")[0]
