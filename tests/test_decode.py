@@ -418,3 +418,29 @@ def test_quarantine_guard_protects_downstream(spark, images_df):
     )
     n = survivors.select(phash_udf("bytes", "fmt").alias("ph")).count()
     assert n == sum(1 for k in expected.values() if k is None)
+
+
+def test_phash_udf_mixed_odd_shapes_match_per_image(spark):
+    """Shape-group batching inside phash_udf must reproduce the
+    per-image hash for adversarial mixed shapes sharing one Arrow
+    batch (odd dims, sub-32 dims, extreme aspect)."""
+    import numpy as np
+    import pandas as pd
+
+    from ariadne_spark.functions.codecs import encode_bmp
+    from ariadne_spark.functions.phash import np_phash_from_pixels, phash_udf
+
+    rng = np.random.default_rng(23)
+    shapes = [(16, 16), (17, 33), (5, 5), (31, 65), (100, 40), (1, 1),
+              (64, 64), (33, 32), (2, 128)]
+    rows = []
+    for i, (h, w) in enumerate(shapes * 3):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append({"image_id": f"odd_{i}", "bytes": encode_bmp(px),
+                     "fmt": "bmp", "want": np_phash_from_pixels(px)})
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "image_id string, bytes binary, fmt string, want long"
+    ).coalesce(1)  # one partition => shapes genuinely share batches
+    bad = df.select("want", phash_udf("bytes", "fmt").alias("got")) \
+            .where("want != got").count()
+    assert bad == 0
