@@ -44,6 +44,96 @@ from ..functions.phash import hamming, phash_band
 
 DEFAULT_RES = 5
 
+# Probe-row count above which `topk_strategy='auto'` inserts the
+# map-side partial top-k before the final window (see _partial_topk).
+# Below it the window's sort input fits in executor memory and the
+# extra Arrow hop is pure overhead (measured: no spill at 2.4M rows /
+# local[8], 13.4 GB mem-spill at 24M — BENCH.md 10x stress sections).
+PARTIAL_TOPK_MIN_ROWS = 4_000_000
+
+
+def _partial_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Map-side bounded top-k: truncate each src's candidate pairs to
+    a superset of its k best WITHIN every upstream partition, before
+    the final window. Pure pre-pruning: rows cut here rank > k inside
+    their subset, hence > k globally, so the window over the union of
+    per-partition survivors returns bit-identical results for ANY
+    partitioning (asserted in tests/test_operators.py). What it buys
+    at scale: Spark 4 already bounds the window's EXCHANGE with a
+    partial WindowGroupLimit, but feeds it with a map-side Sort of the
+    FULL candidate row set — at 24M images that sort is the stage's
+    binding constraint (13.4 GB memory spill, BENCH.md 10x stress).
+    This operator replaces it with a memory-capped Arrow-side
+    truncation that never sorts whole rows and never spills; it
+    pipelines with the candidate join (no extra shuffle), and the
+    residual window (with its own Sort + WindowGroupLimit) runs over
+    only the survivors. Vectorized throughout — mapInArrow, so the
+    string ids are never converted to Python objects: RecordBatches are
+    buffered as-is and compacted by a numeric (factorized-src, hamming)
+    lexsort + boundary-tie-inclusive cut only when the buffer exceeds a
+    cap, and the cap grows past the irreducible carry
+    (~k x distinct-src-per-partition) so compaction stays amortized
+    O(1) per row. The reference's resolver keeps all candidates in one
+    mutable map (`packages/core/src/resolve_references/
+    call_resolver.ts:391-463`); this is the distributed-memory-bounded
+    counterpart."""
+    schema = pairs.schema
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        buf: list = []  # RecordBatches — passed through untouched until compaction
+        nbuf = 0
+        cap = 1 << 20
+
+        def compact() -> None:
+            nonlocal buf, nbuf, cap
+            t = pa.Table.from_batches(buf).combine_chunks()
+            # numeric-only selection: ids are never compared here. Per
+            # (src, partition) keep every row whose hamming <= the k-th
+            # smallest hamming in the group (boundary ties INCLUDED):
+            # the true top-k by (hamming, dst_image_id) is a subset of
+            # that cut for any dst order, so the final exact window
+            # stays bit-identical while strings avoid O(n log n)
+            # lexicographic compares (hamming is one of 65 ints; the
+            # dst tie-break only ever matters among <= tie-width rows,
+            # which the window resolves over the survivors).
+            codes = (
+                pc.dictionary_encode(t.column("src_image_id").chunk(0))
+                .indices.to_numpy()
+                .astype(np.int64)
+            )
+            ham = t.column("hamming").chunk(0).to_numpy().astype(np.int64)
+            order = np.lexsort((ham, codes))
+            c_s, h_s = codes[order], ham[order]
+            n = len(c_s)
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            sizes = np.diff(np.r_[starts, n])
+            bound = np.full(len(starts), np.iinfo(np.int64).max)
+            has_k = sizes >= k
+            bound[has_k] = h_s[starts[has_k] + (k - 1)]
+            keep = h_s <= np.repeat(bound, sizes)
+            t = t.take(pa.array(order[keep]))
+            buf, nbuf = t.to_batches(max_chunksize=1 << 18), t.num_rows
+            # the carry (~k per src seen so far) is irreducible; keep
+            # the trigger above it so compaction stays amortized O(1)/row
+            cap = max(cap, 2 * nbuf)
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf.append(rb)
+            nbuf += rb.num_rows
+            if nbuf >= cap:
+                compact()
+        if buf:
+            compact()
+            yield from buf
+
+    return pairs.mapInArrow(gen, schema)
+
 
 def _prune_pays(
     probe_cells: list[int],
@@ -89,6 +179,8 @@ def knn_edges(
     prune_build: bool | None = None,
     join_strategy: str = "hash",
     mirror: bool | None = None,
+    topk_strategy: str = "auto",
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """-> (src_image_id, dst_image_id, hamming, rank, confidence,
     reason) — the full Resolution{confidence, reason} contract
@@ -130,7 +222,20 @@ def knn_edges(
     x-wraparound cannot alias an offset with its negation; auto falls
     back to the full ring otherwise, and always when `build_images` is
     given (probe/build sets differ, so mirroring a found pair would
-    fabricate edges). All three knobs are physical only: the result
+    fabricate edges).
+
+    `topk_strategy` picks how the final per-src top-k executes:
+    'window' is the plain row_number window (whose map-side Sort —
+    inserted below Spark 4's partial WindowGroupLimit — runs over ALL
+    surviving pairs and is the 13.4 GB-spilling bottleneck at 24M
+    images, BENCH.md 10x stress); 'partial' inserts a map-side bounded
+    top-k (`_partial_topk`) that replaces that full-row sort with a
+    memory-capped numeric truncation. 'auto' (default) uses 'partial' when
+    `n_rows_hint` (the probe-side row count, supplied by callers that
+    already know it — pipeline_bench/bench_stress count the table
+    anyway) is >= PARTIAL_TOPK_MIN_ROWS, else 'window'; with no hint it
+    stays on 'window' so no extra count job is ever forced on small or
+    incremental paths. All these knobs are physical only: the result
     rows are identical (asserted in tests/test_operators.py)."""
     if salt == "auto":
         from .skew import choose_salt_distributed
@@ -302,6 +407,14 @@ def knn_edges(
                 "dst_same_cell",
             )
         )
+
+    assert topk_strategy in ("auto", "window", "partial"), topk_strategy
+    if topk_strategy == "partial" or (
+        topk_strategy == "auto"
+        and n_rows_hint is not None
+        and n_rows_hint >= PARTIAL_TOPK_MIN_ROWS
+    ):
+        pairs = _partial_topk(pairs, k)
 
     w = Window.partitionBy("src_image_id").orderBy("hamming", "dst_image_id")
     return (

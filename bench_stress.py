@@ -160,7 +160,13 @@ def ensure_meta_images(n: int, synth_cores: int) -> str:
     return path
 
 
-def run_stress(n: int, cores: int) -> dict:
+def run_stress(
+    n: int,
+    cores: int,
+    stages_sel: list[str] | None = None,
+    knn_topk: str = "auto",
+    fingerprint: bool = False,
+) -> dict:
     from pyspark.sql import functions as F
 
     from ariadne_spark.operators.knn import knn_edges
@@ -186,6 +192,8 @@ def run_stress(n: int, cores: int) -> dict:
 
     def run(name: str, fn) -> None:
         nonlocal baseline
+        if stages_sel is not None and name not in stages_sel:
+            return
         sampler.stage = name
         t0 = time.perf_counter()
         fn()
@@ -203,13 +211,38 @@ def run_stress(n: int, cores: int) -> dict:
 
     run("rowcount", lambda: meta.count())
     run("pip_join", lambda: noop(pip_join(meta, generate_regions(), deepest_only=True)))
-    run("knn", lambda: noop(knn_edges(meta, k=5, max_hamming=16)))
+    run(
+        "knn",
+        lambda: noop(
+            knn_edges(
+                meta, k=5, max_hamming=16, n_rows_hint=n, topk_strategy=knn_topk
+            )
+        ),
+    )
     run("tile_pyramid", lambda: noop(build_pyramid(meta, max_z=8)))
     run("rasterize", lambda: noop(rasterize_tiles(meta, z=5, fmt="png")))
+    knn_fp = None
+    if fingerprint:
+        # order-independent (n_rows, content hash) — same construction
+        # as jobs/pipeline_bench.py: proves window/partial top-k return
+        # IDENTICAL edges at the full row count, not just matching times
+        edges = knn_edges(
+            meta, k=5, max_hamming=16, n_rows_hint=n, topk_strategy=knn_topk
+        )
+        h = F.xxhash64(*[F.col(c) for c in edges.columns])
+        row = edges.agg(
+            F.sum(F.shiftrightunsigned(h, 32)).alias("hi"),
+            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+            F.count("*").alias("n"),
+        ).first()
+        knn_fp = [
+            int(row["n"]),
+            ((int(row["hi"] or 0) << 32) + int(row["lo"] or 0)) % (1 << 64),
+        ]
     sampler.stop()
     spark.stop()
     total = sum(s["sec"] for s in stages.values())
-    return {
+    res = {
         "metric": "stress_10x",
         "n_images": n,
         "cpus": cores,
@@ -218,6 +251,9 @@ def run_stress(n: int, cores: int) -> dict:
         "images_per_sec": round(n / total),
         "stages": stages,
     }
+    if knn_fp is not None:
+        res["knn_fingerprint"] = knn_fp
+    return res
 
 
 def main() -> None:
@@ -225,8 +261,28 @@ def main() -> None:
     ap.add_argument("--n-images", type=int, default=24_000_000)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--append", action="store_true", help="append section to BENCH.md")
+    ap.add_argument(
+        "--stages", default=None,
+        help="comma-separated stage subset (e.g. 'rowcount,knn') for A/B "
+        "runs of one stage without paying the whole suite",
+    )
+    ap.add_argument(
+        "--knn-topk", default="auto", choices=("auto", "window", "partial"),
+        help="knn_edges topk_strategy under test (auto routes by n)",
+    )
+    ap.add_argument(
+        "--fingerprint", action="store_true",
+        help="also compute the knn result's order-independent fingerprint "
+        "(cross-strategy equality evidence at full scale)",
+    )
     args = ap.parse_args()
-    res = run_stress(args.n_images, args.cores)
+    res = run_stress(
+        args.n_images,
+        args.cores,
+        stages_sel=args.stages.split(",") if args.stages else None,
+        knn_topk=args.knn_topk,
+        fingerprint=args.fingerprint,
+    )
     print(json.dumps(res))
     if args.append:
         lines = [

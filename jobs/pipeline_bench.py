@@ -96,7 +96,7 @@ def main() -> None:
     stages = {
         "decode_phash": decode_stage,
         "pip_join": lambda: noop(pip_join(meta, generate_regions(), deepest_only=True)),
-        "knn": lambda: noop(knn_edges(meta, k=5, max_hamming=16)),
+        "knn": lambda: noop(knn_edges(meta, k=5, max_hamming=16, n_rows_hint=n_images)),
         "tile_pyramid": lambda: noop(build_pyramid(meta, max_z=args.max_z)),
         "rasterize": lambda: noop(rasterize_tiles(meta, z=5, fmt="png")),
     }
@@ -127,7 +127,7 @@ def main() -> None:
 
     fingerprints = {
         "pip_join": fingerprint(pip_join(meta, generate_regions(), deepest_only=True)),
-        "knn": fingerprint(knn_edges(meta, k=5, max_hamming=16)),
+        "knn": fingerprint(knn_edges(meta, k=5, max_hamming=16, n_rows_hint=n_images)),
         "tile_pyramid": fingerprint(build_pyramid(meta, max_z=args.max_z)),
         "rasterize": fingerprint(rasterize_tiles(meta, z=5, fmt="png")),
     }
