@@ -44,11 +44,16 @@ from ..functions.phash import hamming, phash_band
 
 DEFAULT_RES = 5
 
-# Probe-row count above which `topk_strategy='auto'` inserts the
-# map-side partial top-k before the final window (see _partial_topk).
-# Below it the window's sort input fits in executor memory and the
-# extra Arrow hop is pure overhead (measured: no spill at 2.4M rows /
-# local[8], 13.4 GB mem-spill at 24M — BENCH.md 10x stress sections).
+# Row-count threshold originally meant to auto-route `topk_strategy`
+# to the map-side partial top-k. The 24M A/B (BENCH.md "Round 4:
+# partial top-k at 24M", identical output fingerprints) showed row
+# count is the WRONG routing signal: on hash-realistic corpora the
+# pair set is ~O(n) with per-src groups mostly <= k+ties, so the cut
+# prunes ~nothing and the Arrow hop is pure overhead (+19% wall,
+# +10 GB RSS, spill unchanged). What predicts a win is per-src
+# candidate FANOUT >> k (dup-heavy/boilerplate shards), which n alone
+# cannot see — so 'auto' now always takes the window and 'partial' is
+# an explicit opt-in. Kept for the docstring's history and tests.
 PARTIAL_TOPK_MIN_ROWS = 4_000_000
 
 
@@ -58,16 +63,20 @@ def _partial_topk(pairs: DataFrame, k: int) -> DataFrame:
     the final window. Pure pre-pruning: rows cut here rank > k inside
     their subset, hence > k globally, so the window over the union of
     per-partition survivors returns bit-identical results for ANY
-    partitioning (asserted in tests/test_operators.py). What it buys
-    at scale: Spark 4 already bounds the window's EXCHANGE with a
-    partial WindowGroupLimit, but feeds it with a map-side Sort of the
-    FULL candidate row set — at 24M images that sort is the stage's
-    binding constraint (13.4 GB memory spill, BENCH.md 10x stress).
-    This operator replaces it with a memory-capped Arrow-side
-    truncation that never sorts whole rows and never spills; it
+    partitioning (asserted in tests/test_operators.py). When it pays:
+    Spark 4 already bounds the window's EXCHANGE with a partial
+    WindowGroupLimit, but feeds it with a map-side Sort of the FULL
+    candidate row set; when per-src candidate fanout >> k the cut
+    shrinks that sort's input toward k rows/src and the truncation is
+    the cheaper path. When it does NOT pay (measured, 24M A/B in
+    BENCH.md "Round 4: partial top-k at 24M"): on hash-realistic
+    corpora per-src groups are mostly <= k+ties, the tie-inclusive cut
+    prunes ~nothing, the compaction cap grows toward the full
+    per-task row count (+10 GB RSS), and the Arrow hop costs +19%
+    wall with unchanged spill — hence opt-in only, never 'auto'. It
     pipelines with the candidate join (no extra shuffle), and the
     residual window (with its own Sort + WindowGroupLimit) runs over
-    only the survivors. Vectorized throughout — mapInArrow, so the
+    the survivors. Vectorized throughout — mapInArrow, so the
     string ids are never converted to Python objects: RecordBatches are
     buffered as-is and compacted by a numeric (factorized-src, hamming)
     lexsort + boundary-tie-inclusive cut only when the buffer exceeds a
@@ -225,18 +234,21 @@ def knn_edges(
     fabricate edges).
 
     `topk_strategy` picks how the final per-src top-k executes:
-    'window' is the plain row_number window (whose map-side Sort —
-    inserted below Spark 4's partial WindowGroupLimit — runs over ALL
-    surviving pairs and is the 13.4 GB-spilling bottleneck at 24M
-    images, BENCH.md 10x stress); 'partial' inserts a map-side bounded
-    top-k (`_partial_topk`) that replaces that full-row sort with a
-    memory-capped numeric truncation. 'auto' (default) uses 'partial' when
-    `n_rows_hint` (the probe-side row count, supplied by callers that
-    already know it — pipeline_bench/bench_stress count the table
-    anyway) is >= PARTIAL_TOPK_MIN_ROWS, else 'window'; with no hint it
-    stays on 'window' so no extra count job is ever forced on small or
-    incremental paths. All these knobs are physical only: the result
-    rows are identical (asserted in tests/test_operators.py)."""
+    'window' is the plain row_number window (Spark 4's partial
+    WindowGroupLimit truncates the exchange to <= k rows/src map-side;
+    its map-side Sort runs over all surviving pairs). 'partial'
+    inserts a map-side bounded top-k (`_partial_topk`) that truncates
+    each src's candidates BEFORE that sort — an opt-in for
+    fanout-skewed corpora (per-src candidate count >> k, e.g.
+    dup-heavy/boilerplate shards) where the cut genuinely prunes. On
+    hash-realistic corpora it measured as pure overhead at 24M
+    (+19% wall, spill unchanged — the pair set is ~O(n) with per-src
+    groups mostly <= k+ties, so nothing prunes; BENCH.md "Round 4:
+    partial top-k at 24M", identical output fingerprints), which is
+    why 'auto' (default) always takes the window: probe row count
+    (`n_rows_hint`) cannot distinguish the shapes that pay. All these
+    knobs are physical only: the result rows are identical (asserted
+    in tests/test_operators.py)."""
     if salt == "auto":
         from .skew import choose_salt_distributed
 
@@ -409,11 +421,10 @@ def knn_edges(
         )
 
     assert topk_strategy in ("auto", "window", "partial"), topk_strategy
-    if topk_strategy == "partial" or (
-        topk_strategy == "auto"
-        and n_rows_hint is not None
-        and n_rows_hint >= PARTIAL_TOPK_MIN_ROWS
-    ):
+    # 'auto' deliberately ignores n_rows_hint here: the 24M A/B showed
+    # row count doesn't predict when the partial cut pays (see
+    # PARTIAL_TOPK_MIN_ROWS note) — only explicit opt-in engages it.
+    if topk_strategy == "partial":
         pairs = _partial_topk(pairs, k)
 
     w = Window.partitionBy("src_image_id").orderBy("hamming", "dst_image_id")

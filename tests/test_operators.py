@@ -178,8 +178,9 @@ class TestKnn:
         """topk_strategy='partial' (map-side bounded top-k before the
         final window) returns the identical edge set — including the
         full Resolution payload — for any upstream partitioning, with
-        and without salting/mirroring; and the 'auto' hint routes to it
-        above PARTIAL_TOPK_MIN_ROWS without changing rows."""
+        and without salting/mirroring; and 'auto' stays on the window
+        regardless of n_rows_hint (the 24M A/B showed row count is the
+        wrong routing signal — partial is explicit opt-in)."""
         cols = (
             "src_image_id", "dst_image_id", "hamming", "rank",
             "confidence", "reason",
@@ -200,10 +201,15 @@ class TestKnn:
         # composes with the other physical knobs
         assert edges(images_df, topk_strategy="partial", salt=4) == base
         assert edges(images_df, topk_strategy="partial", mirror=False) == base
-        # auto + a hint past the threshold takes the partial path (same
-        # rows); auto with no hint is the plain window
+        # 'auto' is window-only now (opt-in partial): same rows either
+        # way, and a huge hint must NOT flip it to the Arrow path
         assert edges(images_df, n_rows_hint=10**9) == base
         assert edges(images_df) == base
+        auto_plan = (
+            knn_edges(images_df, k=3, n_rows_hint=10**9)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "MapInArrow" not in auto_plan
 
     def test_partial_topk_plan_shape(self, spark, images_df):
         """The partial path pipelines a MapInArrow between the
