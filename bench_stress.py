@@ -268,7 +268,8 @@ def main() -> None:
     )
     ap.add_argument(
         "--knn-topk", default="auto", choices=("auto", "window", "partial"),
-        help="knn_edges topk_strategy under test (auto routes by n)",
+        help="knn_edges topk_strategy under test (auto == window; "
+        "partial is the explicit opt-in — see BENCH.md 24M A/B)",
     )
     ap.add_argument(
         "--fingerprint", action="store_true",
