@@ -166,6 +166,7 @@ def run_stress(
     stages_sel: list[str] | None = None,
     knn_topk: str = "auto",
     fingerprint: bool = False,
+    shuffle_partitions: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -179,6 +180,7 @@ def run_stress(
     spark = get_spark(
         cores=cores,
         app_name="stress",
+        shuffle_partitions=shuffle_partitions,
         extra_conf={"spark.ui.enabled": "true"},
     )
 
@@ -272,6 +274,12 @@ def main() -> None:
         "partial is the explicit opt-in — see BENCH.md 24M A/B)",
     )
     ap.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="override spark.sql.shuffle.partitions for the run (default: "
+        "session policy cores*2). AQE can only coalesce DOWN from this, "
+        "so it is the per-task shuffle-memory knob at fixed input bytes",
+    )
+    ap.add_argument(
         "--fingerprint", action="store_true",
         help="also compute the knn result's order-independent fingerprint "
         "(cross-strategy equality evidence at full scale)",
@@ -283,6 +291,7 @@ def main() -> None:
         stages_sel=args.stages.split(",") if args.stages else None,
         knn_topk=args.knn_topk,
         fingerprint=args.fingerprint,
+        shuffle_partitions=args.shuffle_partitions,
     )
     print(json.dumps(res))
     if args.append:
