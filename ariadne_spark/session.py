@@ -30,12 +30,29 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    # Shuffle partitioning: partitions must be sized by BYTES, never as
+    # partitions-per-core waves — measured at 24M rows/local[8] (BENCH.md
+    # "Round 4: shuffle-partition sizing"), cores*2 leaves the kNN
+    # candidate stage running two waves of ~1 GB sort tasks (982 s,
+    # 13.4 GB spill) while cores*8 (~285 MB/task) runs 580 s with ZERO
+    # spill and half the RSS. So the default sets a high-ish AQE
+    # *initial* partition number (coalescing then shrinks small shuffles
+    # back down by bytes at runtime; AQE can never split an un-skewed
+    # oversized partition, so erring high is the safe side) and keeps
+    # spark.sql.shuffle.partitions as the non-AQE fallback. An EXPLICIT
+    # shuffle_partitions argument pins both knobs (A/B reproducibility).
+    explicit = shuffle_partitions is not None
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    initial_partitions = shuffle_partitions if explicit else max(cores * 8, 64)
 
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalesces by BYTES, which serializes Python grouped-map

@@ -63,8 +63,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
-    # shuffle partitions sized to parallelism (what you'd set per cluster)
+    # shuffle partitioning mirrors ariadne_spark/session.py: a high-ish
+    # AQE initial partition number (coalesced down by bytes at runtime)
+    # smooths wave quantization — measured −39%..−67% on the kNN stage
+    # at both 24M/local[8] and sf0.1/local[32] (BENCH.md round-4
+    # shuffle-partition sizing) — with cores*2 as the non-AQE fallback
     spark.conf.set("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(max(cores * 8, 64)),
+    )
 
     from ariadne_spark.functions.phash import phash_udf
     from ariadne_spark.operators.knn import knn_edges
