@@ -17,6 +17,28 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def shuffle_policy(cores: int, shuffle_partitions: int | None) -> tuple[int, int]:
+    """(spark.sql.shuffle.partitions, AQE initialPartitionNum) defaults.
+
+    Partitions must be sized by BYTES, never as partitions-per-core
+    waves — measured at 24M rows/local[8] (BENCH.md "Round 4:
+    shuffle-partition sizing"), cores*2 leaves the kNN candidate stage
+    running two waves of ~1 GB sort tasks (982 s, 13.4 GB spill) while
+    cores*8 (~285 MB/task) runs 580 s with ZERO spill and half the RSS;
+    the same policy at sf0.1/local[32] measured suite −27% / images_per_sec
+    +89% (BENCH.md "Round 4 close"). So the default sets a high-ish AQE
+    *initial* partition number (coalescing then shrinks small shuffles
+    back down by bytes at runtime; AQE can never split an un-skewed
+    oversized partition, so erring high is the safe side) and keeps
+    spark.sql.shuffle.partitions as the non-AQE fallback. An EXPLICIT
+    shuffle_partitions argument pins BOTH knobs (A/B reproducibility).
+    """
+    if shuffle_partitions is not None:
+        return shuffle_partitions, shuffle_partitions
+    sp = max(cores * 2, 8)
+    return sp, max(cores * 8, 64)
+
+
 def get_spark(
     cores: int | None = None,
     app_name: str = "ariadne_spark",
@@ -30,20 +52,7 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
-    # Shuffle partitioning: partitions must be sized by BYTES, never as
-    # partitions-per-core waves — measured at 24M rows/local[8] (BENCH.md
-    # "Round 4: shuffle-partition sizing"), cores*2 leaves the kNN
-    # candidate stage running two waves of ~1 GB sort tasks (982 s,
-    # 13.4 GB spill) while cores*8 (~285 MB/task) runs 580 s with ZERO
-    # spill and half the RSS. So the default sets a high-ish AQE
-    # *initial* partition number (coalescing then shrinks small shuffles
-    # back down by bytes at runtime; AQE can never split an un-skewed
-    # oversized partition, so erring high is the safe side) and keeps
-    # spark.sql.shuffle.partitions as the non-AQE fallback. An EXPLICIT
-    # shuffle_partitions argument pins both knobs (A/B reproducibility).
-    explicit = shuffle_partitions is not None
-    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
-    initial_partitions = shuffle_partitions if explicit else max(cores * 8, 64)
+    shuffle_partitions, initial_partitions = shuffle_policy(cores, shuffle_partitions)
 
     builder = (
         SparkSession.builder.master(master)

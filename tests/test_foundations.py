@@ -240,3 +240,20 @@ def test_hilbert_key_null_propagates(spark):
         ).collect()
     }
     assert got[2] is None and got[1] is not None
+
+
+def test_shuffle_policy_defaults_and_explicit_pin():
+    """Session partitioning policy (BENCH.md round-4 A/Bs): the default
+    sets a cores*8 AQE initial partition count (wave smoothing; AQE
+    coalesces small shuffles back down by bytes) over a cores*2 non-AQE
+    fallback, and an EXPLICIT shuffle_partitions pins BOTH knobs so
+    physical-plan A/Bs stay reproducible."""
+    from ariadne_spark.session import shuffle_policy
+
+    assert shuffle_policy(32, None) == (64, 256)
+    assert shuffle_policy(8, None) == (16, 64)
+    # floors for tiny hosts
+    assert shuffle_policy(2, None) == (8, 64)
+    # explicit pins both (the A/B-reproducibility contract)
+    assert shuffle_policy(32, 16) == (16, 16)
+    assert shuffle_policy(8, 256) == (256, 256)
