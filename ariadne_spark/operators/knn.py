@@ -44,17 +44,16 @@ from ..functions.phash import hamming, phash_band
 
 DEFAULT_RES = 5
 
-# Row-count threshold originally meant to auto-route `topk_strategy`
-# to the map-side partial top-k. The 24M A/B (BENCH.md "Round 4:
-# partial top-k at 24M", identical output fingerprints) showed row
-# count is the WRONG routing signal: on hash-realistic corpora the
-# pair set is ~O(n) with per-src groups mostly <= k+ties, so the cut
-# prunes ~nothing and the Arrow hop is pure overhead (+19% wall,
-# +10 GB RSS, spill unchanged). What predicts a win is per-src
-# candidate FANOUT >> k (dup-heavy/boilerplate shards), which n alone
-# cannot see — so 'auto' now always takes the window and 'partial' is
-# an explicit opt-in. Kept for the docstring's history and tests.
-PARTIAL_TOPK_MIN_ROWS = 4_000_000
+# `topk_strategy` routing history: a row-count threshold originally
+# auto-routed large inputs to the map-side partial top-k. The 24M A/B
+# (BENCH.md "Round 4: partial top-k at 24M", identical output
+# fingerprints) showed row count is the WRONG routing signal: on
+# hash-realistic corpora the pair set is ~O(n) with per-src groups
+# mostly <= k+ties, so the cut prunes ~nothing and the Arrow hop is
+# pure overhead (+19% wall, +10 GB RSS, spill unchanged). What
+# predicts a win is per-src candidate FANOUT >> k (dup-heavy/
+# boilerplate shards), which n alone cannot see — so 'auto' always
+# takes the window and 'partial' is an explicit opt-in.
 
 
 def _partial_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -99,7 +98,7 @@ def _partial_topk(pairs: DataFrame, k: int) -> DataFrame:
 
         def compact() -> None:
             nonlocal buf, nbuf, cap
-            t = pa.Table.from_batches(buf).combine_chunks()
+            t = pa.Table.from_batches(buf)
             # numeric-only selection: ids are never compared here. Per
             # (src, partition) keep every row whose hamming <= the k-th
             # smallest hamming in the group (boundary ties INCLUDED):
@@ -109,12 +108,20 @@ def _partial_topk(pairs: DataFrame, k: int) -> DataFrame:
             # lexicographic compares (hamming is one of 65 ints; the
             # dst tie-break only ever matters among <= tie-width rows,
             # which the window resolves over the survivors).
+            # Only src + hamming are ever flattened (dst and the rest
+            # ride through t.take untouched); a multi-chunk src goes
+            # through large_string so the concat has 64-bit offsets —
+            # a dup-heavy partition can exceed 2 GiB of id bytes, where
+            # 32-bit-offset string concat fails.
+            src = t.column("src_image_id")
+            if src.num_chunks > 1:
+                src = src.cast(pa.large_string())
             codes = (
-                pc.dictionary_encode(t.column("src_image_id").chunk(0))
-                .indices.to_numpy()
+                pc.dictionary_encode(src.combine_chunks())
+                .indices.to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )
-            ham = t.column("hamming").chunk(0).to_numpy().astype(np.int64)
+            ham = t.column("hamming").to_numpy().astype(np.int64)
             order = np.lexsort((ham, codes))
             c_s, h_s = codes[order], ham[order]
             n = len(c_s)
@@ -201,6 +208,10 @@ def knn_edges(
     largest shuffle partition for hotspot cells (urban skew). salt=1 is
     a plain sort-merge self-join.
 
+    Raises ValueError up front for an unknown `topk_strategy` — a typo
+    must not silently fall through to the default window path (it would
+    invalidate any A/B that believed it measured 'partial').
+
     `build_images` restricts/extends the candidate (destination) side
     independently of the probe side — the incremental path passes the
     affected partitions as `images` and their k-ring superset as
@@ -249,6 +260,11 @@ def knn_edges(
     (`n_rows_hint`) cannot distinguish the shapes that pay. All these
     knobs are physical only: the result rows are identical (asserted
     in tests/test_operators.py)."""
+    if topk_strategy not in ("auto", "window", "partial"):
+        raise ValueError(
+            f"knn_edges: unknown topk_strategy {topk_strategy!r} "
+            "(expected 'auto', 'window', or 'partial')"
+        )
     if salt == "auto":
         from .skew import choose_salt_distributed
 
@@ -420,10 +436,10 @@ def knn_edges(
             )
         )
 
-    assert topk_strategy in ("auto", "window", "partial"), topk_strategy
     # 'auto' deliberately ignores n_rows_hint here: the 24M A/B showed
-    # row count doesn't predict when the partial cut pays (see
-    # PARTIAL_TOPK_MIN_ROWS note) — only explicit opt-in engages it.
+    # row count doesn't predict when the partial cut pays (see the
+    # routing-history note above _partial_topk) — only explicit opt-in
+    # engages it.
     if topk_strategy == "partial":
         pairs = _partial_topk(pairs, k)
 

@@ -34,6 +34,11 @@ def shuffle_policy(cores: int, shuffle_partitions: int | None) -> tuple[int, int
     shuffle_partitions argument pins BOTH knobs (A/B reproducibility).
     """
     if shuffle_partitions is not None:
+        if shuffle_partitions <= 0:
+            raise ValueError(
+                f"shuffle_partitions must be positive, got {shuffle_partitions} "
+                "(pass None for the cores-derived defaults)"
+            )
         return shuffle_partitions, shuffle_partitions
     sp = max(cores * 2, 8)
     return sp, max(cores * 8, 64)

@@ -176,6 +176,16 @@ def run_stress(
     from ariadne_spark.session import get_spark
     from ariadne_spark.synth.regions import generate_regions
 
+    known = ("rowcount", "pip_join", "knn", "tile_pyramid", "rasterize")
+    if stages_sel is not None:
+        stages_sel = [s.strip() for s in stages_sel]
+        unknown = [s for s in stages_sel if s not in known]
+        if unknown:
+            # fail BEFORE the ~25-min 24M synthesis, not after the run
+            raise SystemExit(
+                f"unknown stage(s) {unknown}; choose from {list(known)}"
+            )
+
     meta_path = ensure_meta_images(n, synth_cores=max(cores, 28))
     spark = get_spark(
         cores=cores,
@@ -245,14 +255,20 @@ def run_stress(
     spark.stop()
     total = sum(s["sec"] for s in stages.values())
     res = {
-        "metric": "stress_10x",
+        # subset runs are tagged so a partial total is never compared
+        # against a full-suite stress_10x line in BENCH.md
+        "metric": "stress_10x" if stages_sel is None else "stress_10x_subset",
         "n_images": n,
         "cpus": cores,
         "value": round(total, 1),
         "unit": "sec",
-        "images_per_sec": round(n / total),
+        # guard: a metadata-only subset (e.g. --stages rowcount) can
+        # round every stage to 0.0s
+        "images_per_sec": round(n / total) if total > 0 else None,
         "stages": stages,
     }
+    if stages_sel is not None:
+        res["stages_selected"] = stages_sel
     if knn_fp is not None:
         res["knn_fingerprint"] = knn_fp
     return res
@@ -276,8 +292,10 @@ def main() -> None:
     ap.add_argument(
         "--shuffle-partitions", type=int, default=None,
         help="override spark.sql.shuffle.partitions for the run (default: "
-        "session policy cores*2). AQE can only coalesce DOWN from this, "
-        "so it is the per-task shuffle-memory knob at fixed input bytes",
+        "session shuffle_policy — cores*2 fallback + cores*8 AQE initial; "
+        "an explicit value pins BOTH knobs). AQE can only coalesce DOWN "
+        "from the initial count, so it is the per-task shuffle-memory "
+        "knob at fixed input bytes",
     )
     ap.add_argument(
         "--fingerprint", action="store_true",
@@ -316,10 +334,19 @@ def main() -> None:
                 f"| {s['shuffle_write']:,} | {s['mem_spill']:,} "
                 f"| {s['disk_spill']:,} | {s['tasks']} |"
             )
+        ips = (
+            f"{res['images_per_sec']:,} img/s"
+            if res["images_per_sec"] is not None
+            else "n/a img/s (sub-0.1s subset)"
+        )
+        subset = (
+            f" (subset: {','.join(res['stages_selected'])})"
+            if "stages_selected" in res
+            else ""
+        )
         lines += [
             "",
-            f"Total {res['value']}s -> {res['images_per_sec']:,} img/s at "
-            f"{res['cpus']} cores.",
+            f"Total {res['value']}s -> {ips} at {res['cpus']} cores{subset}.",
             "",
         ]
         with open("BENCH.md", "a") as fh:

@@ -63,15 +63,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
-    # shuffle partitioning mirrors ariadne_spark/session.py: a high-ish
-    # AQE initial partition number (coalesced down by bytes at runtime)
-    # smooths wave quantization — measured −39%..−67% on the kNN stage
-    # at both 24M/local[8] and sf0.1/local[32] (BENCH.md round-4
-    # shuffle-partition sizing) — with cores*2 as the non-AQE fallback
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+    # shuffle partitioning: the ONE policy home is
+    # ariadne_spark.session.shuffle_policy (high-ish AQE initial
+    # partition number coalesced down by bytes at runtime smooths wave
+    # quantization — measured −39%..−67% on the kNN stage at both
+    # 24M/local[8] and sf0.1/local[32], BENCH.md round-4 sections) —
+    # imported so the scaling-evidence job can never measure a
+    # different policy than the library ships
+    from ariadne_spark.session import shuffle_policy
+
+    sp, initial = shuffle_policy(cores, None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(sp))
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        str(max(cores * 8, 64)),
+        str(initial),
     )
 
     from ariadne_spark.functions.phash import phash_udf

@@ -257,3 +257,8 @@ def test_shuffle_policy_defaults_and_explicit_pin():
     # explicit pins both (the A/B-reproducibility contract)
     assert shuffle_policy(32, 16) == (16, 16)
     assert shuffle_policy(8, 256) == (256, 256)
+    # 0 is not "use defaults" — it must fail loudly, never reach Spark
+    with pytest.raises(ValueError):
+        shuffle_policy(8, 0)
+    with pytest.raises(ValueError):
+        shuffle_policy(8, -4)

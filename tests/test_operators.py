@@ -224,6 +224,15 @@ class TestKnn:
         # same shuffle count: truncation must not add an Exchange
         assert p_plan.count("Exchange") == w_plan.count("Exchange")
 
+    def test_topk_strategy_typo_raises(self, spark, images_df):
+        """An unknown topk_strategy raises ValueError up front (survives
+        python -O): a typo must not silently measure the window path in
+        an A/B that believed it measured 'partial'."""
+        import pytest
+
+        with pytest.raises(ValueError, match="topk_strategy"):
+            knn_edges(images_df, k=3, topk_strategy="partail")
+
     def test_half_kring_offsets_partition(self):
         """half_kring_offsets picks exactly one of each antipodal pair
         (plus the center) — the invariant that makes 'found once,
