@@ -166,6 +166,55 @@ def _stat_upper(v):
 BLOOM_BITS_DEFAULT = 8192  # 128 longs ~ 1 KB/partition/col in the manifest
 _BLOOM_SALTS = (0, 1)  # k = 2 hash functions
 
+# Spark's hive-layout dir escaping (ExternalCatalogUtils.escapePathName):
+# partitionBy writes `__pk=<escaped>` directories, so manifest paths must
+# record the SAME escaping or a key value containing any of these chars
+# points the manifest at a directory that does not exist (probed
+# empirically on this Spark: '}' is NOT escaped while '{' '[' ']' are).
+_PK_ESCAPE_CHARS = set('"#%\'*/:=?\\[]^{\x7f') | {chr(c) for c in range(0x20)}
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_pk(value: str) -> str:
+    """Escape a partition-key value exactly as Spark's partitionBy names
+    the directory (percent-encoding of the hive special set)."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PK_ESCAPE_CHARS else ch for ch in value
+    )
+
+
+def _unescape_pk(name: str) -> str:
+    """Inverse of _escape_pk for directory names listed on disk."""
+    out, i = [], 0
+    while i < len(name):
+        if name[i] == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
+def _check_pk_value(k, table: str) -> None:
+    """Reject partition-key values whose on-disk dir name is ambiguous:
+    Spark writes BOTH NULL and '' as __HIVE_DEFAULT_PARTITION__, and the
+    manifest keys partitions by the value's string rendering, so these
+    (and the literal sentinel itself) cannot round-trip. Loud beats a
+    manifest that silently points at a directory that can't be told
+    apart from another key's."""
+    if k is None or k == "" or k == "None" or k == _HIVE_DEFAULT_PARTITION:
+        raise ValueError(
+            f"table {table!r}: partition key value {k!r} cannot be used — "
+            "NULL/empty keys all land in the same "
+            f"{_HIVE_DEFAULT_PARTITION} directory (and 'None' collides "
+            "with NULL's string rendering); filter or backfill the key "
+            "column first"
+        )
+
 
 def bloom_positions(value, bloom_bits: int) -> list[int]:
     """Bit positions of `value` in a manifest pk-bloom — the python
@@ -210,10 +259,16 @@ def partition_summary(
     row_hash = F.xxhash64(*[F.col(c) for c in cols])
     aggs = [
         F.count("*").alias("n"),
-        # sum of uint64 hashes mod 2^64 via two 32-bit halves (avoids
-        # signed-long overflow while staying deterministic)
-        F.sum(F.shiftrightunsigned(row_hash, 32)).alias("hi"),
-        F.sum(row_hash.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+        # sum of uint64 hashes mod 2^64 via two 32-bit halves, each
+        # accumulated in decimal(38,0): a long accumulator overflows
+        # past ~2^31 rows per partition and Spark 4's default ANSI mode
+        # turns that into ARITHMETIC_OVERFLOW at the summarize step
+        # (decimal holds exact sums to 1e38 ≈ 2^96-row partitions; the
+        # python combine below is arbitrary-precision, so fingerprint
+        # VALUES are identical to the long form wherever it didn't
+        # overflow)
+        F.sum(F.shiftrightunsigned(row_hash, 32).cast("decimal(38,0)")).alias("hi"),
+        F.sum(row_hash.bitwiseAND(F.lit(0xFFFFFFFF)).cast("decimal(38,0)")).alias("lo"),
     ]
     for c in stats_cols or []:
         assert c in df.columns, f"stats column {c!r} not in {df.columns}"
@@ -446,6 +501,13 @@ class SnapshotStore:
     # -- manifests ---------------------------------------------------------
 
     def _manifest_path(self, table: str, snapshot_id: int) -> str:
+        # dots/slashes in table names would cross-contaminate the flat
+        # manifests namespace: 'a.b' commits files snapshot_ids('a')
+        # would mis-parse, and a table named 'x.tag' masquerades as
+        # x's tag files — reject at every path-construction point
+        assert table and "." not in table and "/" not in table, (
+            f"bad table name {table!r}: must be non-empty, no '.' or '/'"
+        )
         return f"{self.root}/manifests/{table}.{snapshot_id}.json"
 
     def _head_path(self, table: str) -> str:
@@ -470,15 +532,27 @@ class SnapshotStore:
             txt = self.backend.read_text(head).strip()
             if txt:
                 sid = int(txt)
+        if sid is not None and not self.backend.exists(
+            self._manifest_path(table, sid)
+        ):
+            # stale HEAD below the kept tail AFTER an expire_snapshots
+            # (out-of-order advisory writes are last-writer-wins): the
+            # forward probe from sid would stop inside the expired gap
+            # and resolve a REMOVED manifest. Ids are no longer dense
+            # below the tail, so fall back to the listing.
+            sid = None
         if sid is None:
             ids = self.snapshot_ids(table)
-            # ids are dense from 0, so an EMPTY (possibly stale) listing
-            # is only a probe start point too: a first commit whose
-            # advisory-HEAD write was lost AND that the lagging listing
-            # has not surfaced yet is still found by the per-key probe
-            # from 0 (read-after-write consistent on every store) —
-            # returning None here would make a durably committed table
-            # invisible and a retrying writer lose the sid-0 race forever
+            # before any expire, ids are dense from 0, so an EMPTY
+            # (possibly stale) listing is only a probe start point too:
+            # a first commit whose advisory-HEAD write was lost AND
+            # that the lagging listing has not surfaced yet is still
+            # found by the per-key probe from 0 (read-after-write
+            # consistent on every store) — returning None here would
+            # make a durably committed table invisible and a retrying
+            # writer lose the sid-0 race forever. After an expire the
+            # durable HEAD (written BEFORE any manifest removal) or the
+            # kept tail in the listing anchors the probe instead.
             sid = ids[-1] if ids else -1
         while self.backend.exists(self._manifest_path(table, sid + 1)):
             sid += 1
@@ -520,11 +594,18 @@ class SnapshotStore:
         commit); note an object-store listing may lag the newest
         commits, which is why `current_snapshot_id` forward-probes
         past the max with per-key exists()."""
-        return sorted(
-            int(f.rsplit(".", 2)[-2])
-            for f in self.backend.list_names(f"{self.root}/manifests")
-            if f.startswith(f"{table}.") and f.endswith(".json")
-        )
+        # STRICT parse `{table}.<digits>.json`: a loose
+        # startswith/endswith filter would crash on a tag literally
+        # named 'json' (file `t.tag.json`) and mis-attribute dotted
+        # names' files — only all-digit middles are snapshot manifests
+        pre, suf = f"{table}.", ".json"
+        out = []
+        for f in self.backend.list_names(f"{self.root}/manifests"):
+            if f.startswith(pre) and f.endswith(suf):
+                mid = f[len(pre) : -len(suf)]
+                if mid.isdigit():
+                    out.append(int(mid))
+        return sorted(out)
 
     # -- tags ----------------------------------------------------------------
 
@@ -555,6 +636,18 @@ class SnapshotStore:
         )
         if not self.backend.create_exclusive(self._tag_path(table, name), str(sid)):
             raise CommitConflict(f"tag {name!r} already exists on {table}")
+        # the two namespace keys cannot be created atomically, so a
+        # concurrent branch() of the same name can slip between the
+        # probe above and our create. Whichever op creates SECOND sees
+        # the other's key (per-key read-after-write) — re-check after
+        # creating and roll our key back, so the one-name namespace
+        # invariant holds under the race (both racing sides may roll
+        # back; that is safe — callers retry)
+        if self._branch_version(table, name) is not None:
+            self.backend.remove(self._tag_path(table, name))
+            raise CommitConflict(
+                f"{name!r} was concurrently created as a branch on {table}"
+            )
         return sid
 
     def tags(self, table: str) -> dict[str, int]:
@@ -562,7 +655,12 @@ class SnapshotStore:
         prefix = f"{table}.tag."
         out = {}
         for f in self.backend.list_names(f"{self.root}/manifests"):
-            if f.startswith(prefix):
+            # skip crash-leftover temp files (`*.tmp.<pid>.<hex>` from
+            # _atomic_write/_atomic_create killed between fsync and
+            # unlink): they would surface as ghost tags — or crash the
+            # int() on a torn one — until deleted by hand. Real tag
+            # names cannot contain '.', so the substring is unambiguous.
+            if f.startswith(prefix) and ".tmp." not in f:
                 out[f[len(prefix):]] = int(
                     self.backend.read_text(f"{self.root}/manifests/{f}").strip()
                 )
@@ -602,6 +700,14 @@ class SnapshotStore:
             self._branch_prefix(table, name) + "0", str(sid)
         ):
             raise CommitConflict(f"branch {name!r} already exists on {table}")
+        # symmetric post-create cross-check (see tag()): a concurrent
+        # tag() of this name between our probe and our create is caught
+        # here by whichever side created second
+        if self.backend.exists(self._tag_path(table, name)):
+            self.backend.remove(self._branch_prefix(table, name) + "0")
+            raise CommitConflict(
+                f"{name!r} was concurrently created as a tag on {table}"
+            )
         return sid
 
     def branches(self, table: str) -> dict[str, int]:
@@ -612,9 +718,17 @@ class SnapshotStore:
         prefix = f"{table}.branch."
         latest: dict[str, int] = {}
         for f in self.backend.list_names(f"{self.root}/manifests"):
-            if not f.startswith(prefix):
+            # skip crash-leftover temp files (`*.tmp.<pid>.<hex>`; the
+            # hex can be all digits, so the .tmp. marker is the only
+            # reliable cue) and anything else that does not parse as
+            # `<dotless-name>.<digits>` — they would otherwise crash
+            # every branches()/expire_snapshots() call or fabricate
+            # ghost branches
+            if not f.startswith(prefix) or ".tmp." in f:
                 continue
             name, _, ver = f[len(prefix):].rpartition(".")
+            if not ver.isdigit() or "." in name:
+                continue
             v = int(ver)
             if name not in latest or v > latest[name]:
                 latest[name] = v
@@ -634,7 +748,8 @@ class SnapshotStore:
         vs = [
             int(f[len(prefix):])
             for f in self.backend.list_names(f"{self.root}/manifests")
-            if f.startswith(prefix)
+            # digit guard: skip crash-leftover `*.tmp.*` files
+            if f.startswith(prefix) and f[len(prefix):].isdigit()
         ]
         # version files are dense from 0, so a stale listing (even one
         # that has not surfaced the branch at all yet) is only a probe
@@ -795,6 +910,12 @@ class SnapshotStore:
                 referenced |= dirs
         removed = []
         now = time.time()
+        # refresh the advisory cache BEFORE any removal: manifest ids
+        # stop being dense once the loop below runs, and a stale cache
+        # below the kept tail would make current_snapshot_id's forward
+        # probe stop inside the gap — resolving a just-removed manifest
+        # for any reader in (or after a crash in) the removal window
+        self.backend.write_advisory(self._head_path(table), str(head))
         data_dir = f"{self.root}/data/{table}"
         if os.path.isdir(data_dir):
             for entry in sorted(os.listdir(data_dir)):
@@ -826,9 +947,6 @@ class SnapshotStore:
         for s in sids:
             if s not in keep:
                 self.backend.remove(self._manifest_path(table, s))
-        # refresh the advisory cache: a stale cache pointing below the
-        # kept tail would break the forward probe across expired ids
-        self.backend.write_advisory(self._head_path(table), str(head))
         return removed
 
     def add_column(self, table: str, name: str, ddl_type: str) -> int:
@@ -982,7 +1100,8 @@ class SnapshotStore:
             for k in sel:
                 if k in moved or k not in cur.partitions:
                     continue  # lost the race for this partition: keep newer data
-                m.partitions[k] = {"path": f"{rel}/__pk={k}", **summary[k]}
+                _check_pk_value(k, table)
+                m.partitions[k] = {"path": f"{rel}/__pk={_escape_pk(k)}", **summary[k]}
             if self._commit(m):
                 return m.snapshot_id
         raise CommitConflict(
@@ -1138,7 +1257,7 @@ class SnapshotStore:
                 files.append(
                     {"name": fname, "n_rows": int(md.num_rows), "stats": stats}
                 )
-            out[entry[len("__pk="):]] = files
+            out[_unescape_pk(entry[len("__pk="):])] = files
         return out
 
     def write_table(
@@ -1197,6 +1316,18 @@ class SnapshotStore:
         for _ in range(COMMIT_RETRIES):
             cur = self.manifest(table)
             if cur is not None:
+                if cur.delete_files:
+                    # the entry assert checked the manifest read BEFORE
+                    # the data write; a delete_rows_mor committing in
+                    # between must not be silently dropped by this
+                    # re-snapshot (manifest below carries no
+                    # delete_files) — same loud-guard contract, now
+                    # race-proof: re-checked on every rebase
+                    raise CommitConflict(
+                        f"{table} gained merge-on-read delete files during "
+                        "this write: materialize_deletes first (a full "
+                        "re-snapshot would silently clear the erasure)"
+                    )
                 cur_schema = cur.schema_json
                 if (base_schema or schema_json) != (cur_schema or schema_json):
                     raise CommitConflict(
@@ -1210,7 +1341,8 @@ class SnapshotStore:
                 bloom_bits=(eff_bits or BLOOM_BITS_DEFAULT) if eff_bloom else None,
             )
             for k, s in summary.items():
-                m.partitions[k] = {"path": f"{rel}/__pk={k}", **s}
+                _check_pk_value(k, table)
+                m.partitions[k] = {"path": f"{rel}/__pk={_escape_pk(k)}", **s}
             if self._commit(m):
                 return sid
         raise CommitConflict(f"write of {table} lost {COMMIT_RETRIES} commit races")
@@ -1230,6 +1362,7 @@ class SnapshotStore:
         keys: list[str] | None = None,
         sort_cols=None,
         max_records_per_file: int | None = None,
+        require_no_delete_files: bool = False,
     ) -> int:
         """Partition-granular overwrite: df holds the NEW full content of
         the partitions it touches (delete-then-insert idempotency, the
@@ -1260,6 +1393,17 @@ class SnapshotStore:
         touched = set(keys or []) | set(summary)
         for _ in range(COMMIT_RETRIES):
             cur = self.manifest(table)
+            if require_no_delete_files and cur.delete_files:
+                # merge_rows' entry assert saw a tombstone-free base;
+                # a delete_rows_mor committing since then would have
+                # its GLOBAL tombstone carried forward below and
+                # silently hide the freshly-upserted rows — the exact
+                # silent-hide the entry assert exists to make loud, so
+                # the rebase must re-check it (TOCTOU closure)
+                raise CommitConflict(
+                    f"{table} gained merge-on-read delete files during "
+                    "this merge: materialize_deletes first, then retry"
+                )
             if cur.snapshot_id != base.snapshot_id:
                 if cur.schema_json != base.schema_json:
                     raise CommitConflict(
@@ -1284,7 +1428,8 @@ class SnapshotStore:
             for k in touched:
                 m.partitions.pop(k, None)
             for k, s in summary.items():
-                m.partitions[k] = {"path": f"{rel}/__pk={k}", **s}
+                _check_pk_value(k, table)
+                m.partitions[k] = {"path": f"{rel}/__pk={_escape_pk(k)}", **s}
             if self._commit(m):
                 return m.snapshot_id
         raise CommitConflict(f"overwrite of {table} lost {COMMIT_RETRIES} commit races")
@@ -1362,6 +1507,7 @@ class SnapshotStore:
             keys=affected,
             sort_cols=sort_cols,
             max_records_per_file=max_records_per_file,
+            require_no_delete_files=True,
         )
 
     def delete_rows_mor(self, pks: DataFrame, table: str, pk: str) -> int:
@@ -1572,30 +1718,38 @@ class SnapshotStore:
         must prune against the exact snapshot it serves (re-resolving
         here could see a newer concurrent commit and prune with the
         wrong stats)."""
-        out = []
-        for k, part in m.partitions.items():
-            stats = part.get("stats") or {}
-            keep = True
-            for col, (lo, hi) in where.items():
-                if lo is None and hi is None:
-                    continue  # unbounded predicate: no residual filter
-                s = stats.get(col)
-                if s is None:
-                    continue  # no stats: cannot exclude
-                if s["min"] is None and s["max"] is None:
-                    if s.get("nulls", 0) >= part["n_rows"]:
-                        keep = False  # all-NULL column never matches a range
-                        break
-                    continue  # unknown bounds (e.g. truncation overflow)
-                if hi is not None and s["min"] is not None and s["min"] > hi:
-                    keep = False
-                    break
-                if lo is not None and s["max"] is not None and s["max"] < lo:
-                    keep = False
-                    break
-            if keep:
-                out.append(k)
-        return sorted(out)
+        return sorted(
+            k
+            for k, part in m.partitions.items()
+            if SnapshotStore._stats_can_match(
+                part.get("stats") or {}, part["n_rows"], where
+            )
+        )
+
+    @staticmethod
+    def _stats_can_match(
+        stats: dict, n_rows: int | None, where: dict[str, tuple]
+    ) -> bool:
+        """Shared zone-map judgment for BOTH pruning grains (partition
+        entries and per-file entries) — one home so a rule change (the
+        all-NULL rule, a new bound type) can never silently apply at
+        one grain only. True = the stats cannot exclude `where` (keep);
+        conservative on missing stats / unknown bounds."""
+        for col, (lo, hi) in where.items():
+            if lo is None and hi is None:
+                continue  # unbounded predicate: no residual filter
+            s = stats.get(col)
+            if s is None:
+                continue  # no stats: cannot exclude
+            if s["min"] is None and s["max"] is None:
+                if n_rows is not None and s.get("nulls", 0) >= n_rows:
+                    return False  # all-NULL column never matches a range
+                continue  # unknown bounds (e.g. truncation overflow)
+            if hi is not None and s["min"] is not None and s["min"] > hi:
+                return False
+            if lo is not None and s["max"] is not None and s["max"] < lo:
+                return False
+        return True
 
     @staticmethod
     def _prune_file_entries(part: dict, where: dict[str, tuple]) -> list[str] | None:
@@ -1609,30 +1763,13 @@ class SnapshotStore:
         files = part.get("files")
         if not files:
             return None
-        out = []
-        for fe in files:
-            stats = fe.get("stats") or {}
-            keep = True
-            for col, (lo, hi) in where.items():
-                if lo is None and hi is None:
-                    continue
-                s = stats.get(col)
-                if s is None:
-                    continue
-                if s["min"] is None and s["max"] is None:
-                    if s.get("nulls", 0) >= fe.get("n_rows", float("inf")):
-                        keep = False
-                        break
-                    continue
-                if hi is not None and s["min"] is not None and s["min"] > hi:
-                    keep = False
-                    break
-                if lo is not None and s["max"] is not None and s["max"] < lo:
-                    keep = False
-                    break
-            if keep:
-                out.append(fe["name"])
-        return out
+        return [
+            fe["name"]
+            for fe in files
+            if SnapshotStore._stats_can_match(
+                fe.get("stats") or {}, fe.get("n_rows"), where
+            )
+        ]
 
     def read(
         self,

@@ -988,3 +988,126 @@ def test_expire_orphan_ttl_protects_inflight_writers(spark, tmp_path):
     removed = st.expire_snapshots("t", keep_last=1, orphan_ttl_s=3600)
     assert removed == [orphan]
     assert not os.path.isdir(orphan)
+
+
+# -- snapshot-lifecycle robustness (round-4 review findings) --------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_expire_head_written_before_removal_and_stale_head_recovers(
+    spark, tmp_path
+):
+    """expire_snapshots must refresh the advisory HEAD BEFORE removing
+    manifests (ids stop being dense), and current_snapshot_id must not
+    trust a stale HEAD whose manifest is gone — the forward probe would
+    stop inside the expired gap."""
+    import unittest.mock as mock
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    for i in range(6):
+        st.overwrite_partitions(_kv(spark, [("a", i)]), "t", key="k") if i else \
+            st.write_table(_kv(spark, [("a", 0)]), "t", key="k")
+    assert st.current_snapshot_id("t") == 5
+
+    # crash injection: the FIRST manifest removal raises — the advisory
+    # HEAD must already be correct, so head resolution survives the
+    # partially-expired state
+    real_remove = type(st.backend).remove
+    calls = {"n": 0}
+
+    def crashy_remove(self, path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_remove(self, path)
+            raise RuntimeError("injected crash mid-expire")
+        real_remove(self, path)
+
+    with mock.patch.object(type(st.backend), "remove", crashy_remove):
+        with pytest.raises(RuntimeError, match="mid-expire"):
+            st.expire_snapshots("t", keep_last=1)
+    assert st.current_snapshot_id("t") == 5
+    assert st.read("t").count() == 1
+
+    # finish the expire, then simulate an out-of-order (delayed) stale
+    # advisory write landing BELOW the kept tail: resolution must fall
+    # back to the listing instead of resolving a removed manifest
+    st.expire_snapshots("t", keep_last=1)
+    st.backend.write_advisory(st._head_path("t"), "2")
+    assert st.current_snapshot_id("t") == 5
+    assert st.manifest("t").snapshot_id == 5
+
+
+def test_crash_leftover_tmp_files_do_not_break_refs(spark, tmp_path):
+    """SIGKILL between _atomic_create's fsync and unlink leaves
+    `*.tmp.<pid>.<hex>` files in manifests/; every listing parser must
+    skip them instead of crashing int() or surfacing ghost refs."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_kv(spark, [("a", 1)]), "t", key="k")
+    st.tag("t", "rel")
+    st.branch("t", "dev")
+    mdir = f"{st.root}/manifests"
+    for leftover in [
+        "t.branch.dev.0.tmp.1234.abcd1234",
+        "t.branch.ghost.0.tmp.1.2",
+        "t.tag.ghostx.tmp.12.ab",
+        "t.0.json.tmp.9.9",
+    ]:
+        with open(f"{mdir}/{leftover}", "w") as fh:
+            fh.write("")  # torn: empty content
+    assert st.branches("t") == {"dev": 0}
+    assert st.tags("t") == {"rel": 0}
+    assert st.snapshot_ids("t") == [0]
+    assert st._branch_version("t", "dev") == 0
+    st.expire_snapshots("t", keep_last=1)  # walks branches()+tags()
+    assert st.current_snapshot_id("t") == 0
+
+
+def test_tag_named_json_and_dotted_table_rejected(spark, tmp_path):
+    """A tag literally named 'json' must not crash snapshot_ids' parse,
+    and dotted table names (which would cross-contaminate the flat
+    manifest namespace) are rejected loudly."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(_kv(spark, [("a", 1)]), "t", key="k")
+    st.tag("t", "json")
+    assert st.snapshot_ids("t") == [0]
+    assert st.current_snapshot_id("t") == 0
+    assert st.read("t", snapshot_id="json").count() == 1
+    with pytest.raises(AssertionError, match="bad table name"):
+        st.write_table(_kv(spark, [("a", 1)]), "a.b", key="k")
+
+
+def test_tag_branch_namespace_race_detected(spark, tmp_path):
+    """tag() and branch() of one name racing: the namespace probes are
+    per-key but not atomic across the two keys — whichever op creates
+    SECOND must detect the other's key post-create, roll its own back,
+    and raise, so the one-name-namespace invariant survives."""
+    import unittest.mock as mock
+
+    from ariadne_spark.store import CommitConflict
+
+    root = str(tmp_path / "s")
+    st = SnapshotStore(spark, root)
+    other = SnapshotStore(spark, root)
+    st.write_table(_kv(spark, [("a", 1)]), "t", key="k")
+
+    real_create = type(st.backend).create_exclusive
+    fired = {"n": 0}
+
+    def racy_create(self, path, content):
+        # a concurrent branch('x') lands between tag()'s namespace
+        # probe and its create
+        if ".tag.x" in path and fired["n"] == 0:
+            fired["n"] += 1
+            other.branch("t", "x")
+        return real_create(self, path, content)
+
+    with mock.patch.object(type(st.backend), "create_exclusive", racy_create):
+        with pytest.raises(CommitConflict, match="concurrently"):
+            st.tag("t", "x")
+    # rollback held: no tag file, branch intact and resolvable
+    assert "x" not in st.tags("t")
+    assert st.branches("t") == {"x": 0}
+    assert st.read("t", snapshot_id="x").count() == 1

@@ -293,3 +293,69 @@ def test_read_changes_expired_from_sid_fails_cleanly(spark, tmp_path):
     st.expire_snapshots("t", keep_last=1)
     with pytest.raises((AssertionError, FileNotFoundError)):
         st.read_changes("t", s0).collect()
+
+
+def test_write_table_rejects_tombstones_committed_during_write(spark, tmp_path):
+    """A delete_rows_mor landing BETWEEN write_table's entry guard and
+    its commit must surface CommitConflict — the re-snapshot's manifest
+    carries no delete_files, so committing would silently clear the
+    erasure (the loud-guard contract, race-proof)."""
+    import unittest.mock as mock
+
+    from ariadne_spark.store import CommitConflict
+
+    root = str(tmp_path / "s")
+    st = SnapshotStore(spark, root)
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+
+    other = SnapshotStore(spark, root)
+    real_summarize = SnapshotStore._summarize_written
+    fired = {"n": 0}
+
+    def racy_summarize(self, *a, **kw):
+        out = real_summarize(self, *a, **kw)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # erasure committed in the window after the entry guard
+            other.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+        return out
+
+    with mock.patch.object(SnapshotStore, "_summarize_written", racy_summarize):
+        with pytest.raises(CommitConflict, match="delete files"):
+            st.write_table(_df(spark, _base_rows()), "t", key="grp")
+    # the erasure held and the table is untouched by the failed write
+    assert st.manifest("t").delete_files
+    assert 4 not in {r["id"] for r in st.read("t").collect()}
+
+
+def test_merge_rows_rejects_tombstones_committed_during_merge(spark, tmp_path):
+    """merge_rows' no-tombstones entry assert is re-checked at commit:
+    a delete_rows_mor landing between the assert and the rebased
+    overwrite would otherwise be carried forward as a GLOBAL filter and
+    silently hide the freshly-upserted rows."""
+    import unittest.mock as mock
+
+    from ariadne_spark.store import CommitConflict
+
+    root = str(tmp_path / "s")
+    st = SnapshotStore(spark, root)
+    st.write_table(_df(spark, _base_rows()), "t", key="grp")
+
+    other = SnapshotStore(spark, root)
+    real_summarize = SnapshotStore._summarize_written
+    fired = {"n": 0}
+
+    def racy_summarize(self, *a, **kw):
+        out = real_summarize(self, *a, **kw)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # tombstone pk 4 concurrently with the merge that upserts it
+            other.delete_rows_mor(_pks(spark, [4]), "t", pk="id")
+        return out
+
+    with mock.patch.object(SnapshotStore, "_summarize_written", racy_summarize):
+        with pytest.raises(CommitConflict, match="delete files"):
+            st.merge_rows(_df(spark, [(4, "g1", 999)]), "t", pk="id")
+    # the tombstone survived; the upsert never became visible
+    assert st.manifest("t").delete_files
+    assert 4 not in {r["id"] for r in st.read("t").collect()}

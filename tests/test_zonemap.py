@@ -443,3 +443,43 @@ def test_file_pruning_is_semantics_preserving_with_updates(spark, store):
     assert store.read("geo4", where={"lon_u": (0, 1)}).count() == small.where(
         (F.col("lon_u") >= 0) & (F.col("lon_u") <= 1)
     ).count()
+
+
+def test_hive_special_key_values_roundtrip(spark, store):
+    """Spark's partitionBy hive-escapes special chars in directory
+    names; manifests must record the ESCAPED path or read() points at
+    a directory that does not exist. Keys with every escaped-class
+    char must write, list per-file zone maps under the right key, and
+    read back exactly."""
+    vals = ["2024/01", "us:west", "a=b", "pct%20", "hash#1", "q?x",
+            "br[2]", "cu{3}", "tab\tx", "plain"]
+    df = _mk(
+        spark,
+        [(v, i, i * 10) for i, v in enumerate(vals)],
+        "k string, v int, x int",
+    )
+    store.write_table(df, "hive_esc", key="k", stats_cols=["v"])
+    got = {
+        (r["k"], r["v"]) for r in store.read("hive_esc").collect()
+    }
+    assert got == {(v, i) for i, v in enumerate(vals)}
+    # partition pruning by key still addresses the right directory
+    one = store.read("hive_esc", keys=["2024/01"]).collect()
+    assert [(r["k"], r["v"]) for r in one] == [("2024/01", 0)]
+    # zone-map pruned read == full-scan filter (the module invariant)
+    pruned = {
+        (r["k"], r["v"])
+        for r in store.read("hive_esc", where={"v": (3, 5)}).collect()
+    }
+    assert pruned == {(v, i) for i, v in enumerate(vals) if 3 <= i <= 5}
+
+
+def test_null_empty_key_values_rejected(spark, store):
+    """NULL and '' both land in __HIVE_DEFAULT_PARTITION__ (probed on
+    this Spark), and 'None' collides with NULL's string rendering in
+    the manifest key — all must fail loudly instead of committing a
+    manifest whose path is ambiguous or nonexistent."""
+    for bad in [None, "", "None"]:
+        df = _mk(spark, [(bad, 1), ("ok", 2)], "k string, v int")
+        with pytest.raises(ValueError, match="partition key value"):
+            store.write_table(df, f"badkey_{hash(bad)}", key="k")
