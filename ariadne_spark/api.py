@@ -351,6 +351,12 @@ def find_image(images: DataFrame, ref: str) -> str:
         r["image_id"]
         for r in images.where(F.col("image_id").endswith(ref))
         .select("image_id")
+        # deterministic truncation: an unordered limit returns a
+        # partitioning-dependent subset, so the unique boundary match
+        # could fall outside the sample on one run and inside on the
+        # next (resolve/ambiguity flapping). Sorting first makes the
+        # candidate set — and therefore the outcome — stable.
+        .orderBy("image_id")
         .limit(50)
         .collect()
     ]
@@ -395,7 +401,10 @@ def format_neighborhood(
     by_dir: dict[str, list] = {"in": [], "out": []}
     for r in rows:
         by_dir[r["direction"]].append((int(r["min_depth"]), r["image_id"]))
-    lines = [focus]
+    # the reference's render titles the focus with the requested depth
+    # (the tool server passes it through) — without this the parameter
+    # was accepted and silently ignored
+    lines = [focus if depth is None else f"{focus}  (depth <= {depth})"]
     labels = {"in": "linked-from (callers)", "out": "links-to (callees)"}
     dirs = [d for d in ("in", "out") if by_dir[d]]
     for di, d in enumerate(dirs):

@@ -764,10 +764,13 @@ def curate_multimodal(
     quality_min: int = 70,
     sem_threshold_q: int = 850_000,
 ) -> DataFrame:
-    """-> (doc_id, kept, reason): one-call corpus disposition over BOTH
-    modalities — the composition a pipeline user runs, with a
-    mutually-exclusive drop reason per document (first failing stage
-    wins, so the output doubles as a funnel report):
+    """-> (doc_id, kept, reason, sem_checked): one-call corpus
+    disposition over BOTH modalities — the composition a pipeline user
+    runs, with a mutually-exclusive drop reason per document (first
+    failing stage wins, so the output doubles as a funnel report;
+    sem_checked=false marks docs stage 4 never examined — earlier-stage
+    drops and survivors with no embedding row, which stay kept but are
+    NOT semantically deduped):
 
       1. exact_dup     md5(text) hash dedup, min-id canonical
       2. neardup_fp    16-char rolling-fingerprint dedup (boilerplate)
@@ -804,11 +807,10 @@ def curate_multimodal(
     c2 = surv1.groupBy("fp").agg(F.min("doc_id").alias("fcanon"))
     s2 = surv1.join(c2, "fp").withColumn("fp_dup", F.col("doc_id") != F.col("fcanon"))
 
-    # stage 3: quality gate (q23's integer score)
+    # stage 3: quality gate (q23's integer score) — word count via the
+    # canonical helper so the token law cannot silently diverge here
     text = F.col("text")
-    words = (
-        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
+    words = ws_token_count("text")
     the_count = _idivc(
         (F.length(text) - F.length(F.replace(text, F.lit("the"), F.lit("")))).cast(
             "long"
@@ -822,7 +824,13 @@ def curate_multimodal(
     ).cast("long")
     s3 = s2.where(~F.col("fp_dup")).withColumn("low_q", quality < quality_min)
 
-    # stage 4: semantic dedup over the survivors' embeddings
+    # stage 4: semantic dedup over the survivors' embeddings. A
+    # survivor with NO embedding row cannot be checked — it stays kept
+    # (dropping 'no vector' docs would be a different policy decision)
+    # but the skip is SURFACED as sem_checked=false in the output, so
+    # partially-embedded corpora (sf0.1: 3000 of 5000 docs have no
+    # vector) can never read as "semantically deduped" when stage 4
+    # never examined them.
     surv3 = s3.where(~F.col("low_q")).select("doc_id")
     emb = embeddings.select(
         F.col("vec_id").alias("doc_id"), "embedding"
@@ -830,7 +838,9 @@ def curate_multimodal(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     sem = semdedup(emb, threshold_q=sem_threshold_q).select(
-        F.col("vec_id").alias("doc_id"), (F.col("keep") == 0).alias("sem_dup")
+        F.col("vec_id").alias("doc_id"),
+        (F.col("keep") == 0).alias("sem_dup"),
+        F.lit(True).alias("sem_checked"),
     )
 
     # assemble the funnel: first failing stage wins
@@ -852,6 +862,9 @@ def curate_multimodal(
         "doc_id",
         (reason == "kept").cast("long").alias("kept"),
         reason.alias("reason"),
+        # false = stage 4 never saw this doc: either it fell at an
+        # earlier stage, or it survived but has no embedding row
+        F.coalesce("sem_checked", F.lit(False)).alias("sem_checked"),
     )
 
 
@@ -941,7 +954,9 @@ def curate_images(
     exclusive drop reason per image (first failing stage wins, so the
     output doubles as a funnel report):
 
-      1. bad_format   fmt outside the codec registry, or NULL bytes
+      1. bad_format   fmt outside the codec registry, or NULL in any
+                      column a later stage reads (bytes/w/h/phash/
+                      lon_u/lat_u)
       2. too_small    w*h < min_pixels
       3. bad_aspect   w > ar_max*h or h > ar_max*w
       4. exact_dup    md5(bytes) hash dedup, min-id canonical
@@ -970,15 +985,21 @@ def curate_images(
     fmts = sorted(CODECS.keys())
     base = images.select("image_id", "bytes", "w", "h", "fmt", "lon_u", "lat_u", "phash")
 
-    # NULL-safe fail-closed gate: NULL fmt/w/h/bytes must land in
-    # bad_format, not slip past every gate to 'kept' (isin/comparisons
-    # on NULL yield NULL, which `where(~flag)` would drop from the dup
-    # stages while the reason coalesce fell through to 'kept').
+    # NULL-safe fail-closed gate: a NULL in ANY column a later stage
+    # reads must land in bad_format, not slip past every gate to
+    # 'kept' (isin/comparisons on NULL yield NULL, which
+    # `where(~flag)` would drop from the dup stages while the reason
+    # coalesce fell through to 'kept'). That includes stage 5's
+    # inputs: a NULL phash/lon_u/lat_u row emits no kNN pairs, so it
+    # would silently skip near-dup detection.
     meta_ok = (
         F.col("fmt").isin(fmts)
         & F.col("bytes").isNotNull()
         & F.col("w").isNotNull()
         & F.col("h").isNotNull()
+        & F.col("phash").isNotNull()
+        & F.col("lon_u").isNotNull()
+        & F.col("lat_u").isNotNull()
     )
     s1 = base.withColumn("bad_format", ~F.coalesce(meta_ok, F.lit(False)))
     s2 = s1.withColumn(
@@ -1429,23 +1450,36 @@ def alignment_filter(
     def qv(c: str) -> Column:
         return F.transform(F.col(c), lambda x: F.round(x * 1000).cast("long"))
 
+    # materialize each quantized array ONCE: dot and the norm both
+    # consume it, and Catalyst's CollapseProject duplicates (not CSEs)
+    # an expensive aliased expression only when it is referenced once —
+    # same pattern and rationale as bloom_decontaminate's fingerprint
+    # materialization above (measured there: 19.6 s -> ~6 s at sf0.1)
+    qa, qb = "__qa_align", "__qb_align"
+    quant = pairs.withColumn(qa, qv(img_col)).withColumn(qb, qv(txt_col))
     zero = F.lit(0).cast("long")
     add = lambda acc, v: acc + v
     dot = F.aggregate(
-        F.zip_with(qv(img_col), qv(txt_col), lambda x, y: x * y), zero, add
+        F.zip_with(F.col(qa), F.col(qb), lambda x, y: x * y), zero, add
     )
-    na = F.aggregate(F.transform(qv(img_col), lambda x: x * x), zero, add)
-    nb = F.aggregate(F.transform(qv(txt_col), lambda x: x * x), zero, add)
+    na = F.aggregate(F.transform(F.col(qa), lambda x: x * x), zero, add)
+    nb = F.aggregate(F.transform(F.col(qb), lambda x: x * x), zero, add)
     D = lambda c: c.cast("decimal(38,0)")
-    gate = (F.col("dot_q") > 0) & (
+    # sign guard: squaring erases the sign, so negative-cosine pairs
+    # must be cut before the cross-multiplied compare. At t == 0 the
+    # documented gate is `cos >= 0`, which INCLUDES orthogonal pairs
+    # (dot exactly 0) — strict > there would contradict the contract.
+    sign_ok = (F.col("dot_q") >= 0) if t == 0 else (F.col("dot_q") > 0)
+    gate = sign_ok & (
         D(F.col("dot_q")) * D(F.col("dot_q")) * F.lit(1_000_000).cast("decimal(38,0)")
         >= F.lit(t * t).cast("decimal(38,0)") * D(F.col("na_q")) * D(F.col("nb_q"))
     )
     return (
-        pairs.withColumn("dot_q", dot)
+        quant.withColumn("dot_q", dot)
         .withColumn("na_q", na)
         .withColumn("nb_q", nb)
         .withColumn("aligned", F.coalesce(gate, F.lit(False)))
+        .drop(qa, qb)
     )
 
 
@@ -1455,8 +1489,9 @@ def alignment_gate_sql(
     """DuckDB twin of alignment_filter's integer cosine gate as an
     expression fragment over precomputed quantized dot/norm columns."""
     t = threshold_permille
+    sign = ">=" if t == 0 else ">"  # t == 0 keeps orthogonal pairs
     return (
-        f"COALESCE({dot} > 0 AND CAST({dot} AS HUGEINT) * {dot} * 1000000"
+        f"COALESCE({dot} {sign} 0 AND CAST({dot} AS HUGEINT) * {dot} * 1000000"
         f" >= CAST({t * t} AS HUGEINT) * {na} * {nb}, FALSE)"
     )
 

@@ -129,6 +129,19 @@ class SpatialPipeline:
     def _stage_done(self, stage: str, in_sid: int) -> bool:
         return "*" in self.store.completed(stage, in_sid)
 
+    def _changed_keys_or_all(self, m) -> list[str] | None:
+        """Partition scope for re-running stages at snapshot `m`: the
+        parent diff when the parent manifest still exists, else None
+        (full recompute) — after expire_snapshots the parent may be
+        expired, and 'cannot scope the change' must degrade to
+        correct-but-wider, never crash."""
+        if m.parent_id is None:
+            return None
+        try:
+            return self.store.diff("images_indexed", m.parent_id, m.snapshot_id)
+        except FileNotFoundError:
+            return None
+
     def _commit_stage(
         self, stage: str, in_sid: int, out_df: DataFrame, keys: list[str] | None, t0: float
     ) -> None:
@@ -358,6 +371,27 @@ class SpatialPipeline:
         delete-then-insert (`registries/definition.ts:99-103`)."""
         prev_sid = self.store.current_snapshot_id("images_indexed")
         assert prev_sid is not None, "full_build first"
+        # self-heal derived stages from a CRASHED prior run (same
+        # treatment the id_index gets below): if any stage's lineage
+        # marker for prev_sid is missing, the previous update/full_build
+        # died between its images_indexed commit and the stage commits.
+        # Building this update on top would be permanently wrong two
+        # ways: (a) this run's changed_keys = diff(prev, new) never
+        # covers the PREVIOUS run's partitions, so pip/knn/tiles stay
+        # stale there forever; (b) after a crashed full_build,
+        # _commit_stage would see no pip/knn/tiles table at all and
+        # commit THIS update's partition-scoped output as the full
+        # first snapshot. Each _stage_* skips itself when its marker is
+        # committed, so the heal costs only lineage reads when the
+        # prior run completed.
+        if not all(
+            self._stage_done(s, prev_sid)
+            for s in ("pip", "knn", "tiles_fine", "tiles_coarse")
+        ):
+            self._run_stages(
+                prev_sid,
+                self._changed_keys_or_all(self.store.manifest("images_indexed")),
+            )
         # materialize the delta ONCE: it is read three times below (id
         # collect, images_indexed merge, id_index sync) and the caller's
         # plan may be expensive or not stable across evaluations — a
@@ -422,10 +456,7 @@ class SpatialPipeline:
         if not self._id_index_fresh(in_sid):
             self._sync_id_index(in_sid, None, None, None)
         m = self.store.manifest("images_indexed")
-        keys = None
-        if m.parent_id is not None:
-            keys = self.store.diff("images_indexed", m.parent_id, in_sid)
-        self._run_stages(in_sid, keys)
+        self._run_stages(in_sid, self._changed_keys_or_all(m))
         return in_sid
 
     def maintain(self, keep_last: int = 1) -> dict[str, int]:
@@ -441,6 +472,12 @@ class SpatialPipeline:
         Safe concurrently with writers: `store.compact` skips any
         partition overwritten underneath it. Returns
         table -> current snapshot id after maintenance."""
+        pre_sid = self.store.current_snapshot_id("images_indexed")
+        stages_fresh = pre_sid is not None and all(
+            self._stage_done(s, pre_sid)
+            for s in ("pip", "knn", "tiles_fine", "tiles_coarse")
+        )
+        index_fresh = pre_sid is not None and self._id_index_fresh(pre_sid)
         out = {}
         for t in ("images_indexed", "pip", "knn", "tiles_fine",
                   "tiles_coarse", "id_index"):
@@ -454,6 +491,19 @@ class SpatialPipeline:
                 sid = self.store.compact(t, sort_cols=sort_cols)
             self.store.expire_snapshots(t, keep_last=keep_last)
             out[t] = sid
+        # compaction changes images_indexed's snapshot id WITHOUT
+        # changing its content (fingerprints identical), so stage/index
+        # freshness carries over — re-log the completion markers under
+        # the new input sid, or the next update()'s staleness self-heal
+        # (and _id_index_fresh) would see missing markers and rebuild
+        # everything for nothing
+        new_sid = out.get("images_indexed")
+        if new_sid is not None and new_sid != pre_sid:
+            if stages_fresh:
+                for s in ("pip", "knn", "tiles_fine", "tiles_coarse"):
+                    self.store.log_lineage(s, "*", new_sid, 0, 0.0)
+            if index_fresh:
+                self.store.log_lineage("id_index_sync", "*", new_sid, 0, 0.0)
         return out
 
     def read_bbox(

@@ -225,6 +225,11 @@ def test_format_neighborhood_snapshot(spark):
         "   ├─ img_x  (depth 1)\n"
         "   └─ · img_y  (depth 2)"
     )
+    # the tool server passes the requested depth through; it titles
+    # the focus line (previously accepted and silently ignored)
+    assert format_neighborhood(df, "img_f", depth=2).splitlines()[0] == (
+        "img_f  (depth <= 2)"
+    )
 
 
 def test_format_neighborhood_end_to_end(spark, images_df, edges):

@@ -1111,3 +1111,64 @@ def test_tag_branch_namespace_race_detected(spark, tmp_path):
     assert "x" not in st.tags("t")
     assert st.branches("t") == {"x": 0}
     assert st.read("t", snapshot_id="x").count() == 1
+
+
+def test_update_heals_stages_of_a_crashed_prior_update(spark, tmp_path_factory):
+    """A prior update that crashed between its images_indexed commit and
+    its stage commits must be healed by the NEXT update(): its
+    changed-partition diff never covers the crashed run's partitions,
+    so without the entry heal pip/knn/tiles would stay stale there
+    forever (resume() exists, but the contract cannot depend on the
+    operator remembering to call it)."""
+    import unittest.mock as mock
+
+    tmp = tmp_path_factory.mktemp("healupd")
+    p = _pipeline(spark, tmp, "p")
+    p.full_build(_images(spark, np.arange(600)))
+
+    # update #1 crashes right after the images_indexed commit
+    with mock.patch.object(
+        SpatialPipeline, "_run_stages", side_effect=RuntimeError("crash")
+    ):
+        with pytest.raises(RuntimeError, match="crash"):
+            p.update(_modified_images(spark, np.arange(100, 140)))
+
+    # update #2 (different partitions) must heal #1's staleness
+    p.update(_images(spark, np.arange(600, 630)))
+
+    ref = _pipeline(spark, tmp, "ref")
+    keep = np.array([i for i in range(630) if not (100 <= i < 140)])
+    ref.full_build(
+        _images(spark, keep).unionByName(
+            _modified_images(spark, np.arange(100, 140))
+        )
+    )
+    a, b = p.table_fingerprints(), ref.table_fingerprints()
+    for t in a:
+        assert a[t] == b[t], f"{t}: stale after crashed update + next update"
+
+
+def test_update_after_crashed_full_build_commits_full_stage_tables(
+    spark, tmp_path_factory
+):
+    """full_build crashes after images_indexed, before any stage commit;
+    the next update() (not resume()) must first build the FULL stage
+    tables — otherwise _commit_stage would publish the update's
+    partition-scoped output as pip/knn/tiles' entire first snapshot."""
+    tmp = tmp_path_factory.mktemp("healfb")
+    from ariadne_spark.operators.incremental import META_COLS, _pk_col
+
+    p = _pipeline(spark, tmp, "p")
+    meta = _images(spark, np.arange(600))
+    p.store.write_table(
+        meta.select(*META_COLS).withColumn("pk", _pk_col()),
+        "images_indexed", "pk",
+    )
+    # no resume(): straight to an update over a few partitions
+    p.update(_images(spark, np.arange(600, 630)))
+
+    ref = _pipeline(spark, tmp, "ref")
+    ref.full_build(_images(spark, np.arange(630)))
+    a, b = p.table_fingerprints(), ref.table_fingerprints()
+    for t in a:
+        assert a[t] == b[t], f"{t}: partial stage table after crashed full_build"

@@ -77,7 +77,8 @@ def test_two_tools_end_to_end_over_the_protocol_with_recorded_stats(srv):
 
     # neighborhood of img_c at depth 2: callers b, d (1 hop), a (2 hops)
     tree = resps[2]["result"]
-    assert tree.splitlines()[0] == "img_c"
+    # the requested depth now titles the focus line
+    assert tree.splitlines()[0] == "img_c  (depth <= 2)"
     assert "linked-from (callers)" in tree
     assert "img_b  (depth 1)" in tree and "· img_a  (depth 2)" in tree
     out_tree = resps[3]["result"]
