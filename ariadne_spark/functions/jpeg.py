@@ -442,6 +442,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < n:
         assert data[i] == 0xFF, f"marker expected at byte {i}"
         m = data[i + 1]
+        if m == 0xFF:
+            # optional 0xFF fill bytes before a marker code (spec
+            # B.1.1.2): consume one pad byte and re-examine — falling
+            # through would read a garbage segment length from the
+            # marker code itself and reject a conforming stream
+            i += 1
+            continue
         i += 2
         if m == 0xD9:  # EOI
             break

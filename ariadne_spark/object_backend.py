@@ -110,10 +110,17 @@ class ObjectStoreCommitBackend(CommitBackend):
         self._maybe_fail("write_advisory")
         with _NS.lock:
             prev = _NS.objects.get(path)
-            _NS.seq += 1
-            # an overwrite keeps the key's original create seq (the key
-            # was already listable); a fresh key enters the lag window
-            _NS.objects[path] = (prev[0] if prev else _NS.seq, content)
+            if prev is not None:
+                # overwrite: content replaced, create seq unchanged — the
+                # key was already listable, and an overwrite must NOT
+                # advance the global seq either: the LIST horizon is
+                # seq - list_lag, so bumping it here would prematurely
+                # reveal the lag-hidden most-recently-CREATED keys and
+                # weaken the fault injection the docstring promises
+                _NS.objects[path] = (prev[0], content)
+            else:
+                _NS.seq += 1  # fresh key enters the lag window
+                _NS.objects[path] = (_NS.seq, content)
 
     # -- read primitives -------------------------------------------------------
 

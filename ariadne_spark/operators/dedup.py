@@ -108,10 +108,23 @@ def jaccard_neardup_banded(
 
     inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
     union = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
-    j1000 = F.floor((inter * F.lit(1000)) / union).cast("long")
+    # integer DIV, not floor(double /): exact by construction at any
+    # mask width (the double form was provably exact for 26-bit masks
+    # but reopens the float-vs-integer-floor divergence class if reused
+    # on wider signatures); DIV by the 0/0 empty-mask pair yields NULL,
+    # matching the all-pairs oracle, and the where() drops it
     qual = (
         rep_candidate_pairs(masked, group_col, mask_col)
-        .select("grp", "ma", "mb", j1000.alias("j1000"))
+        .select(
+            "grp",
+            "ma",
+            "mb",
+            (inter * F.lit(1000)).alias("_i1000"),
+            union.alias("_u"),
+        )
+        .select(
+            "grp", "ma", "mb", F.expr("_i1000 DIV _u").cast("long").alias("j1000")
+        )
         .where(F.col("j1000") >= threshold_milli)
     )
     # expand qualifying mask pairs to id pairs (cost == answer size)
@@ -306,14 +319,22 @@ def canonicalize(
     order = [
         (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in (prefer or [])
     ] + [F.col(id_col).asc()]
+    # the label joins under a private name so a df that ALREADY carries
+    # a cluster_id column (the natural upstream: a frame annotated by
+    # dup_clusters) never collides — joining the label in as
+    # 'cluster_id' would make the coalesce below ambiguous and raise
     lab = df.join(
-        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
-    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
-    w = Window.partitionBy("cluster_id").orderBy(*order)
+        clusters.select(
+            F.col("doc_id").alias(id_col), F.col("cluster_id").alias("_cl")
+        ),
+        id_col,
+        "left",
+    ).withColumn("_cl", F.coalesce("_cl", F.col(id_col)))
+    w = Window.partitionBy("_cl").orderBy(*order)
     return (
         lab.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
-        .drop("_rk", "cluster_id")
+        .drop("_rk", "_cl")
     )
 
 

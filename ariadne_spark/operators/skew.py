@@ -123,6 +123,13 @@ def adaptive_split(
     required for cross-cluster-size result equality.
     """
     assert max_res >= base_res
+    # overwrite semantics on re-runs (e.g. re-tuning threshold on an
+    # already-split frame): the base_res==max_res path's withColumn
+    # REPLACES an existing hist_col, so the refinement path must too —
+    # without this drop, the final join would append a second column of
+    # the same name and any later F.col(hist_col) raises
+    # AMBIGUOUS_REFERENCE. drop() on an absent column is a no-op.
+    images = images.drop(hist_col)
     if max_res == base_res:
         return images.withColumn(
             hist_col, cells.cell_encode(F.col("lon_u"), F.col("lat_u"), base_res)

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from . import api
 
 PARSE_ERROR = -32700
+INVALID_REQUEST = -32600
 METHOD_NOT_FOUND = -32601
 INVALID_PARAMS = -32602
 INTERNAL_ERROR = -32603
@@ -245,7 +246,15 @@ class ToolServer:
                 name = params.get("name")
                 if not isinstance(name, str):
                     return err(INVALID_PARAMS, "tools/call needs a name")
-                result = self._call(name, params.get("arguments") or {})
+                args = params.get("arguments")
+                if args is None:
+                    args = {}
+                elif not isinstance(args, dict):
+                    # a list/str here would otherwise surface as the
+                    # handler's TypeError -> INTERNAL_ERROR; it is a
+                    # caller mistake, so answer INVALID_PARAMS
+                    return err(INVALID_PARAMS, "arguments must be an object")
+                result = self._call(name, args)
             elif method in self.registry.names():
                 result = self._call(method, params)
             else:
@@ -273,7 +282,24 @@ class ToolServer:
                     "error": {"code": PARSE_ERROR, "message": f"parse error: {e}"},
                 }
             )
-        resp = self.handle(req if isinstance(req, dict) else {})
+        if not isinstance(req, dict):
+            # valid JSON that is not an object (a batch array, a bare
+            # string/number) must be ANSWERED with Invalid Request
+            # (JSON-RPC 2.0 §4.2 / §6) — coercing it to {} would treat
+            # it as a notification and silently drop the reply, leaving
+            # a conforming batch client blocked forever
+            return json.dumps(
+                {
+                    "jsonrpc": "2.0",
+                    "id": None,
+                    "error": {
+                        "code": INVALID_REQUEST,
+                        "message": "request must be a JSON object "
+                        "(batch requests unsupported)",
+                    },
+                }
+            )
+        resp = self.handle(req)
         return None if resp is None else json.dumps(resp)
 
     def serve(self, inp, out) -> int:

@@ -106,12 +106,17 @@ class RssSampler:
 # ---------------------------------------------------------------------------
 
 
-def _ui_totals(port: int = 4040) -> dict[str, int]:
-    """Sum shuffle read/write and spill bytes over all completed stages."""
+def _ui_totals(spark) -> dict[str, int]:
+    """Sum shuffle read/write and spill bytes over all completed stages
+    of THIS session's application. The UI base url and application id
+    come from the live SparkContext — a hardcoded port-4040 probe reads
+    whichever app bound the port first (this app auto-binds 4041+ when
+    4040 is taken), silently attributing another session's counters to
+    this run's evidence table."""
     try:
-        base = f"http://localhost:{port}/api/v1/applications"
-        apps = json.load(urllib.request.urlopen(base, timeout=5))
-        app_id = apps[0]["id"]
+        sc = spark.sparkContext
+        base = f"{sc.uiWebUrl}/api/v1/applications"
+        app_id = sc.applicationId
         stages = json.load(
             urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete", timeout=10)
         )
@@ -168,8 +173,7 @@ def run_stress(
     fingerprint: bool = False,
     shuffle_partitions: int | None = None,
 ) -> dict:
-    from pyspark.sql import functions as F
-
+    from ariadne_spark.functions.fingerprint import df_fingerprint
     from ariadne_spark.operators.knn import knn_edges
     from ariadne_spark.operators.pip import pip_join
     from ariadne_spark.operators.tiles import build_pyramid, rasterize_tiles
@@ -200,7 +204,7 @@ def run_stress(
     sampler = RssSampler().start()
     meta = spark.read.parquet(meta_path)
     stages: dict[str, dict] = {}
-    baseline = _ui_totals()
+    baseline = _ui_totals(spark)
 
     def run(name: str, fn) -> None:
         nonlocal baseline
@@ -210,7 +214,7 @@ def run_stress(
         t0 = time.perf_counter()
         fn()
         wall = time.perf_counter() - t0
-        now = _ui_totals()
+        now = _ui_totals(spark)
         d = _delta(baseline, now)
         baseline = now
         stages[name] = {
@@ -235,22 +239,17 @@ def run_stress(
     run("rasterize", lambda: noop(rasterize_tiles(meta, z=5, fmt="png")))
     knn_fp = None
     if fingerprint:
-        # order-independent (n_rows, content hash) — same construction
-        # as jobs/pipeline_bench.py: proves window/partial top-k return
-        # IDENTICAL edges at the full row count, not just matching times
+        # order-independent (n_rows, content hash), the SAME helper
+        # jobs/pipeline_bench.py imports: proves window/partial top-k
+        # return IDENTICAL edges at the full row count, not just
+        # matching times. Re-point the sampler first — this re-runs the
+        # full kNN untimed, and leaving sampler.stage on the last timed
+        # stage would inflate THAT stage's recorded peak RSS.
+        sampler.stage = "fingerprint"
         edges = knn_edges(
             meta, k=5, max_hamming=16, n_rows_hint=n, topk_strategy=knn_topk
         )
-        h = F.xxhash64(*[F.col(c) for c in edges.columns])
-        row = edges.agg(
-            F.sum(F.shiftrightunsigned(h, 32)).alias("hi"),
-            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
-            F.count("*").alias("n"),
-        ).first()
-        knn_fp = [
-            int(row["n"]),
-            ((int(row["hi"] or 0) << 32) + int(row["lo"] or 0)) % (1 << 64),
-        ]
+        knn_fp = df_fingerprint(edges)
     sampler.stop()
     spark.stop()
     total = sum(s["sec"] for s in stages.values())

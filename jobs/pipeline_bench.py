@@ -123,20 +123,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = best
 
-    def fingerprint(df):
-        """Order-independent (n_rows, content hash) of a result — the
-        cross-cluster-size EQUALITY evidence: the north rule requires
-        identical join rows / tile assignments at N and 4N, not just
-        matching throughput. Same construction as store.partition_summary
-        (sum of per-row xxhash64 mod 2^64, split in 32-bit halves)."""
-        h = F.xxhash64(*[F.col(c) for c in df.columns])
-        row = df.agg(
-            F.sum(F.shiftrightunsigned(h, 32)).alias("hi"),
-            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
-            F.count("*").alias("n"),
-        ).first()
-        fp = ((int(row["hi"] or 0) << 32) + int(row["lo"] or 0)) % (1 << 64)
-        return [int(row["n"]), fp]
+    # order-independent (n_rows, content hash) of a result — the
+    # cross-cluster-size EQUALITY evidence: the north rule requires
+    # identical join rows / tile assignments at N and 4N, not just
+    # matching throughput. ONE shared construction (also used by
+    # bench_stress.py's cross-strategy equality) so fingerprints stay
+    # comparable across scripts by import, not by parallel maintenance.
+    from ariadne_spark.functions.fingerprint import df_fingerprint as fingerprint
 
     fingerprints = {
         "pip_join": fingerprint(pip_join(meta, generate_regions(), deepest_only=True)),

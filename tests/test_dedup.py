@@ -218,6 +218,25 @@ def test_canonicalize_prefer_quality(spark, chain_pairs):
         assert want in kept and all(m not in kept for m in ms if m != want)
 
 
+def test_canonicalize_tolerates_preexisting_cluster_id_column(spark, chain_pairs):
+    """The natural upstream of canonicalize is a frame ALREADY annotated
+    with dup_clusters labels; a df carrying its own cluster_id column
+    must not collide with the label join (the label now joins under a
+    private name). The user column passes through untouched."""
+    from ariadne_spark.operators.dedup import canonicalize, dup_clusters
+
+    clusters = dup_clusters(chain_pairs)
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], "doc_id long, quality long"
+    ).join(clusters, "doc_id", "left")  # df now HAS a cluster_id column
+    kept = canonicalize(docs, clusters)
+    assert kept.columns == ["doc_id", "quality", "cluster_id"]
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    clustered_members = {r["doc_id"] for r in clusters.collect()}
+    exp = sorted((set(range(50)) - clustered_members) | {0, 10, 20, 30})
+    assert ids == exp
+
+
 def test_canonicalize_parallelism_invariant(spark, chain_pairs):
     from ariadne_spark.operators.dedup import canonicalize, dup_clusters
 

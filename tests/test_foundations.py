@@ -262,3 +262,27 @@ def test_shuffle_policy_defaults_and_explicit_pin():
         shuffle_policy(8, 0)
     with pytest.raises(ValueError):
         shuffle_policy(8, -4)
+
+
+def test_df_fingerprint_partition_and_order_invariant(spark):
+    """The ONE shared fingerprint construction (pipeline_bench /
+    bench_stress equality evidence): invariant to partitioning and row
+    order, sensitive to content and row count, and column ORDER feeds
+    the hash (so comparisons require an agreed projection order)."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions.fingerprint import df_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(100)], "a long, b string"
+    )
+    f1 = df_fingerprint(df.repartition(1))
+    f16 = df_fingerprint(df.repartition(16).sortWithinPartitions(F.desc("a")))
+    assert f1 == f16
+    assert f1[0] == 100
+    # content-sensitive
+    assert df_fingerprint(df.where(F.col("a") != 7)) != f1
+    # explicit cols subset == projecting first
+    assert df_fingerprint(df, cols=["a"]) == df_fingerprint(df.select("a"))
+    # column order is part of the identity (documented)
+    assert df_fingerprint(df.select("b", "a")) != f1

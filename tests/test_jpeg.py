@@ -187,6 +187,23 @@ def test_smooth_gradient_quality_ladder():
     assert len(encode_jpeg(px, 75, "420")) < px.nbytes // 5  # real compression
 
 
+def test_fill_bytes_before_markers_decode_identically():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code. Encoders pad with them (FF FF E0 ...); treating the pad byte
+    as the marker would read a garbage segment length and reject a
+    conforming stream, so padded and unpadded streams must decode to
+    the SAME pixels."""
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    data = encode_jpeg(px, 90, "420")
+    ref = decode_jpeg(data)
+    # pad after SOI (before the first header segment) and before EOI —
+    # the one boundary reached through the entropy-scan loop
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    padded = data[:2] + b"\xff\xff\xff" + data[2:-2] + b"\xff\xff" + data[-2:]
+    np.testing.assert_array_equal(decode_jpeg(padded), ref)
+
+
 def test_extreme_blocks_at_q100():
     """All-black/all-white blocks exercise the baseline coefficient
     range clamp (DC=±1024 -> ±1023) without visible error."""

@@ -81,6 +81,26 @@ def test_advisory_put_is_last_writer_wins():
     assert not be.create_exclusive("/b/HEAD", "3")  # key exists
 
 
+def test_advisory_overwrite_does_not_advance_the_list_horizon():
+    # the docstring's contract is "LIST omits the N most recently
+    # CREATED keys"; an advisory OVERWRITE (e.g. a HEAD-cache refresh)
+    # must not advance the global seq — doing so would prematurely
+    # reveal a lag-hidden creation and the fault injection would
+    # exercise a weaker hazard than claimed
+    be = ObjectStoreCommitBackend(list_lag=1)
+    be.write_advisory("/b/h/HEAD", "0")
+    assert be.create_exclusive("/b/h/m1", "x")
+    assert be.list_names("/b/h") == ["HEAD"]  # m1 is the newest creation
+    for _ in range(5):
+        be.write_advisory("/b/h/HEAD", "refresh")  # overwrites, no new key
+    assert be.list_names("/b/h") == ["HEAD"], (
+        "advisory overwrites revealed the lag-hidden newest creation"
+    )
+    # a genuinely NEW key does advance the horizon past m1
+    be.write_advisory("/b/h/m2", "y")
+    assert be.list_names("/b/h") == ["HEAD", "m1"]
+
+
 # ---------------------------------------------------------------------------
 # snapshot protocol on the object backend — no rename, no link, ever
 # ---------------------------------------------------------------------------

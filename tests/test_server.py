@@ -14,6 +14,7 @@ import pytest
 
 from ariadne_spark.server import (
     INVALID_PARAMS,
+    INVALID_REQUEST,
     METHOD_NOT_FOUND,
     PARSE_ERROR,
     ToolServer,
@@ -163,6 +164,52 @@ def test_protocol_error_paths(srv):
     # notifications (no id) are silent even on error
     assert srv.handle({"jsonrpc": "2.0", "method": "drop_tables"}) is None
     assert srv.handle_line("not json at all {") is not None  # parse errs answer
+
+
+def test_non_object_requests_answered_with_invalid_request(srv):
+    # valid JSON that is NOT an object (a batch array, a bare string or
+    # number) must be ANSWERED with -32600/id null (JSON-RPC 2.0 §4.2) —
+    # not coerced to {} and treated as a notification, which silently
+    # drops the reply and blocks a conforming batch client forever
+    for payload in (
+        '[{"jsonrpc": "2.0", "id": 1, "method": "get_stats"}]',
+        '"ping"',
+        "7",
+        "null",
+    ):
+        r = json.loads(srv.handle_line(payload))
+        assert r["error"]["code"] == INVALID_REQUEST, payload
+        assert r["id"] is None
+    # and over the wire: the response line IS written
+    inp = io.StringIO('[{"jsonrpc": "2.0", "id": 1, "method": "get_stats"}]\n')
+    out = io.StringIO()
+    assert srv.serve(inp, out) == 1
+    assert json.loads(out.getvalue())["error"]["code"] == INVALID_REQUEST
+
+
+def test_tools_call_arguments_must_be_an_object(srv):
+    # a list/str where {arguments} belongs is a CALLER mistake: answer
+    # INVALID_PARAMS, not the handler TypeError's INTERNAL_ERROR
+    r = srv.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 1,
+            "method": "tools/call",
+            "params": {"name": "list_orphans", "arguments": ["limit"]},
+        }
+    )
+    assert r["error"]["code"] == INVALID_PARAMS
+    assert "arguments" in r["error"]["message"]
+    # absent arguments still defaults to {}
+    r = srv.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 2,
+            "method": "tools/call",
+            "params": {"name": "get_stats"},
+        }
+    )
+    assert "result" in r
 
 
 def test_failed_calls_still_count_in_analytics(srv):

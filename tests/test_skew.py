@@ -55,6 +55,30 @@ def test_adaptive_split_matches_oracle(spark, images_df, images_np):
         assert got[img_id] == exp[i], img_id
 
 
+def test_adaptive_split_rerun_overwrites_not_duplicates(spark, images_df):
+    """Re-running adaptive_split on an already-split frame (re-tuning
+    threshold) must REPLACE split_cell — withColumn semantics, like the
+    base_res==max_res path — never append a second column of the same
+    name (which would make any later F.col('split_cell') ambiguous)."""
+    base = images_df.drop("bytes")
+    once = adaptive_split(base, BASE_RES, MAX_RES, THRESHOLD)
+    again = adaptive_split(once, BASE_RES, MAX_RES, THRESHOLD * 4)
+    assert again.columns.count("split_cell") == 1
+    fresh = adaptive_split(base, BASE_RES, MAX_RES, THRESHOLD * 4)
+    got = sorted(
+        (r["image_id"], r["split_cell"])
+        for r in again.select("image_id", "split_cell").collect()
+    )
+    exp = sorted(
+        (r["image_id"], r["split_cell"])
+        for r in fresh.select("image_id", "split_cell").collect()
+    )
+    assert got == exp
+    # degenerate path too (base_res == max_res projection)
+    flat = adaptive_split(once, BASE_RES, BASE_RES, THRESHOLD)
+    assert flat.columns.count("split_cell") == 1
+
+
 def test_split_bounds_partition_sizes(spark, images_df):
     out = adaptive_split(images_df.drop("bytes"), BASE_RES, MAX_RES, THRESHOLD)
     hist = split_histogram(out).collect()
