@@ -100,14 +100,20 @@ def cell_parent(cell: Column, steps: int = 1) -> Column:
 def cell_prefix(cell: Column, prefix_res: int) -> Column:
     """Coarse-resolution ancestor used as the partition key (the analog of
     ariadne's per-file grouping: registries key state by file,
-    `packages/core/src/resolve_references/registries/definition.ts:26-90`)."""
+    `packages/core/src/resolve_references/registries/definition.ts:26-90`).
+
+    Works on MIXED-resolution cell columns: the shift count is the
+    per-row `res - prefix_res`, a Column — the python `F.shiftright`
+    wrapper only accepts an int bit count, so the variable shift goes
+    through the SQL `shiftright` expression (which takes any expression
+    on both sides) via `call_function`."""
     r = cell_res(cell)
     x, y = cell_xy(cell)
-    steps = r - F.lit(prefix_res)
+    steps = (r - F.lit(prefix_res)).cast("int")
     return pack_cell(
         F.lit(prefix_res).cast("long"),
-        F.shiftright(x, steps),
-        F.shiftright(y, steps),
+        F.call_function("shiftright", x, steps),
+        F.call_function("shiftright", y, steps),
     )
 
 

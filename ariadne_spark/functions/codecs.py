@@ -158,18 +158,23 @@ def register_codec(fmt: str, encode, decode) -> None:
     CODECS[fmt] = (encode, decode)
 
 
+def _resolve_codec(fmt: str):
+    # resolve the registry entry FIRST, then invoke the codec outside
+    # any except — a registered codec that raises KeyError internally
+    # (e.g. a dict-based quant/subsample lookup on malformed input)
+    # must surface as ITS error, not as "unsupported fmt"
+    codec = CODECS.get(fmt)
+    if codec is None:
+        raise NotImplementedError(f"unsupported fmt {fmt!r}")
+    return codec
+
+
 def encode_image(px: np.ndarray, fmt: str) -> bytes:
-    try:
-        return CODECS[fmt][0](px)
-    except KeyError:
-        raise NotImplementedError(f"unsupported fmt {fmt!r}") from None
+    return _resolve_codec(fmt)[0](px)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    try:
-        return CODECS[fmt][1](data)
-    except KeyError:
-        raise NotImplementedError(f"unsupported fmt {fmt!r}") from None
+    return _resolve_codec(fmt)[1](data)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

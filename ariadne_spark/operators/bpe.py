@@ -41,6 +41,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SYMS_SCHEMA = "word string, freq long, syms array<string>"
 
@@ -183,8 +184,12 @@ def bpe_encode(
             return got
 
         for pdf in it:
+            # NULL text tokenizes to [] (matching word_freq_table /
+            # train_bpe, which drop null text) — never str(None)
             toks = [
-                [t for w in str(x).split(" ") if w for t in one(w)]
+                []
+                if x is None
+                else [t for w in x.split(" ") if w for t in one(w)]
                 for x in pdf["__text"]
             ]
             yield pd.DataFrame(
@@ -195,7 +200,19 @@ def bpe_encode(
                 }
             )
 
+    # keep the id column's NATIVE type (string image_ids, long doc_ids,
+    # ...) — the output schema echoes the input field's dataType
+    id_type = docs.select(F.col(id_col).alias("__id")).schema[0].dataType
     out = docs.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    ).mapInPandas(enc, "__id long, tokens array<string>, n_tokens long")
+        F.col(id_col).alias("__id"), F.col(text_col).cast("string").alias("__text")
+    ).mapInPandas(
+        enc,
+        T.StructType(
+            [
+                T.StructField("__id", id_type),
+                T.StructField("tokens", T.ArrayType(T.StringType())),
+                T.StructField("n_tokens", T.LongType()),
+            ]
+        ),
+    )
     return out.withColumnRenamed("__id", id_col)

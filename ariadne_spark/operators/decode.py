@@ -85,19 +85,38 @@ def decode_features(images: DataFrame) -> DataFrame:
 def decode_invariants(images: DataFrame) -> DataFrame:
     """Per-row invariant table for the deterministic fixture (requires
     `image_id` of the form img_<i> so the truth is recomputable)."""
-    from ..synth.images import make_caption, render_pixels
+    from ..synth.images import (
+        make_caption,
+        neardup_parents,
+        perturb_pixels,
+        render_pixels,
+    )
 
     def check(iterator):
         for pdf in iterator:
             rows = []
-            for img_id, blob, fmt, caption, stored_phash in zip(
-                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"], pdf["phash"]
+            # neardup_parents is vectorized: one call per Arrow batch,
+            # not one per row
+            ids = np.array(
+                [int(s.split("_")[-1]) for s in pdf["image_id"]], dtype=np.int64
+            )
+            parents = (
+                neardup_parents(ids) if len(ids) else np.empty(0, dtype=np.int64)
+            )
+            for (img_id, blob, fmt, caption, stored_phash), i, parent in zip(
+                zip(
+                    pdf["image_id"],
+                    pdf["bytes"],
+                    pdf["fmt"],
+                    pdf["caption"],
+                    pdf["phash"],
+                ),
+                ids,
+                parents,
             ):
-                i = int(img_id.split("_")[-1])
+                i = int(i)
+                parent = int(parent)
                 px = decode_image(bytes(blob), fmt)
-                from ..synth.images import neardup_parents, perturb_pixels
-
-                parent = int(neardup_parents(np.array([i], dtype=np.int64))[0])
                 if parent >= 0:
                     truth = perturb_pixels(
                         render_pixels(parent, px.shape[1], px.shape[0]), i
@@ -376,6 +395,11 @@ def augment_params(image_id: str, w: int, h: int, crop_num: int = 7,
     (flipped, x0, y0, cw, ch)."""
     import zlib
 
+    assert 0 < crop_num <= crop_den, (
+        f"crop_num/crop_den must be a fraction in (0, 1]: "
+        f"{crop_num}/{crop_den} would make the crop larger than the "
+        "image (negative/zero offset modulus)"
+    )
     mix = zlib.crc32(f"{image_id}#aug{epoch}".encode())
     cw = max(1, (w * crop_num) // crop_den)
     ch = max(1, (h * crop_num) // crop_den)

@@ -81,12 +81,16 @@ def export_record_shards(
         pdf = pdf.sort_values(["__ord", "key"], kind="mergesort")
         # keys must be unique per shard: fetch_record resolves by key,
         # so a duplicate would make later records unreachable — refuse
-        # loudly at export time rather than silently at read time
-        dup = pdf["key"].duplicated()
+        # loudly at export time rather than silently at read time. The
+        # check runs on the NORMALIZED keys (NULL -> '', exactly as the
+        # offsets index stores them), so a NULL key and an ''-key in
+        # one shard collide here, not silently at read time.
+        norm = pdf["key"].fillna("")
+        dup = norm.duplicated()
         if dup.any():
             raise ValueError(
                 f"export_record_shards: duplicate key "
-                f"{pdf['key'][dup].iloc[0]!r} in shard "
+                f"{norm[dup].iloc[0]!r} in shard "
                 f"{int(pdf['shard'].iloc[0])} (keys must be unique per "
                 "shard for fetch_record by-key seeks)"
             )

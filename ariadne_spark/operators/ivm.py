@@ -25,7 +25,10 @@ Double-apply safety: the base snapshot a view reflects is RECORDED in
 the store's lineage log at create/refresh time; `refresh_agg_view`
 defaults to that recorded baseline and REJECTS an explicit `from_sid`
 that disagrees with it — re-running a refresh (or skipping one) can
-therefore never silently drift the sums.
+therefore never silently drift the sums. The record is two-phase
+(intent before the merge commit, baseline after), so even a crash
+BETWEEN the merge commit and the baseline record is recovered on the
+next refresh instead of double-applying the delta.
 
 The view partitions by its group column. For high-cardinality groups,
 aggregate to a bucketed group upstream (e.g. group on a derived
@@ -53,6 +56,47 @@ def _agg_exprs(sum_cols: list[str]):
 
 def _record_baseline(store, view: str, base_sid: int) -> None:
     store.log_lineage(f"ivm:{view}", "baseline", int(base_sid), 0, 0.0)
+
+
+def _record_intent(store, view: str, base_sid: int, view_pre_sid: int) -> None:
+    # two-phase refresh bookkeeping: the intent row (new base sid +
+    # the view snapshot the merge starts from) lands BEFORE merge_rows
+    # commits, so a crash between the merge commit and the baseline
+    # record is detectable — see _recover_pending
+    store.log_lineage(
+        f"ivm:{view}", "intent", int(base_sid), int(view_pre_sid), 0.0
+    )
+
+
+def _pending_intent(store, view: str) -> dict | None:
+    """The last intent row not yet followed by a baseline row."""
+    last = None
+    for r in store.lineage():
+        if r["stage"] != f"ivm:{view}":
+            continue
+        if r["partition"] == "intent":
+            last = r
+        elif r["partition"] == "baseline":
+            last = None
+    return last
+
+
+def _recover_pending(store, view: str) -> None:
+    """Finish a refresh that crashed between its merge commit and its
+    baseline record. The intent row carries (new base sid, the view
+    snapshot the merge started from): if the view has moved past that
+    snapshot the merge COMMITTED and only the bookkeeping was lost —
+    record the baseline now, so the rerun cannot double-apply the same
+    delta. If the view still sits at the pre-merge snapshot the merge
+    never committed and the stale intent is simply superseded. Assumes
+    the view is maintained solely through this module (single
+    maintainer — same contract as the from_sid guard)."""
+    pending = _pending_intent(store, view)
+    if pending is None:
+        return
+    cur = store.current_snapshot_id(view)
+    if cur is not None and int(cur) != int(pending["n_rows"]):
+        _record_baseline(store, view, int(pending["snapshot_id"]))
 
 
 def recorded_baseline(store, view: str) -> int | None:
@@ -98,7 +142,13 @@ def refresh_agg_view(
     using ONLY the CDC delta from the recorded baseline. An explicit
     `from_sid` must match the recorded baseline (passing anything else
     would double-apply or skip deltas and is rejected). Returns the
-    view's new snapshot id (its current one when the delta is empty)."""
+    view's new snapshot id (its current one when the delta is empty).
+
+    Crash-safe: a refresh that died between its merge commit and its
+    baseline record is detected and its bookkeeping completed here
+    (`_recover_pending`) before the new delta is computed — re-running
+    a crashed refresh never double-applies."""
+    _recover_pending(store, view)
     baseline = recorded_baseline(store, view)
     assert baseline is not None, (
         f"{view} has no recorded IVM baseline (create_agg_view records it)"
@@ -145,6 +195,8 @@ def refresh_agg_view(
     )
     updates = merged.where(F.col(VIEW_COUNT_COL) > 0)
     deletes = merged.where(F.col(VIEW_COUNT_COL) <= 0).select(group_col)
+    pre_sid = store.current_snapshot_id(view)
+    _record_intent(store, view, to_res, pre_sid if pre_sid is not None else -1)
     sid = store.merge_rows(
         updates, view, pk=group_col,
         deletes=deletes if not deletes.isEmpty() else None,

@@ -175,3 +175,22 @@ def test_sampled_training_deterministic_and_nonempty(spark):
     a = train_bpe(docs, 6, sample_permille=500)
     b = train_bpe(docs.repartition(7), 6, sample_permille=500)
     assert a == b and len(a) > 0
+
+
+def test_encode_keeps_native_id_type_and_null_text(spark):
+    """bpe_encode must echo the id column's NATIVE type (the repo's
+    image tables use string ids) and tokenize NULL text to [] — not the
+    phantom str(None) token — matching the training path, which drops
+    null text."""
+    docs = spark.createDataFrame(
+        [("img_a", "low low lower"), ("img_b", None)],
+        "image_id string, text string",
+    )
+    merges = train_bpe(
+        spark.createDataFrame([("low low lower",)], "text string"), n_merges=2
+    )
+    out = bpe_encode(docs, merges, id_col="image_id")
+    assert dict(out.dtypes)["image_id"] == "string"
+    got = {r["image_id"]: (r["tokens"], r["n_tokens"]) for r in out.collect()}
+    assert got["img_b"] == ([], 0)
+    assert got["img_a"][1] > 0 and "None" not in got["img_a"][0]

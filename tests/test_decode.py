@@ -444,3 +444,41 @@ def test_phash_udf_mixed_odd_shapes_match_per_image(spark):
     bad = df.select("want", phash_udf("bytes", "fmt").alias("got")) \
             .where("want != got").count()
     assert bad == 0
+
+
+def test_augment_rejects_crop_fraction_above_one():
+    """crop_num > crop_den would make the crop larger than the image
+    (zero/negative offset modulus -> ZeroDivisionError or silently
+    clipped slices with lying metadata) — refused loudly."""
+    import pytest
+
+    from ariadne_spark.operators.decode import augment_params
+
+    with pytest.raises(AssertionError, match="crop_num/crop_den"):
+        augment_params("img_1", 8, 8, crop_num=9, crop_den=8)
+    with pytest.raises(AssertionError, match="crop_num/crop_den"):
+        augment_params("img_1", 8, 8, crop_num=0, crop_den=8)
+    # the boundary (identity crop) is legal
+    flipped, x0, y0, cw, ch = augment_params("img_1", 8, 8, crop_num=8, crop_den=8)
+    assert (x0, y0, cw, ch) == (0, 0, 8, 8)
+
+
+def test_codec_internal_keyerror_not_masked():
+    """A registered codec that raises KeyError internally must surface
+    THAT error — not be misreported as 'unsupported fmt' by the
+    registry dispatch."""
+    import pytest
+
+    from ariadne_spark.functions import codecs
+
+    def bad_decode(data):
+        return {}["missing-table"]
+
+    codecs.register_codec("kerr", lambda px: b"", bad_decode)
+    try:
+        with pytest.raises(KeyError, match="missing-table"):
+            codecs.decode_image(b"\x00", "kerr")
+        with pytest.raises(NotImplementedError, match="unsupported fmt"):
+            codecs.decode_image(b"\x00", "no-such-fmt")
+    finally:
+        codecs.CODECS.pop("kerr", None)

@@ -185,3 +185,20 @@ def test_fetch_record_missing_key_names_shard(spark):
     row = export_record_shards(df, meta_col="meta").collect()[0]
     with pytest.raises(KeyError, match=f"shard {row['shard']}"):
         fetch_record(row, "no-such-key")
+
+
+def test_null_key_and_empty_key_collision_refused(spark):
+    """The offsets index normalizes NULL keys to '' — so a NULL key and
+    an ''-key in one shard are the SAME key at read time. The dup check
+    runs on the normalized keys and refuses at export."""
+    from py4j.protocol import Py4JJavaError
+    import pyspark.errors
+
+    rows = [(0, 0, None, b"a", ""), (0, 1, "", b"b", "")]
+    df = spark.createDataFrame(
+        rows, "shard long, pos long, key string, payload binary, meta string"
+    )
+    with pytest.raises(
+        (Py4JJavaError, pyspark.errors.PySparkException), match="duplicate key"
+    ):
+        export_record_shards(df, meta_col="meta").collect()

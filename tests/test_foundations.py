@@ -286,3 +286,64 @@ def test_df_fingerprint_partition_and_order_invariant(spark):
     assert df_fingerprint(df, cols=["a"]) == df_fingerprint(df.select("a"))
     # column order is part of the identity (documented)
     assert df_fingerprint(df.select("b", "a")) != f1
+
+
+def test_cell_prefix_mixed_resolution_column(spark):
+    """cell_prefix takes a per-row VARIABLE shift (res - prefix_res is
+    a Column): it must equal both the closed-form re-encode at the
+    prefix resolution and a cell_parent chain, on a column mixing
+    resolutions — the shape the partition-key use case implies."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions import cells
+
+    rows = [
+        (123_456_789, 45_678_901, 14),
+        (359_999_999, 179_999_999, 12),
+        (0, 0, 8),
+        (180_000_000, 90_000_000, 6),
+    ]
+    df = spark.createDataFrame(rows, "lon_u long, lat_u long, res int")
+    pr = 6
+    got = [
+        (r["p"], r["e"], r["chain"])
+        for r in df.select(
+            cells.cell_prefix(
+                F.when(F.col("res") == 14, cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 14))
+                .when(F.col("res") == 12, cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 12))
+                .when(F.col("res") == 8, cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8))
+                .otherwise(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 6)),
+                pr,
+            ).alias("p"),
+            cells.cell_encode(F.col("lon_u"), F.col("lat_u"), pr).alias("e"),
+            F.when(F.col("res") == 14, cells.cell_parent(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 14), 8))
+            .when(F.col("res") == 12, cells.cell_parent(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 12), 6))
+            .when(F.col("res") == 8, cells.cell_parent(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 8), 2))
+            .otherwise(cells.cell_encode(F.col("lon_u"), F.col("lat_u"), 6))
+            .alias("chain"),
+        ).collect()
+    ]
+    for p, e, chain in got:
+        assert p == e == chain
+
+
+def test_df_fingerprint_matches_python_fold(spark):
+    """The decimal(38,0) half-sums (overflow-proof at any row count
+    under ANSI mode) must fold to the SAME value as the definition:
+    python big-int sum of per-row xxhash64 halves — recorded BENCH.md
+    fingerprints stay comparable."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions.fingerprint import df_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(257)], "a long, b string"
+    )
+    hs = [
+        r["h"]
+        for r in df.select(F.xxhash64(F.col("a"), F.col("b")).alias("h")).collect()
+    ]
+    hi = sum((h >> 32) & 0xFFFFFFFF for h in hs)
+    lo = sum(h & 0xFFFFFFFF for h in hs)
+    expected = ((hi << 32) + lo) % (1 << 64)
+    assert df_fingerprint(df) == [257, expected]

@@ -97,3 +97,82 @@ def test_refresh_rejects_stale_baseline_and_double_refresh_safe(spark, tmp_path)
     # a stale explicit from_sid is rejected, not silently applied
     with pytest.raises(AssertionError, match="double-apply"):
         refresh_agg_view(st, "base", "v", "lang", ["tokens"], from_sid=b0)
+
+
+def test_refresh_crash_between_merge_and_baseline_recovers(spark, tmp_path):
+    """Crash injected AFTER merge_rows commits but BEFORE the baseline
+    record lands: the view reflects the new base, but lineage still
+    names the old baseline. The next refresh must detect this via the
+    intent row and complete the bookkeeping instead of re-applying the
+    same delta (silent double-count)."""
+    import pytest
+
+    from ariadne_spark.operators import ivm as ivm_mod
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(
+        _base(spark, [(1, "en", 5, 5), (2, "de", 6, 6)]), "base", key="lang"
+    )
+    create_agg_view(st, "base", "v", "lang", ["tokens"])
+    st.merge_rows(_base(spark, [(1, "en", 50, 5)]), "base", pk="doc_id")
+
+    real = ivm_mod._record_baseline
+    calls = {"n": 0}
+
+    def dying(store, view, sid):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before baseline record")
+
+    ivm_mod._record_baseline = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    finally:
+        ivm_mod._record_baseline = real
+    assert calls["n"] == 1
+    # the merge itself committed: the view already holds the new sums
+    got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
+    assert got == {"en": 50, "de": 6}
+
+    # rerun — the docstring's promised recovery action. Without the
+    # intent/recover protocol this re-applies the +45 delta (en -> 95).
+    refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
+    assert got == {"en": 50, "de": 6}
+
+    # and the view equals a cold rebuild, fingerprint-identically
+    st2 = SnapshotStore(spark, str(tmp_path / "cold"))
+    st2.write_table(st.read("base"), "base", key="lang")
+    create_agg_view(st2, "base", "v", "lang", ["tokens"])
+    assert _fps(st, "v") == _fps(st2, "v")
+
+
+def test_refresh_crash_before_merge_leaves_stale_intent_harmless(spark, tmp_path):
+    """Crash injected INSIDE merge_rows (intent logged, nothing
+    committed): the stale intent must not trick recovery into skipping
+    the delta — the rerun applies it exactly once."""
+    import pytest
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(
+        _base(spark, [(1, "en", 5, 5), (2, "de", 6, 6)]), "base", key="lang"
+    )
+    create_agg_view(st, "base", "v", "lang", ["tokens"])
+    st.merge_rows(_base(spark, [(1, "en", 50, 5)]), "base", pk="doc_id")
+
+    real_merge = st.merge_rows
+
+    def dying_merge(*a, **k):
+        st.merge_rows = real_merge
+        raise RuntimeError("injected crash before merge commit")
+
+    st.merge_rows = dying_merge
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    # nothing committed; sums still old
+    got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
+    assert got == {"en": 5, "de": 6}
+
+    refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
+    assert got == {"en": 50, "de": 6}
