@@ -68,7 +68,14 @@ def mix_col(x: Column) -> Column:
 
 
 def mix_sql(x: str) -> str:
-    """DuckDB twin of `mix_col` (byte-identical on the same input)."""
+    """DuckDB twin of `mix_col` (byte-identical on the same input).
+
+    Textual-size caveat: each xorshift round duplicates the expression
+    (`xor(v, v >> sh)`), so the input string appears ~16x in the
+    output; composing mix_sql over mix_sql squares that. The largest
+    composed oracle today (q43) is ~53 KB — fine for DuckDB's parser —
+    but don't feed multi-KB value_sql through nested mixes without
+    checking the result size."""
     v = f"(({x}) % {M31})"
     for a, sh in _MIX_ROUNDS:
         v = f"((({v} * {a} + 12345) % {M31}))"
@@ -220,7 +227,12 @@ def cm_estimate(
     join coalesces those to 0, so min() returns 0 whenever ANY of the
     key's d counters is untouched (true count-min semantics; an inner
     join here would min over only the collision-populated counters
-    and overestimate, or drop fully-absent keys entirely)."""
+    and overestimate, or drop fully-absent keys entirely).
+
+    `d` and `w` must MATCH the cm_build call that produced `cm`: a
+    smaller probe-side d silently min's over fewer counters (biased
+    high) and a mismatched w probes the wrong buckets."""
+    assert d <= len(CM_SALTS), f"at most {len(CM_SALTS)} hash rows"
     hashed = probe.select(
         "*",
         F.explode(
@@ -256,6 +268,7 @@ def cm_sql(
 ) -> str:
     """DuckDB twin of cm_build + cm_estimate: estimates `probe_sql`'s
     keys against the count-min table of `table_sql`."""
+    assert d <= len(CM_SALTS), f"at most {len(CM_SALTS)} hash rows"
     pv = probe_value_sql or value_sql
     rows = []
     for j in range(d):

@@ -208,6 +208,17 @@ EMB_QSCALE = 1_000  # matches the exact-score quantization (q21)
 CENT_QSCALE = 1_000_000
 
 
+def q_round(mat: np.ndarray, scale: int) -> np.ndarray:
+    """HALF_UP (away-from-zero) quantization to int64 — the SAME
+    rounding as Spark's F.round and DuckDB's round(), so numpy-side
+    quantization in the ANN/PQ/SemDeDup kernels is bit-identical to
+    the JVM/oracle q21/q38 arithmetic. np.round is banker's
+    half-to-even and diverges at exact .5 boundaries (e.g.
+    0.0625*1000: np.round -> 62, F.round -> 63)."""
+    m = np.asarray(mat, dtype=np.float64)
+    return (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)).astype(np.int64)
+
+
 def _ivf_assign_udf(cents: np.ndarray, n_probe: int):
     """One Arrow pass -> (own_cell, probe_cells): nearest centroid for
     the corpus role, top-n_probe centroids for the query role.
@@ -224,7 +235,7 @@ def _ivf_assign_udf(cents: np.ndarray, n_probe: int):
 
     n_c = len(cents)
     idx = np.arange(n_c)
-    cents_q = np.round(cents * CENT_QSCALE).astype(np.int64)
+    cents_q = q_round(cents, CENT_QSCALE)
 
     @F.pandas_udf(
         StructType(
@@ -236,7 +247,7 @@ def _ivf_assign_udf(cents: np.ndarray, n_probe: int):
     )
     def assign(emb: pd.Series) -> pd.DataFrame:
         mat = np.stack(emb.to_numpy()).astype(np.float64)
-        mat_q = np.round(mat * EMB_QSCALE).astype(np.int64)
+        mat_q = q_round(mat, EMB_QSCALE)
         dots = mat_q @ cents_q.T  # exact int64, no BLAS float paths
         # lexsort: primary -dots desc, secondary centroid index asc
         order = np.lexsort((np.broadcast_to(idx, dots.shape), -dots), axis=1)
@@ -323,13 +334,18 @@ def ann_ivf(
     assign = _ivf_assign_udf(cents, n_probe)
     qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
 
-    # persist: both sides of the cell self-join read `assigned`, and the
-    # centroid-assignment UDF pass over the full corpus is the expensive
-    # stage — without this it executes twice per run
+    # eager localCheckpoint: both sides of the cell self-join read
+    # `assigned`, and the centroid-assignment UDF pass over the full
+    # corpus is the expensive stage — without this it executes twice
+    # per run. Checkpoint (not .persist()): cache entries pinned by
+    # .persist() outlive the call and leak for the session's lifetime,
+    # while checkpoint blocks are freed when the result DataFrame is
+    # garbage-collected.
     assigned = embeddings.select(
         "vec_id", assign(F.col("embedding")).alias("a")
     ).select("vec_id", F.col("a.own_cell").alias("own_cell"),
-             F.col("a.probe_cells").alias("probe_cells")).persist()
+             F.col("a.probe_cells").alias("probe_cells")
+    ).localCheckpoint(eager=True)
     queries = assigned.select(
         F.col("vec_id").alias("src"), F.explode("probe_cells").alias("cell")
     )

@@ -71,13 +71,25 @@ class RegionIndex:
             self.envs.append(env)
             self.region_ids.append(r["region_id"])
             self.depths.append(int(r["depth"]))
+            # polygons must live inside the lon_u domain [0, LON_SPAN]:
+            # probe points never wrap across the lon=0 seam, so a
+            # seam-crossing polygon (negative or >span vertices) would
+            # register under wrapped cells its ray-cast can never match
+            # — refuse loudly instead of silently losing containment
+            # rows (split such a polygon at the seam upstream)
+            assert 0.0 <= env[0] and env[2] <= cells.LON_SPAN, (
+                f"region {r['region_id']} envelope x=[{env[0]}, {env[2]}] "
+                f"outside the lon_u domain [0, {cells.LON_SPAN}]: "
+                "antimeridian-crossing polygons must be pre-split at "
+                "the seam"
+            )
             x0 = int(env[0] * n // cells.LON_SPAN)
             x1 = int(env[2] * n // cells.LON_SPAN)
             y0 = int(env[1] * n // cells.LAT_SPAN)
             y1 = int(env[3] * n // cells.LAT_SPAN)
-            for cx in range(x0, x1 + 1):
+            for cx in range(max(x0, 0), min(x1, n - 1) + 1):
                 for cy in range(max(y0, 0), min(y1, n - 1) + 1):
-                    cell = (index_res << cells.RES_SHIFT) | ((cx % n) << cells.X_SHIFT) | cy
+                    cell = (index_res << cells.RES_SHIFT) | (cx << cells.X_SHIFT) | cy
                     self.by_cell[cell].append(idx)
         self.by_cell = dict(self.by_cell)
 

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-from ariadne_spark.operators.ann import CENT_QSCALE, EMB_QSCALE, _centroids
+from ariadne_spark.operators.ann import CENT_QSCALE, EMB_QSCALE, _centroids, q_round
 
 # CENT_QSCALE (1e6) is an exact integer multiple of EMB_QSCALE (1e3);
 # _l2_scores relies on the ratio being integral.
@@ -63,6 +63,7 @@ def pq_train(
     k: int = 256,
     iters: int = 2,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """-> (m, k', dsub) float64 codebooks, k' = min(k, n): seeded from
     ann's deterministic xxhash64 sample (one bounded driver pull of k
@@ -70,6 +71,11 @@ def pq_train(
     whose per-(subspace, code) sums are integer-quantized and summed
     distributively (one Arrow pass + one bounded groupBy per
     iteration; driver transfer <= m*k*dsub longs)."""
+    # normalize column names up front: the shared helpers (_centroids)
+    # key on (vec_id, embedding), so non-default id/vec names work
+    embeddings = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     sample = _centroids(embeddings, k)  # (k', dim), deterministic
     dim = sample.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -77,21 +83,19 @@ def pq_train(
     books = np.stack([sample[:, j * dsub : (j + 1) * dsub] for j in range(m)])
 
     for _ in range(iters):
-        books_q = np.round(books * CENT_QSCALE).astype(np.int64)
+        books_q = q_round(books, CENT_QSCALE)
 
         def accumulate(pdf_iter, books_q=books_q):
             for pdf in pdf_iter:
-                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                mat_q = np.round(mat * EMB_QSCALE).astype(np.int64)
+                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                mat_q = q_round(mat, EMB_QSCALE)
                 js, cs, sums, ns = [], [], [], []
                 for j in range(len(books_q)):
                     sub_q = mat_q[:, j * dsub : (j + 1) * dsub]
                     sub_f = mat[:, j * dsub : (j + 1) * dsub]
                     code = np.argmax(_l2_scores(sub_q, books_q[j]), axis=1)
                     for c in np.unique(code):
-                        sel = np.round(
-                            sub_f[code == c] * CENT_QSCALE
-                        ).astype(np.int64)
+                        sel = q_round(sub_f[code == c], CENT_QSCALE)
                         js.append(j)
                         cs.append(int(c))
                         sums.append(sel.sum(axis=0).tolist())
@@ -101,7 +105,7 @@ def pq_train(
         # component-wise sum via posexplode: int64 adds are order-
         # independent, so the refit is parallelism-invariant
         parts = (
-            embeddings.select(vec_col)
+            embeddings.select("embedding")
             .mapInPandas(accumulate, "j int, c int, s array<long>, n long")
             .select("j", "c", "n", F.posexplode("s").alias("pos", "v"))
             .groupBy("j", "c", "pos")
@@ -123,13 +127,11 @@ def pq_train(
 
 def _encode_udf(books: np.ndarray):
     m, _k, dsub = books.shape
-    books_q = np.round(books * CENT_QSCALE).astype(np.int64)
+    books_q = q_round(books, CENT_QSCALE)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(emb: pd.Series) -> pd.Series:
-        mat_q = np.round(
-            np.stack(emb.to_numpy()).astype(np.float64) * EMB_QSCALE
-        ).astype(np.int64)
+        mat_q = q_round(np.stack(emb.to_numpy()), EMB_QSCALE)
         codes = np.empty((len(mat_q), m), dtype=np.int32)
         for j in range(m):
             sub_q = mat_q[:, j * dsub : (j + 1) * dsub]
@@ -141,13 +143,18 @@ def _encode_udf(books: np.ndarray):
 
 
 def pq_encode(
-    embeddings: DataFrame, books: np.ndarray, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """-> (vec_id, codes: array<int> length m) — the compressed corpus:
     m small ints per row instead of dim floats (32x at dim=32, m=4).
     One Arrow pass; codebooks ride in the UDF closure."""
     enc = _encode_udf(books)
-    return embeddings.select("vec_id", enc(F.col(vec_col)).alias("codes"))
+    return embeddings.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("codes")
+    )
 
 
 def _adc_table_udf(books: np.ndarray):
@@ -155,13 +162,11 @@ def _adc_table_udf(books: np.ndarray):
     query-subvector x centroid, on the q21 dot_q scale
     (EMB_QSCALE^2 per component)."""
     m, _kk, dsub = books.shape
-    books_s = np.round(books * EMB_QSCALE).astype(np.int64)
+    books_s = q_round(books, EMB_QSCALE)
 
     @F.pandas_udf(ArrayType(ArrayType(LongType())))
     def dist_table(emb: pd.Series) -> pd.Series:
-        mat_q = np.round(
-            np.stack(emb.to_numpy()).astype(np.float64) * EMB_QSCALE
-        ).astype(np.int64)
+        mat_q = q_round(np.stack(emb.to_numpy()), EMB_QSCALE)
         return pd.Series(
             [
                 [
@@ -195,6 +200,7 @@ def pq_topk(
     books: np.ndarray,
     k: int = 3,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """-> (src, dst, adc_q, rank): approximate top-k by asymmetric
     distance. Each query precomputes an (m x k') int64 table of
@@ -208,9 +214,9 @@ def pq_topk(
     (ties break on dst id)."""
     dist_table = _adc_table_udf(books)
     q = queries.select(
-        F.col("vec_id").alias("src"), dist_table(F.col(vec_col)).alias("tbl")
+        F.col(id_col).alias("src"), dist_table(F.col(vec_col)).alias("tbl")
     )
-    c = codes.select(F.col("vec_id").alias("dst"), "codes")
+    c = codes.select(F.col(id_col).alias("dst"), "codes")
     pairs = (
         q.crossJoin(c)
         .where(F.col("src") != F.col("dst"))
@@ -232,6 +238,7 @@ def ivf_pq_topk(
     train_iters: int = 2,
     rerank: bool = False,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """-> (src, dst, adc_q, rank): the joint IVF-PQ shape (the
     production ANN layout, e.g. FAISS IVFPQ — composition of public
@@ -255,6 +262,11 @@ def ivf_pq_topk(
         ivf_params,
     )
 
+    # normalize column names up front (shared helpers key on
+    # (vec_id, embedding))
+    embeddings = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     if n_centroids is None or n_probe is None:
         auto_c, auto_p = ivf_params(embeddings.count())
         n_centroids = auto_c if n_centroids is None else n_centroids
@@ -270,13 +282,16 @@ def ivf_pq_topk(
     dist_table = _adc_table_udf(books)
 
     # one Arrow pass computes cell assignment + codes + query table;
-    # persisted because both sides of the cell join read it
+    # eagerly checkpointed because both sides of the cell join read it
+    # (checkpoint, not .persist(): cache entries pinned by .persist()
+    # outlive the call and leak for the session's lifetime, while
+    # checkpoint blocks are freed when the result DataFrame is GC'd)
     assigned = (
         embeddings.select(
             "vec_id",
-            assign(F.col(vec_col)).alias("a"),
-            enc(F.col(vec_col)).alias("codes"),
-            dist_table(F.col(vec_col)).alias("tbl"),
+            assign(F.col("embedding")).alias("a"),
+            enc(F.col("embedding")).alias("codes"),
+            dist_table(F.col("embedding")).alias("tbl"),
         )
         .select(
             "vec_id",
@@ -285,7 +300,7 @@ def ivf_pq_topk(
             "codes",
             "tbl",
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     queries = assigned.select(
         F.col("vec_id").alias("src"), F.explode("probe_cells").alias("cell"), "tbl"
@@ -313,7 +328,7 @@ def ivf_pq_topk(
         .where(F.col("rank") <= 4 * k)
         .drop("rank", "adc_q")
     )
-    qv = F.transform(F.col(vec_col), lambda x: F.round(x * 1000).cast("long"))
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
     vecs = embeddings.select("vec_id", qv.alias("q"))
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),

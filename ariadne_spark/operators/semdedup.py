@@ -35,6 +35,7 @@ from ariadne_spark.operators.ann import (
     _centroids,
     _ivf_assign_udf,
     _kmeans_refine,
+    q_round,
 )
 from ariadne_spark.operators.dedup import dup_clusters
 
@@ -51,24 +52,28 @@ def semdedup_pairs(
     quantized dot (round(x*1e3) int64 products, == q21/q38 arithmetic)
     is >= threshold_q. threshold_q ~ cosine * 1e6 for unit-norm input.
     """
-    n = embeddings.count()
+    # normalize column names up front: the shared ann helpers
+    # (_centroids/_kmeans_refine) key on (vec_id, embedding)
+    embeddings = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     if n_centroids is None:
+        n = embeddings.count()
         n_centroids = max(2, int(n**0.5))
     cents = _kmeans_refine(
         embeddings, _centroids(embeddings, n_centroids), kmeans_iters
     )
     assign = _ivf_assign_udf(cents, n_probe=1)
     cell = (
-        embeddings.select(id_col, vec_col)
-        .withColumn("_a", assign(F.col(vec_col)))
-        .select(id_col, vec_col, F.col("_a.own_cell").alias("cell"))
+        embeddings.withColumn("_a", assign(F.col("embedding")))
+        .select("vec_id", "embedding", F.col("_a.own_cell").alias("cell"))
     )
 
     def local_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat_q = np.round(
-            np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * EMB_QSCALE
-        ).astype(np.int64)
-        ids = pdf[id_col].to_numpy()
+        mat_q = q_round(
+            np.stack(pdf["embedding"].to_numpy()), EMB_QSCALE
+        )
+        ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)  # id-sorted so a < b orientation is by value
         ids, mat_q = ids[order], mat_q[order]
         dots = mat_q @ mat_q.T  # exact int64

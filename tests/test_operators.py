@@ -354,3 +354,29 @@ class TestTiles:
         a = {(r.tx, r.ty): r.n_images for r in rasterize_tiles(images_df, z).collect()}
         b = {(r.tx, r.ty): r.n_images for r in build_pyramid(images_df, max_z=z, min_z=z).collect()}
         assert a == b
+
+
+def test_region_index_refuses_seam_crossing_polygon():
+    """Probe points never wrap across the lon=0 seam, so a polygon
+    with out-of-domain x vertices would silently lose containment
+    rows (it used to register under `% n`-wrapped cells its ray-cast
+    can never match). RegionIndex refuses it loudly."""
+    from ariadne_spark.operators.pip import RegionIndex
+
+    seam = {
+        "region_id": "seam",
+        "depth": 0,
+        # x spans [-5e6, 5e6]: crosses the lon_u=0 seam
+        "wkt": "POLYGON ((-5000000 10000000, 5000000 10000000, "
+        "5000000 20000000, -5000000 20000000, -5000000 10000000))",
+    }
+    with pytest.raises(AssertionError, match="antimeridian"):
+        RegionIndex([seam])
+    # an in-domain polygon still indexes fine
+    ok = {
+        "region_id": "ok",
+        "depth": 0,
+        "wkt": "POLYGON ((1000000 10000000, 5000000 10000000, "
+        "5000000 20000000, 1000000 20000000, 1000000 10000000))",
+    }
+    assert RegionIndex([ok]).by_cell

@@ -163,3 +163,52 @@ def test_ivf_pq_rerank_exact_scores(spark, emb):
     exact1 = {r["src"]: r["dst"] for r in brute_force_topk(emb, k=1).collect()}
     agree = sum(1 for s, d in exact1.items() if top1.get(s) == d) / len(exact1)
     assert agree >= 0.85, f"top-1 agreement {agree:.3f}"
+
+
+def test_custom_column_names(spark, emb):
+    """vec_col/id_col are honored through _centroids/_kmeans_refine:
+    renamed inputs must train identical codebooks and rank identical
+    top-k."""
+    from ariadne_spark.operators.pq import ivf_pq_topk
+
+    renamed = emb.withColumnRenamed("vec_id", "doc_id").withColumnRenamed(
+        "embedding", "emb"
+    )
+    b1 = pq_train(emb, m=4, k=16, iters=1)
+    b2 = pq_train(renamed, m=4, k=16, iters=1, vec_col="emb", id_col="doc_id")
+    np.testing.assert_array_equal(b1, b2)
+    t1 = {
+        (r["src"], r["dst"], r["rank"])
+        for r in ivf_pq_topk(
+            emb, k=2, n_centroids=8, n_probe=2, books=b1
+        ).collect()
+    }
+    t2 = {
+        (r["src"], r["dst"], r["rank"])
+        for r in ivf_pq_topk(
+            renamed, k=2, n_centroids=8, n_probe=2, books=b2,
+            vec_col="emb", id_col="doc_id",
+        ).collect()
+    }
+    assert t1 == t2 and len(t1) > 0
+
+
+def test_q_round_half_up_matches_spark_round(spark):
+    """The numpy quantizer used by ANN/PQ/SemDeDup kernels must agree
+    with F.round (HALF_UP, away from zero) AT THE .5 BOUNDARY, where
+    np.round (banker's half-to-even) diverges."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.ann import q_round
+
+    vals = [0.0625, -0.0625, 0.0615, -0.0615, 0.5114999999, 1.0, -1.0, 0.0]
+    got = q_round(np.array(vals), 1000)
+    expected = [
+        r["q"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round(F.col("v") * 1000).cast("long").alias("q"))
+        .collect()
+    ]
+    assert got.tolist() == expected
+    # np.round would get the first two wrong (62, -62)
+    assert got[0] == 63 and got[1] == -63

@@ -94,3 +94,23 @@ def test_no_global_allpairs_plan(spark, emb):
     lives only in the exact_sim oracle)."""
     plan = semdedup_pairs(emb, THRESH)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_custom_column_names(spark, emb):
+    """id_col/vec_col are honored all the way through the shared ann
+    helpers (which key on vec_id/embedding internally) — renamed input
+    columns must give the identical pair set."""
+    renamed = emb.withColumnRenamed("vec_id", "doc_id").withColumnRenamed(
+        "embedding", "emb"
+    )
+    a = {
+        (r["a"], r["b"], r["dot_q"])
+        for r in semdedup_pairs(emb, THRESH).collect()
+    }
+    b = {
+        (r["a"], r["b"], r["dot_q"])
+        for r in semdedup_pairs(
+            renamed, THRESH, id_col="doc_id", vec_col="emb"
+        ).collect()
+    }
+    assert a == b and len(a) > 0

@@ -400,3 +400,20 @@ def test_rolling_fp_parity_and_string_sketch(spark, tmp_path):
     for g, ws in fixtures.items():
         truth = len(set(ws))
         assert abs(est[g] - truth) / truth < 0.10, (g, est[g], truth)
+
+
+def test_cm_estimate_rejects_oversized_d(spark):
+    """cm_estimate/cm_sql guard d like cm_build does — a d beyond the
+    salt table must fail with the named assertion, not an IndexError
+    mid-plan-construction."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.functions.sketch import CM_SALTS, cm_build, cm_estimate, cm_sql
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    cm = cm_build(df, F.col("v"))
+    with pytest.raises(AssertionError, match="hash rows"):
+        cm_estimate(cm, df, F.col("v"), d=len(CM_SALTS) + 1)
+    with pytest.raises(AssertionError, match="hash rows"):
+        cm_sql("t", "v", "p", ["v"], d=len(CM_SALTS) + 1)
