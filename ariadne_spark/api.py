@@ -347,19 +347,30 @@ def find_image(images: DataFrame, ref: str) -> str:
     candidate list, mirroring the reference tool's error text."""
     if images.where(F.col("image_id") == ref).limit(1).count() == 1:
         return ref
+    import re as _re
+
+    # the boundary predicate runs IN the engine as an rlike SUPERSET of
+    # ids_match (char before the ref is a non-alnum separator or a
+    # padding zero, or the ref is the whole id) — filtering on bare
+    # endswith and then capping at 50 could truncate away the unique
+    # boundary match when many non-matching ids merely share the
+    # suffix. With the real predicate pushed down, 50 genuine matches
+    # is already deeply ambiguous and the error path below reports it
+    # either way.
+    pat = f"(^|[^A-Za-z0-9]|0){_re.escape(ref)}$"
     cand = [
         r["image_id"]
-        for r in images.where(F.col("image_id").endswith(ref))
+        for r in images.where(F.col("image_id").rlike(pat))
         .select("image_id")
         # deterministic truncation: an unordered limit returns a
-        # partitioning-dependent subset, so the unique boundary match
-        # could fall outside the sample on one run and inside on the
-        # next (resolve/ambiguity flapping). Sorting first makes the
-        # candidate set — and therefore the outcome — stable.
+        # partitioning-dependent subset — sorting makes the candidate
+        # set, and therefore the outcome, stable.
         .orderBy("image_id")
         .limit(50)
         .collect()
     ]
+    # ids_match stays the final authority (e.g. refs starting with '0'
+    # never fuzzy-match)
     hits = sorted(i for i in cand if ids_match(ref, i))
     if len(hits) == 1:
         return hits[0]

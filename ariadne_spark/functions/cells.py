@@ -136,6 +136,28 @@ def half_kring_offsets(k: int = 1) -> list[tuple[int, int]]:
     ]
 
 
+def ring_targets(cell: int, res: int, offsets: list[tuple[int, int]]) -> list[int]:
+    """Driver-side python twin of `cell_neighbors_df` for ONE packed
+    cell: wrapped-x / clamped-y ring targets, with aliased offsets
+    deduped by their effective (dx mod n, dy) exactly as the Column
+    form does. This is the ONE copy of the wrap/clamp/repack rule —
+    knn's replica-prune estimator and incremental's prefix_ring both
+    call it, so the driver-side estimates can never silently diverge
+    from the plan's actual neighbor cells."""
+    n = 1 << res
+    x = (cell >> X_SHIFT) & XY_MASK
+    y = cell & XY_MASK
+    eff: dict[tuple[int, int], None] = {}
+    for dx, dy in offsets:
+        eff.setdefault((dx % n, dy), None)
+    out = []
+    for dxm, dy in eff:
+        ny = y + dy
+        if 0 <= ny < n:
+            out.append((res << RES_SHIFT) | (((x + dxm) % n) << X_SHIFT) | ny)
+    return out
+
+
 def cell_neighbors_df(cells_df, cell_col: str, res: int, k: int = 1, offsets=None):
     """Explode each cell into its k-ring (x wraps, y clamps).
 
@@ -147,10 +169,17 @@ def cell_neighbors_df(cells_df, cell_col: str, res: int, k: int = 1, offsets=Non
     n = 1 << res
     x = F.shiftright(F.col(cell_col), X_SHIFT) % F.lit(1 << X_SHIFT)
     y = F.col(cell_col) % F.lit(1 << X_SHIFT)
+    # dedupe offsets by their EFFECTIVE (dx mod n, dy): on a grid with
+    # width n <= 2k, dx and dx±n alias to the same wrapped neighbor —
+    # without this, one cell receives the same replica twice and a
+    # downstream self-join emits duplicate pairs
+    eff: dict[tuple[int, int], tuple[int, int]] = {}
+    for dx, dy in kring_offsets(k) if offsets is None else offsets:
+        eff.setdefault((dx % n, dy), (dx, dy))
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in (kring_offsets(k) if offsets is None else offsets)
+            for dx, dy in eff.values()
         ]
     )
     exploded = cells_df.withColumn("_off", F.explode(offsets))

@@ -143,6 +143,15 @@ def phash_band(phash: Column, band: int, n_bands: int = 4) -> Column:
     Two hashes within Hamming distance d share at least one identical
     band when d < n_bands (pigeonhole), so banding is exact for
     d <= n_bands - 1 and high-recall beyond.
+
+    Extraction is UNSIGNED (mask, not %): for band 0 the unsigned
+    shift is a no-op, so a signed `%` would make the band of a
+    negative phash negative while the same low bits of a positive
+    phash give a positive value — equal bands that compare unequal,
+    silently breaking the pigeonhole guarantee for ~half of all
+    hashes (and the pure-python oracles, which mask with & 0xFFFF).
     """
     width = 64 // n_bands
-    return F.shiftrightunsigned(phash, band * width) % F.lit(1 << width)
+    return F.shiftrightunsigned(phash, band * width).bitwiseAND(
+        F.lit((1 << width) - 1)
+    )

@@ -42,7 +42,15 @@ from pyspark.sql.window import Window
 
 
 def _blocked(embeddings: DataFrame, p_blocks: int, c_blocks: int) -> DataFrame:
-    """Union of role-tagged probe/corpus replicas keyed by (pb, cb)."""
+    """Union of role-tagged probe/corpus replicas keyed by (pb, cb).
+
+    Known cost: the two union branches each scan + quantize the
+    embeddings input (two passes over the vector column). Deliberate:
+    a single-scan explode-into-both-roles or an internal checkpoint
+    would change the plan/caching shape of the exact paths that q21's
+    bench line and its external localCheckpoint depend on, to shave a
+    cost that is second-order next to the O(n^2) matmul this operator
+    exists to pay. Callers who iterate should cache `embeddings`."""
     qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
     base = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"), qv.alias("q")

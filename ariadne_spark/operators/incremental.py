@@ -83,16 +83,13 @@ def _zorder_cols() -> list[F.Column]:
 def prefix_ring(keys: list[str], k: int = 1) -> list[str]:
     """k-ring of prefix-cell partition keys (driver-side arithmetic —
     the `get_dependents` analog, `project/import_graph.ts:178-185`)."""
-    n = 1 << PREFIX_RES
+    offsets = cells.kring_offsets(k)
     out: set[str] = set()
     for key in keys:
-        cell = int(key)
-        x = (cell >> cells.X_SHIFT) & cells.XY_MASK
-        y = cell & cells.XY_MASK
-        for dx, dy in cells.kring_offsets(k):
-            nx, ny = (x + dx) % n, y + dy
-            if 0 <= ny < n:
-                out.add(str((PREFIX_RES << cells.RES_SHIFT) | (nx << cells.X_SHIFT) | ny))
+        # shared wrap/clamp/repack rule (cells.ring_targets) — the same
+        # arithmetic cell_neighbors_df compiles into the plan
+        for t in cells.ring_targets(int(key), PREFIX_RES, offsets):
+            out.add(str(t))
     return sorted(out)
 
 
@@ -443,6 +440,21 @@ class SpatialPipeline:
             f = ex.submit(self._sync_id_index, in_sid, buckets, dead_ids, changed_meta)
             if changed_keys:
                 self._run_stages(in_sid, changed_keys)
+            elif all(
+                self._stage_done(s, prev_sid)
+                for s in ("pip", "knn", "tiles_fine", "tiles_coarse")
+            ):
+                # idempotent re-upsert (fingerprints unchanged): the
+                # derived stages are already current, so re-log their
+                # completion markers under the new input sid — exactly
+                # as maintain() does — else the next update's staleness
+                # self-heal would re-run all four stages for nothing,
+                # committing contentless snapshots each no-op update.
+                # (If the stages were NOT complete at prev_sid — a
+                # crashed earlier run — fall through and let the heal
+                # path rebuild, as before.)
+                for s in ("pip", "knn", "tiles_fine", "tiles_coarse"):
+                    self.store.log_lineage(s, "*", in_sid, 0, 0.0)
             f.result()
         return in_sid
 

@@ -167,18 +167,13 @@ def _prune_pays(
     them). `offsets` is the replica offset set actually in use (full
     k-ring, or the half-ring when the mirrored join is on)."""
     occ = set(probe_cells)
-    n = 1 << res
     kept = total = 0
     for cell in build_cells:
-        x = (cell >> cells.X_SHIFT) & cells.XY_MASK
-        y = cell & cells.XY_MASK
-        for dx, dy in offsets:
-            nx, ny = (x + dx) % n, y + dy
-            if 0 <= ny < n:
-                total += 1
-                tgt = (res << cells.RES_SHIFT) | (nx << cells.X_SHIFT) | ny
-                if tgt in occ:
-                    kept += 1
+        # shared wrap/clamp/repack rule (cells.ring_targets) — the same
+        # arithmetic cell_neighbors_df compiles into the plan
+        targets = cells.ring_targets(cell, res, offsets)
+        total += len(targets)
+        kept += sum(t in occ for t in targets)
     return total > 0 and kept < 0.75 * total
 
 
@@ -271,6 +266,13 @@ def knn_edges(
         # in-plan max-bucket aggregate; ONE scalar row to the driver
         # (the round-3 form collected the whole cell histogram)
         salt = choose_salt_distributed(images, res, salt_target_rows)
+    elif not isinstance(salt, int) or isinstance(salt, bool) or salt < 1:
+        # same must-not-fall-through rule as topk_strategy: a typo'd
+        # string would otherwise die in `salt > 1` with an opaque
+        # TypeError, and salt<=0 would silently degrade to unsalted
+        raise ValueError(
+            f"knn_edges: salt must be 'auto' or an int >= 1, got {salt!r}"
+        )
 
     def prep(df: DataFrame) -> DataFrame:
         base = df.select(

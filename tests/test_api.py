@@ -361,3 +361,23 @@ def test_corpus_card_custom_columns(spark):
     assert "Documents: 2" in card
     assert "Repetitive (Gopher gate): 1 (500 permille)" in card
     assert "| de | 1 | 500 |" in card
+
+
+def test_find_image_boundary_predicate_in_engine(spark):
+    """The candidate filter runs the real boundary predicate in-engine:
+    50+ ids that merely END with the ref must not crowd the unique
+    zero-pad boundary match out of the capped candidate set (the old
+    endswith + limit(50) raised a false 'no image matches')."""
+    from ariadne_spark.api import find_image
+
+    decoys = [f"img_aa{chr(97 + i // 26)}{chr(97 + i % 26)}123" for i in range(60)]
+    ids = decoys + ["img_00000123"]
+    df = spark.createDataFrame([(i,) for i in ids], "image_id string")
+    assert find_image(df, "123") == "img_00000123"
+    # separator boundary (no padding zeros) still resolves
+    df2 = spark.createDataFrame(
+        [("img_a-123",), ("unrelated",)], "image_id string"
+    )
+    assert find_image(df2, "123") == "img_a-123"
+    # exact match still wins immediately
+    assert find_image(df, "img_00000123") == "img_00000123"

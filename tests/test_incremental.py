@@ -1172,3 +1172,33 @@ def test_update_after_crashed_full_build_commits_full_stage_tables(
     a, b = p.table_fingerprints(), ref.table_fingerprints()
     for t in a:
         assert a[t] == b[t], f"{t}: partial stage table after crashed full_build"
+
+
+def test_noop_update_stamps_stage_markers(spark, tmp_path):
+    """An idempotent re-upsert (identical rows, empty fingerprint diff)
+    must log the stage completion markers for the new input snapshot:
+    without them every LATER update takes the crashed-run self-heal
+    path and commits contentless stage snapshots for nothing."""
+    p = _pipeline(spark, tmp_path, "noop")
+    ids = np.arange(300)
+    p.full_build(_images(spark, ids))
+    stage_sids = {
+        t: p.store.current_snapshot_id(t)
+        for t in ("pip", "knn", "tiles_fine", "tiles_coarse")
+    }
+
+    # re-upsert 20 UNCHANGED rows -> new input sid, empty diff
+    sid2 = p.update(_images(spark, ids[:20]))
+    for s in ("pip", "knn", "tiles_fine", "tiles_coarse"):
+        assert "*" in p.store.completed(s, sid2), s
+    # stage tables did not re-commit
+    assert stage_sids == {
+        t: p.store.current_snapshot_id(t)
+        for t in ("pip", "knn", "tiles_fine", "tiles_coarse")
+    }
+
+    # ... and the NEXT update does not self-heal (stage snapshots move
+    # only for the genuinely-changed partitions, not a full rebuild)
+    sid3 = p.update(_modified_images(spark, ids[:5]))
+    for s in ("pip", "knn", "tiles_fine", "tiles_coarse"):
+        assert "*" in p.store.completed(s, sid3), s

@@ -380,3 +380,87 @@ def test_region_index_refuses_seam_crossing_polygon():
         "5000000 20000000, 1000000 20000000, 1000000 10000000))",
     }
     assert RegionIndex([ok]).by_cell
+
+
+def _knn_input(spark, rows):
+    """(image_id, phash, lon_u, lat_u) frame for crafted kNN cases."""
+    return spark.createDataFrame(
+        rows, "image_id string, phash long, lon_u long, lat_u long"
+    )
+
+
+def test_knn_negative_phash_band0_only_match(spark):
+    """LSH pigeonhole across the sign bit: a pair whose ONLY shared
+    band is band 0 (low 16 bits), with one negative and one positive
+    phash, must still produce edges. The old signed `%` band made
+    band 0 of the negative hash negative (-x vs 65536-x), so the
+    band-0 join key never matched across signs and the pair was
+    silently lost."""
+    base = 0x1234  # shared low 16 bits
+    a = base | (1 << 20)                       # band 1 differs
+    b = base | (1 << 40) | (-(1 << 63))        # bands 2 and 3 differ; negative
+    assert a > 0 and b < 0
+    # hamming 3 <= max_hamming (two's-complement xor, masked to 64 bits)
+    assert bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1") == 3
+    df = _knn_input(
+        spark,
+        [("img_a", a, 10_000_000, 10_000_000), ("img_b", b, 10_000_001, 10_000_001)],
+    )
+    edges = knn_edges(df, k=3, max_hamming=16, res=5, salt=1).collect()
+    got = {(r["src_image_id"], r["dst_image_id"]) for r in edges}
+    assert got == {("img_a", "img_b"), ("img_b", "img_a")}
+
+
+def test_knn_tiny_grid_wraparound_no_duplicate_edges(spark):
+    """On a grid whose width <= 2*kring, dx and dx±n alias to the same
+    wrapped neighbor cell. Aliased replica offsets are deduped, so a
+    cross-cell pair appears exactly once per direction — duplicates
+    used to occupy two top-k ranks and crowd out real neighbors."""
+    # res=1 -> 2x2 grid; two images in different x-cells, same y
+    df = _knn_input(
+        spark,
+        [
+            ("img_a", 77, 10_000_000, 10_000_000),     # x-cell 0
+            ("img_b", 77, 190_000_000, 10_000_000),    # x-cell 1
+        ],
+    )
+    edges = knn_edges(df, k=5, max_hamming=16, res=1, kring=1, salt=1).collect()
+    pairs = [(r["src_image_id"], r["dst_image_id"]) for r in edges]
+    assert sorted(pairs) == [("img_a", "img_b"), ("img_b", "img_a")]
+    assert all(r["rank"] == 1 for r in edges)
+
+
+def test_knn_salt_validation(spark, images_df):
+    """A typo'd salt string or a non-positive salt is refused up front
+    with the parameter named — not a TypeError deep in plan build."""
+    with pytest.raises(ValueError, match="salt"):
+        knn_edges(images_df, k=3, max_hamming=16, salt="aut0")
+    with pytest.raises(ValueError, match="salt"):
+        knn_edges(images_df, k=3, max_hamming=16, salt=0)
+
+
+def test_ring_targets_matches_column_form(spark):
+    """cells.ring_targets (the driver-side twin used by the knn prune
+    estimator and prefix_ring) must agree with cell_neighbors_df's
+    compiled plan on wrap, clamp, AND aliased-offset dedup."""
+    for res, k in ((1, 1), (2, 1), (5, 2)):
+        cells_list = [
+            (int(c),)
+            for c in [
+                (res << cells.RES_SHIFT) | (0 << cells.X_SHIFT) | 0,
+                (res << cells.RES_SHIFT)
+                | (((1 << res) - 1) << cells.X_SHIFT)
+                | ((1 << res) - 1),
+            ]
+        ]
+        df = spark.createDataFrame(cells_list, "cell long")
+        got = {
+            (r["cell"], r["neighbor_cell"])
+            for r in cells.cell_neighbors_df(df, "cell", res, k).collect()
+        }
+        want = {
+            (c, t)
+            for (c,) in cells_list
+            for t in cells.ring_targets(c, res, cells.kring_offsets(k))
+        }
+        assert got == want
