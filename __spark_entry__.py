@@ -70,8 +70,16 @@ _DOCS_GEO_SQL = (
 
 
 def _gram_hash_col(a: int, b: int, c: int):
-    """3-gram polynomial hashes of `text` as an array Column."""
-    pos = F.sequence(F.lit(1), F.length("text") - 2)
+    """3-gram polynomial hashes of `text` as an array Column.
+
+    Guarded for text shorter than 3 chars: Spark's sequence(1, len-2)
+    would AUTO-DESCEND (sequence(1, -1) -> [1, 0, -1], bogus grams
+    from ascii('') = 0) while the DuckDB twin's range(1, len-1) is
+    empty — the guard makes both sides emit an EMPTY gram list, so
+    minhash is NULL and simhash 0 on both engines."""
+    pos = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         pos,
         lambda i: (
@@ -113,9 +121,9 @@ def _letter_mask_sql() -> str:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: derived geo points -> cell index -> bbox PIP (deepest
-    wins) -> tile rollup. Returns per-tile counts at z=5 joined with the
-    deepest-region histogram."""
+    """Flagship: derived geo points -> tile-pyramid rollup (q15 at
+    sf0.001): per-tile point counts at z=6 unioned with the z=3 parent
+    rollup — (z, tx, ty, n_points)."""
     sf_dir = "/root/testdata/sf0.001"
     q = queries()
     tiles = q["q15_tile_pyramid"](spark, sf_dir)
@@ -776,6 +784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim = bits[0]
         for bb in bits[1:]:
             sim = sim + bb
+        # empty gram list (text < 3 chars): per-bit sums are 0 so every
+        # bit would set (255) while the DuckDB twin's list_sum(NULL)
+        # CASE yields 0 — pin simhash 0 on both engines
+        sim = F.when(F.size(grams) > 0, sim).otherwise(F.lit(0))
         return d.select(
             "doc_id",
             fp.alias("fingerprint"),

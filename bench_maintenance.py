@@ -133,7 +133,8 @@ def main() -> None:
             "planning-time file-listing cost on every read — maintenance",
             "bounds it at one dir per table regardless of update count.",
         ]
-        with open("BENCH.md", "a") as fh:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.md"), "a") as fh:
             fh.write("\n".join(lines) + "\n")
     spark.stop()
 

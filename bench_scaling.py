@@ -94,7 +94,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-images", type=int, default=300_000)
     ap.add_argument("--base-cores", type=int, default=2)
-    ap.add_argument("--append", action="store_true", help="append to BENCH.md")
+    ap.add_argument("--append", action="store_true",
+                    help="(default when BENCH.md exists) append to BENCH.md")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="replace BENCH.md instead of appending")
     ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
     big_cores = args.base_cores * 4
@@ -177,7 +180,11 @@ def main() -> None:
         "",
     ]
     path = os.path.join(REPO, "BENCH.md")
-    if args.append and os.path.exists(path):
+    # append by DEFAULT when BENCH.md exists: overwriting would destroy
+    # the accumulated cross-run evidence (variance tables, A/B
+    # sections). A fresh file gets the header; explicit --overwrite
+    # replaces (the old no-append behavior, for starting over).
+    if os.path.exists(path) and not args.overwrite:
         with open(path, "a") as fh:
             fh.write("\n" + "\n".join(lines))
     else:

@@ -215,8 +215,16 @@ def run_stress(
         fn()
         wall = time.perf_counter() - t0
         now = _ui_totals(spark)
-        d = _delta(baseline, now)
-        baseline = now
+        # only advance the baseline when the UI fetch SUCCEEDED: a
+        # failed fetch returns {} and advancing to it would make the
+        # next stage's delta double-count every prior stage's counters
+        if now:
+            d = _delta(baseline, now)
+            baseline = now
+        else:
+            d = {}
+            print(f"# {name}: UI totals fetch failed - shuffle/spill "
+                  "counters for this stage recorded as 0", file=sys.stderr)
         stages[name] = {
             "sec": round(wall, 1),
             "peak_rss_mb": round(sampler.peaks.get(name, 0.0)),
@@ -348,7 +356,8 @@ def main() -> None:
             f"Total {res['value']}s -> {ips} at {res['cpus']} cores{subset}.",
             "",
         ]
-        with open("BENCH.md", "a") as fh:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.md"), "a") as fh:
             fh.write("\n".join(lines))
 
 

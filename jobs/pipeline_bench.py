@@ -106,6 +106,10 @@ def main() -> None:
         )
         assert bad == 0
 
+    # KEEP IN SYNC with bench.py's spatial_pipeline_stages (the driver
+    # bench twin): a stage change made in only one of the two makes the
+    # headline bench and the scaling evidence measure different
+    # pipelines. Deliberate deltas: n_rows_hint here, pipe_ prefix there.
     stages = {
         "decode_phash": decode_stage,
         "pip_join": lambda: noop(pip_join(meta, generate_regions(), deepest_only=True)),

@@ -103,3 +103,45 @@ def test_incremental_lifecycle_all_equal(spark):
 def test_rasterize_roundtrip_all_match(spark):
     rows = QUERIES["x03_rasterize_roundtrip"](spark, SF_DIR).collect()
     assert rows and all(r["bins_match"] for r in rows)
+
+
+def test_q25_short_text_parity(spark, tmp_path):
+    """The gram-hash twins must agree on texts SHORTER than one 3-gram:
+    Spark's sequence(1, len-2) auto-descends for len < 3 (bogus grams
+    from ascii('') = 0, simhash 255) while DuckDB's range is empty
+    (NULL minhash, simhash 0). The guard makes both sides emit empty
+    gram lists — pinned here on a synthetic fixture with 0/1/2/3-char
+    docs, since the sf fixtures never contain one (min length 44)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["", "a", "ab", "abc", "abcdef"],
+        "lang": ["en"] * 5,
+        "source": ["synthetic"] * 5,
+        "n_chars": [0, 1, 2, 3, 6],
+    }
+    d = str(tmp_path / "sfshort")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table(rows), os.path.join(d, "documents.parquet"))
+
+    sdf = QUERIES["q25_fingerprint_morton"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    odf = con.execute(ORACLES["q25_fingerprint_morton"]).fetchdf()
+    a, b = normalize(sdf), normalize(odf)
+    assert len(a) == len(b) == 5
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert (pd.isna(av) == pd.isna(bv)).all(), c
+        m = ~pd.isna(av)
+        assert (av[m] == bv[m]).all(), f"{c}: {av} vs {bv}"
+    # short docs: no grams -> NULL minhash, simhash 0, on BOTH engines
+    short = sdf[sdf["doc_id"] <= 3]
+    assert short["mh0"].isna().all() and (short["simhash"] == 0).all()
+    assert not sdf[sdf["doc_id"] >= 4]["mh0"].isna().any()
