@@ -798,8 +798,12 @@ def curate_multimodal(
     c1 = k1.groupBy("k").agg(F.min("doc_id").alias("canon"))
     s1 = k1.join(c1, "k").withColumn("exact_dup", F.col("doc_id") != F.col("canon"))
 
-    # stage 2: prefix-fingerprint dedup among stage-1 survivors
-    M31 = 2_147_483_647
+    # stage 2: prefix-fingerprint dedup among stage-1 survivors — the
+    # SAME modulus as the q41/q25 rolling fingerprint (sketch.M31 =
+    # 2^31; a local 2^31-1 here used to make the funnel's neardup_fp
+    # stage silently disagree with the driver query it claims to share)
+    from ariadne_spark.functions.sketch import M31
+
     fp = F.lit(0).cast("long")
     for i in range(1, 17):
         fp = (fp * F.lit(31) + F.ascii(F.substring(F.col("text"), i, 1))) % F.lit(M31)

@@ -228,12 +228,16 @@ def dup_clusters(
 
     def _fingerprint(e: DataFrame) -> tuple:
         h = F.xxhash64("x", "y")
+        # decimal(38,0) half-sums: plain long sums overflow (and throw
+        # under Spark 4's default ANSI mode) past ~2^31 edges — the
+        # regime the docstring claims; same fix as df_fingerprint /
+        # store.partition_summary
         r = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.shiftrightunsigned(h, 32)).alias("hi"),
-            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+            F.sum(F.shiftrightunsigned(h, 32).cast("decimal(38,0)")).alias("hi"),
+            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF)).cast("decimal(38,0)")).alias("lo"),
         ).collect()[0]
-        return (r["n"], r["hi"], r["lo"])
+        return (r["n"], int(r["hi"] or 0), int(r["lo"] or 0))
 
     prev = _fingerprint(E)
     rounds = 0

@@ -123,6 +123,12 @@ class SpatialPipeline:
 
     # -- helpers -----------------------------------------------------------
 
+    def is_built(self) -> bool:
+        """Whether full_build has committed an index — the cold-start
+        probe for callers (e.g. streaming/retile.py) that must not
+        hardcode this pipeline's internal table layout."""
+        return self.store.current_snapshot_id("images_indexed") is not None
+
     def _stage_done(self, stage: str, in_sid: int) -> bool:
         return "*" in self.store.completed(stage, in_sid)
 

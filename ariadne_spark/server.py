@@ -226,16 +226,23 @@ class ToolServer:
             raise HandlerError(f"{type(e).__name__}: {e}") from e
 
     def handle(self, req: dict) -> dict | None:
+        # "id": null is a VALID request id (JSON-RPC 2.0 merely
+        # discourages it) and must be answered with id null — only a
+        # genuinely ABSENT id marks a notification, so membership, not
+        # get(), decides
+        is_notification = "id" not in req
         rid = req.get("id")
 
         def err(code: int, msg: str) -> dict | None:
-            if rid is None:
+            if is_notification:
                 return None  # notification: errors are not answered
             return {"jsonrpc": "2.0", "id": rid, "error": {"code": code, "message": msg}}
 
         method = req.get("method")
         if not isinstance(method, str):
-            return err(METHOD_NOT_FOUND, "missing method")
+            # structurally invalid request (no/ill-typed method) is
+            # INVALID_REQUEST per spec SS4.2, not METHOD_NOT_FOUND
+            return err(INVALID_REQUEST, "missing method")
         params = req.get("params") or {}
         if not isinstance(params, dict):
             return err(INVALID_PARAMS, "params must be an object")
@@ -267,7 +274,7 @@ class ToolServer:
             return err(INVALID_PARAMS, str(e))
         except Exception as e:  # dispatcher-internal failure
             return err(INTERNAL_ERROR, f"{type(e).__name__}: {e}")
-        if rid is None:
+        if is_notification:
             return None
         return {"jsonrpc": "2.0", "id": rid, "result": result}
 

@@ -661,9 +661,16 @@ class SnapshotStore:
             # int() on a torn one — until deleted by hand. Real tag
             # names cannot contain '.', so the substring is unambiguous.
             if f.startswith(prefix) and ".tmp." not in f:
-                out[f[len(prefix):]] = int(
-                    self.backend.read_text(f"{self.root}/manifests/{f}").strip()
-                )
+                try:
+                    out[f[len(prefix):]] = int(
+                        self.backend.read_text(
+                            f"{self.root}/manifests/{f}"
+                        ).strip()
+                    )
+                except FileNotFoundError:
+                    # dropped by a concurrent drop_tag between LIST and
+                    # read — a deleted tag simply is not listed
+                    continue
         return out
 
     def drop_tag(self, table: str, name: str) -> None:
@@ -736,11 +743,16 @@ class SnapshotStore:
         for name, v in latest.items():
             while self.backend.exists(self._branch_prefix(table, name) + str(v + 1)):
                 v += 1
-            out[name] = int(
-                self.backend.read_text(
-                    self._branch_prefix(table, name) + str(v)
-                ).strip()
-            )
+            try:
+                out[name] = int(
+                    self.backend.read_text(
+                        self._branch_prefix(table, name) + str(v)
+                    ).strip()
+                )
+            except FileNotFoundError:
+                # dropped by a concurrent drop_branch between LIST and
+                # read — a deleted branch simply is not listed
+                continue
         return out
 
     def _branch_version(self, table: str, name: str) -> int | None:
@@ -1978,6 +1990,19 @@ class SnapshotStore:
         "file" is a partition and the delta is row-grain."""
         to_res = self._resolve_sid(table, to_sid)
         assert to_res is not None, f"table {table} has no snapshot"
+        if from_sid is not None:
+            # resolve the FROM manifest first with the curated message:
+            # diff() would otherwise surface an expired from_sid as a
+            # raw FileNotFoundError before the guidance below could fire
+            try:
+                m_from = self.manifest(table, from_sid)
+            except FileNotFoundError:
+                m_from = None
+            assert m_from is not None, (
+                f"table {table} has no snapshot {from_sid} (expired below "
+                "the keep window? re-baseline the CDC consumer with "
+                "from_sid=None)"
+            )
         keys = self.diff(table, from_sid, to_res)
         if from_sid is None:
             new = self.read(table, to_res, keys=keys)
@@ -1989,11 +2014,6 @@ class SnapshotStore:
         # snapshot; removed tombstones, e.g. a rollback below the
         # delete -> rows resurrect, look in the TO snapshot) with the
         # same column-pruned (key, pk) scan merge_rows uses
-        m_from = self.manifest(table, from_sid)
-        assert m_from is not None, (
-            f"table {table} has no snapshot {from_sid} (expired below the "
-            "keep window? re-baseline the CDC consumer with from_sid=None)"
-        )
         m_to = self.manifest(table, to_res)
         assert m_to is not None, f"table {table} has no snapshot {to_res}"
         keyset = set(keys)

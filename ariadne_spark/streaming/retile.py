@@ -47,7 +47,10 @@ def stream_retile(
     def handle_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if pipeline.store.current_snapshot_id("images_indexed") is None:
+        # pipeline.is_built() owns the layout knowledge — probing the
+        # index table's name from here would silently full_build every
+        # batch if the pipeline ever renamed its tables
+        if not pipeline.is_built():
             pipeline.full_build(batch_df)  # cold start on the first batch
         else:
             pipeline.update(batch_df)

@@ -1248,3 +1248,38 @@ def test_ws_token_count_convention_boundary(spark):
     for text, agree in rows:
         ws, strict = by_text[text]
         assert (ws == strict) == agree, (text, ws, strict)
+
+
+def test_curate_multimodal_fp_stage_uses_shared_modulus(spark):
+    """The funnel's neardup_fp stage must use the SAME rolling-
+    fingerprint modulus as the q41/q25 driver queries (sketch.M31 =
+    2^31) — a local 2^31-1 once made the 'q41's shapes' claim false.
+    Verified by recomputing stage 2 independently in python with the
+    shared constant."""
+    from ariadne_spark.functions.sketch import M31
+    from ariadne_spark.operators.curation import curate_multimodal
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = {r["doc_id"]: r["reason"] for r in curate_multimodal(docs, emb).collect()}
+
+    rows = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    # stage 1 survivors: min doc_id per exact text
+    by_text = {}
+    for i, t in rows.items():
+        by_text.setdefault(t, []).append(i)
+    surv1 = {min(ids) for ids in by_text.values()}
+
+    def fp(t):
+        v = 0
+        for i in range(16):
+            v = (v * 31 + (ord(t[i]) if i < len(t) else 0)) % M31
+        return v
+
+    by_fp = {}
+    for i in sorted(surv1):
+        by_fp.setdefault(fp(rows[i]), []).append(i)
+    want_fp_dups = {i for ids in by_fp.values() for i in ids if i != min(ids)}
+    got_fp_dups = {i for i, r in out.items() if r == "neardup_fp"}
+    assert got_fp_dups == want_fp_dups

@@ -1202,3 +1202,59 @@ def test_noop_update_stamps_stage_markers(spark, tmp_path):
     sid3 = p.update(_modified_images(spark, ids[:5]))
     for s in ("pip", "knn", "tiles_fine", "tiles_coarse"):
         assert "*" in p.store.completed(s, sid3), s
+
+
+def test_read_changes_expired_from_sid_has_curated_error(spark, tmp_path):
+    """A CDC consumer polling from an expired snapshot must get the
+    re-baseline guidance, not a raw FileNotFoundError from inside
+    diff()."""
+    st = SnapshotStore(spark, str(tmp_path / "cdc"))
+    s1 = st.write_table(
+        spark.createDataFrame([(1, "a", 1)], "pk long, key string, v long"),
+        "t", "key",
+    )
+    st.write_table(
+        spark.createDataFrame([(1, "a", 2)], "pk long, key string, v long"),
+        "t", "key",
+    )
+    st.write_table(
+        spark.createDataFrame([(1, "a", 3)], "pk long, key string, v long"),
+        "t", "key",
+    )
+    st.expire_snapshots("t", keep_last=1)
+    with pytest.raises(AssertionError, match="re-baseline"):
+        st.read_changes("t", from_sid=s1)
+
+
+def test_tags_and_branches_tolerate_concurrent_drop(spark, tmp_path):
+    """LIST-then-read in tags()/branches() must skip a ref dropped by a
+    concurrent writer between the two calls, not crash readers or
+    expire_snapshots."""
+    st = SnapshotStore(spark, str(tmp_path / "refs"))
+    df = spark.createDataFrame([(1, "a", 1)], "pk long, key string, v long")
+    sid = st.write_table(df, "t", "key")
+    st.tag("t", "keepme", sid)
+    st.tag("t", "dropme", sid)
+    st.branch("t", "bkeep", sid)
+    st.branch("t", "bdrop", sid)
+
+    real = st.backend.read_text
+
+    def racy(path):
+        if ".tag.dropme" in path or ".branch.bdrop." in path:
+            raise FileNotFoundError(path)  # vanished between LIST and read
+        return real(path)
+
+    st.backend.read_text = racy
+    try:
+        assert st.tags("t") == {"keepme": sid}
+        assert st.branches("t") == {"bkeep": sid}
+    finally:
+        st.backend.read_text = real
+
+
+def test_pipeline_is_built_probe(spark, tmp_path):
+    p = _pipeline(spark, tmp_path, "probe")
+    assert not p.is_built()
+    p.full_build(_images(spark, np.arange(50)))
+    assert p.is_built()

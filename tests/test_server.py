@@ -220,3 +220,28 @@ def test_failed_calls_still_count_in_analytics(srv):
     # the bad-direction call dispatched (valid params) and failed in the
     # handler — it still counts, like the reference's registry recorder
     assert stats.get("neighborhood") == 1
+
+
+def test_null_id_is_answered_and_missing_method_is_invalid_request(srv):
+    """JSON-RPC 2.0: "id": null is a valid (discouraged) request id and
+    MUST be answered with id null — only an ABSENT id is a
+    notification. And a request with no/ill-typed method is
+    INVALID_REQUEST (-32600), not METHOD_NOT_FOUND (-32601)."""
+    out = srv.handle_line(
+        json.dumps({"jsonrpc": "2.0", "id": None, "method": "get_stats"})
+    )
+    assert out is not None, "id:null request must not be dropped"
+    rep = json.loads(out)
+    assert rep["id"] is None and "result" in rep
+
+    out = srv.handle_line(json.dumps({"jsonrpc": "2.0", "id": 7}))
+    rep = json.loads(out)
+    assert rep["error"]["code"] == -32600
+    out = srv.handle_line(json.dumps({"jsonrpc": "2.0", "id": 8, "method": 42}))
+    rep = json.loads(out)
+    assert rep["error"]["code"] == -32600
+    # a true notification (no id key) still gets no reply
+    assert srv.handle_line(json.dumps({"jsonrpc": "2.0", "method": "get_stats"})) is None
+    # unknown method keeps -32601
+    rep = json.loads(srv.handle_line(_rpc("no_such_tool")))
+    assert rep["error"]["code"] == -32601
