@@ -1988,3 +1988,101 @@ def surprisal_score_sql(table: str = "documents") -> str:
                  AS surprisal_permille
         FROM {table} d LEFT JOIN per ON d.doc_id = per.__id
     """
+
+
+def pack_multimodal(
+    segments: DataFrame,
+    ctx: int,
+    shard_col: str = "shard",
+    doc_col: str = "doc_id",
+    seq_col: str = "seq",
+    kind_col: str = "kind",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Interleaved image-text sequence packing — the multimodal-
+    pretraining layout (Flamingo/MM1-style interleaved corpora, public
+    method descriptions only): documents are SEQUENCES of segments,
+    text segments contribute their token count and MAY split across
+    context windows, image segments contribute their patch count
+    (`decode.patchify`'s (w//p)*(h//p) law) and may NOT split — a
+    partial image is meaningless to the model, so an image that would
+    straddle a window boundary pads the current window closed and
+    opens the next one.
+
+    Input: one row per segment
+      (shard_col, doc_col, seq_col, kind_col 'text'|'image',
+       tokens_col) — stream order within a shard is (doc, seq).
+    Output: one row per (window, fragment)
+      (shard, bin, win_pos, doc_id, seq, kind, frag_lo, frag_hi) —
+    `win_pos` is the fragment's start inside its window, [frag_lo,
+    frag_hi) the covered slice of the segment's tokens; synthetic
+    kind='pad' fragments (doc_id/seq NULL) fill every window to
+    exactly ctx, so each (shard, bin) tiles [0, ctx) exactly — the
+    attention-mask/loss-mask contract a loader needs (pads masked,
+    image spans routed to the vision tower, text spans to the LM).
+
+    Same parallelism/determinism argument as `pack_greedy`: assignment
+    is inherently sequential WITHIN a shard (each decision depends on
+    the previous fill), so it runs as one applyInPandas pass per
+    shard; the shard key is data-derived, making the layout
+    bit-identical at any cluster size. Empty text segments (0 tokens)
+    contribute nothing and are dropped; an image wider than ctx
+    patches cannot be packed and raises.
+
+    Reference analog: the containment-preserving capture ordering the
+    reference enforces before scope assembly (parents before children,
+    `index_single_file/scopes/scopes.ts:148-191`) — here the preserved
+    structure is segment order and image atomicity.
+    """
+    import pandas as pd
+
+    base = segments.select(
+        F.col(shard_col).cast("long").alias("shard"),
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(kind_col).cast("string").alias("kind"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    out_schema = (
+        "shard long, bin long, win_pos long, doc_id long, seq long, "
+        "kind string, frag_lo long, frag_hi long"
+    )
+    cols = ["shard", "bin", "win_pos", "doc_id", "seq", "kind", "frag_lo", "frag_hi"]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "seq"], kind="mergesort")
+        shard = int(pdf["shard"].iloc[0])
+        rows: list[tuple] = []
+        b, pos = 0, 0
+        for doc, seq, kind, t in zip(
+            pdf["doc_id"], pdf["seq"], pdf["kind"], pdf["n_tokens"]
+        ):
+            doc, seq, t = int(doc), int(seq), int(t)
+            assert kind in ("text", "image"), f"unknown segment kind {kind!r}"
+            if kind == "image":
+                assert 1 <= t <= ctx, (
+                    f"image segment (doc {doc}, seq {seq}) is {t} patches "
+                    f"but ctx={ctx}: images cannot split across windows — "
+                    "resize/patchify it smaller upstream"
+                )
+                if pos + t > ctx:
+                    rows.append((shard, b, pos, None, None, "pad", 0, ctx - pos))
+                    b, pos = b + 1, 0
+                rows.append((shard, b, pos, doc, seq, "image", 0, t))
+                pos += t
+                if pos == ctx:
+                    b, pos = b + 1, 0
+            else:
+                lo = 0
+                while lo < t:
+                    take = min(t - lo, ctx - pos)
+                    rows.append((shard, b, pos, doc, seq, "text", lo, lo + take))
+                    pos += take
+                    lo += take
+                    if pos == ctx:
+                        b, pos = b + 1, 0
+        if pos > 0:
+            rows.append((shard, b, pos, None, None, "pad", 0, ctx - pos))
+        return pd.DataFrame(rows, columns=cols)
+
+    return base.groupBy("shard").applyInPandas(pack, out_schema)

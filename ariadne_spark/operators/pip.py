@@ -47,6 +47,29 @@ PIP_SCHEMA = StructType(
 )
 
 
+def _envelope_cells(env, index_res: int, region_id: str = "?") -> list[int]:
+    """Covering cells of a polygon envelope at index_res — the ONE copy
+    of the registration rule, shared by the broadcast RegionIndex and
+    the partitioned join's region-explode stage (two copies would let
+    the two paths silently register different cells). Refuses
+    antimeridian-crossing envelopes (probe points never wrap)."""
+    n = 1 << index_res
+    assert 0.0 <= env[0] and env[2] <= cells.LON_SPAN, (
+        f"region {region_id} envelope x=[{env[0]}, {env[2]}] "
+        f"outside the lon_u domain [0, {cells.LON_SPAN}]: "
+        "antimeridian-crossing polygons must be pre-split at the seam"
+    )
+    x0 = int(env[0] * n // cells.LON_SPAN)
+    x1 = int(env[2] * n // cells.LON_SPAN)
+    y0 = int(env[1] * n // cells.LAT_SPAN)
+    y1 = int(env[3] * n // cells.LAT_SPAN)
+    return [
+        (index_res << cells.RES_SHIFT) | (cx << cells.X_SHIFT) | cy
+        for cx in range(max(x0, 0), min(x1, n - 1) + 1)
+        for cy in range(max(y0, 0), min(y1, n - 1) + 1)
+    ]
+
+
 class RegionIndex:
     """Cell-bucketed envelope index over region polygons (broadcast side).
 
@@ -62,7 +85,6 @@ class RegionIndex:
         self.region_ids: list[str] = []
         self.depths: list[int] = []
         self.by_cell: dict[int, list[int]] = defaultdict(list)
-        n = 1 << index_res
         for r in regions:
             idx = len(self.polys)
             poly = parse_wkt(r["wkt"])
@@ -71,26 +93,8 @@ class RegionIndex:
             self.envs.append(env)
             self.region_ids.append(r["region_id"])
             self.depths.append(int(r["depth"]))
-            # polygons must live inside the lon_u domain [0, LON_SPAN]:
-            # probe points never wrap across the lon=0 seam, so a
-            # seam-crossing polygon (negative or >span vertices) would
-            # register under wrapped cells its ray-cast can never match
-            # — refuse loudly instead of silently losing containment
-            # rows (split such a polygon at the seam upstream)
-            assert 0.0 <= env[0] and env[2] <= cells.LON_SPAN, (
-                f"region {r['region_id']} envelope x=[{env[0]}, {env[2]}] "
-                f"outside the lon_u domain [0, {cells.LON_SPAN}]: "
-                "antimeridian-crossing polygons must be pre-split at "
-                "the seam"
-            )
-            x0 = int(env[0] * n // cells.LON_SPAN)
-            x1 = int(env[2] * n // cells.LON_SPAN)
-            y0 = int(env[1] * n // cells.LAT_SPAN)
-            y1 = int(env[3] * n // cells.LAT_SPAN)
-            for cx in range(max(x0, 0), min(x1, n - 1) + 1):
-                for cy in range(max(y0, 0), min(y1, n - 1) + 1):
-                    cell = (index_res << cells.RES_SHIFT) | (cx << cells.X_SHIFT) | cy
-                    self.by_cell[cell].append(idx)
+            for cell in _envelope_cells(env, index_res, r["region_id"]):
+                self.by_cell[cell].append(idx)
         self.by_cell = dict(self.by_cell)
 
     def probe_batch(
@@ -202,3 +206,138 @@ def pip_join(
             )
 
     return src.mapInPandas(probe, PIP_SCHEMA)
+
+
+def pip_join_partitioned(
+    images: DataFrame,
+    regions_df: DataFrame,
+    index_res: int = DEFAULT_INDEX_RES,
+    deepest_only: bool = True,
+) -> DataFrame:
+    """`pip_join`'s SCALE PATH for region sets too large to broadcast.
+
+    The broadcast form ships every polygon to every executor inside a
+    driver-built index — correct while the region table is dim-sized
+    (like scopes per file), wrong when regions number in the millions
+    (continent-scale cadastral/parcel data): the index no longer fits
+    the driver or the task broadcast budget. This variant keeps BOTH
+    sides distributed:
+
+      1. region side: one Arrow pass explodes each polygon to the
+         covering cells of its envelope at `index_res` — the SAME
+         registration rule as RegionIndex (`_envelope_cells`, shared),
+         fanout = envelope cell count;
+      2. point side: cell = cell_encode(lon, lat, index_res);
+      3. candidates: a plain cell equi-join — both sides shuffle once
+         on the cell key and Catalyst picks the strategy (sort-merge /
+         shuffled-hash, spill-capable); NO broadcast of the region
+         side anywhere in the plan (pinned in tests/test_plans.py);
+      4. exact ray-cast per candidate in an Arrow batch (polygons
+         parsed once per region per batch, points grouped per region
+         and tested vectorized);
+      5. deepest-wins + tie-error as a window over image_id — the
+         candidate rows for one point share its cell and therefore one
+         shuffle partition, but may span Arrow batches, so the
+         batch-local trick of the broadcast path becomes a window; the
+         tie ERROR (scopes.ts:293-299) fires at action time through
+         `assert_true`, exactly like the broadcast path's raise.
+
+    Cost shape at 10^12 points x 10^7 regions: shuffle volume is
+    points + region-envelope-fanout (each a single Exchange), per-cell
+    work is points_in_cell x regions_touching_cell — the same locality
+    bound as the broadcast index, now paid with cluster parallelism
+    instead of driver memory. Dense hotspot cells skew the join like
+    any key skew; AQE skew-split applies (uniform cells, standard
+    remedy), and `index_res` tunes fanout vs candidate selectivity.
+
+    Same output contract as `pip_join` (PIP_SCHEMA; equality pinned in
+    tests/test_operators.py on the shared fixtures).
+    """
+    res = index_res
+
+    def reg_cells(iterator):
+        for pdf in iterator:
+            out = {"cell": [], "region_id": [], "depth": [], "wkt": []}
+            for rid, dep, wkt in zip(
+                pdf["region_id"], pdf["depth"], pdf["wkt"]
+            ):
+                env = envelope(parse_wkt(wkt))
+                for c in _envelope_cells(env, res, rid):
+                    out["cell"].append(c)
+                    out["region_id"].append(rid)
+                    out["depth"].append(int(dep))
+                    out["wkt"].append(wkt)
+            yield pd.DataFrame(out)
+
+    reg = regions_df.select("region_id", "depth", "wkt").mapInPandas(
+        reg_cells, "cell long, region_id string, depth int, wkt string"
+    )
+    pts = images.select(
+        "image_id",
+        "lon_u",
+        "lat_u",
+        cells.cell_encode(F.col("lon_u"), F.col("lat_u"), res).alias("cell"),
+    )
+    # explicit shuffled-hash, building on the region side per cell: this
+    # operator IS the regions-too-big-to-broadcast regime, so the
+    # strategy is pinned rather than left to size estimates (Catalyst
+    # would happily broadcast a small test fixture, which is the other
+    # operator's plan) — same explicit-per-cardinality rule as knn
+    cand = pts.join(reg.hint("shuffle_hash"), "cell")
+
+    def exact(iterator):
+        empty = pd.DataFrame(
+            {"image_id": [], "region_id": [], "depth": []}
+        ).astype({"image_id": "object", "region_id": "object", "depth": "int32"})
+        for pdf in iterator:
+            if pdf.empty:
+                yield empty
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf["lon_u"].to_numpy().astype(np.float64)
+            py = pdf["lat_u"].to_numpy().astype(np.float64)
+            rids = pdf["region_id"].to_numpy()
+            polys: dict = {}
+            for rid in pd.unique(pdf["region_id"]):
+                poly = polys.get(rid)
+                if poly is None:
+                    wkt = pdf["wkt"].to_numpy()[rids == rid][0]
+                    poly = polys[rid] = parse_wkt(wkt)
+                m = rids == rid
+                keep[m] = points_in_polygon(px[m], py[m], poly)
+            yield pdf.loc[
+                keep, ["image_id", "region_id", "depth"]
+            ].astype({"depth": "int32"})
+
+    hits = cand.mapInPandas(exact, PIP_SCHEMA)
+    if not deepest_only:
+        return hits
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("image_id")
+    mx = F.max("depth").over(w)
+    n_max = F.sum(
+        F.when(F.col("depth") == F.max("depth").over(w), 1).otherwise(0)
+    ).over(w)
+    deep = (
+        hits.withColumn("_mx", mx)
+        .withColumn("_n", n_max)
+        .where(F.col("depth") == F.col("_mx"))
+    )
+    # tie -> runtime error, mirroring the broadcast path's raise; the
+    # filter on isNull() FORCES evaluation (a dropped projection would
+    # be pruned away by Catalyst and never checked)
+    guard = F.assert_true(
+        F.col("_n") == 1,
+        F.concat(
+            F.lit("ambiguous containment: image "),
+            F.col("image_id"),
+            F.lit(
+                " matched >1 region at equal max depth (overlapping "
+                "siblings) — analog of ariadne's get_scope_id tie error "
+                "(scopes.ts:293-299)"
+            ),
+        ),
+    )
+    return deep.where(guard.isNull()).select("image_id", "region_id", "depth")

@@ -464,3 +464,65 @@ def test_ring_targets_matches_column_form(spark):
             for t in cells.ring_targets(c, res, cells.kring_offsets(k))
         }
         assert got == want
+
+
+class TestPipJoinPartitioned:
+    """The no-broadcast scale path must be RESULT-IDENTICAL to the
+    broadcast form on the shared fixtures, keep its tie-error
+    contract, and actually run as a distributed equi-join."""
+
+    def _regions_df(self, spark, regions):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(regions)[["region_id", "depth", "wkt"]]
+        )
+
+    def test_equals_broadcast_form_both_modes(
+        self, spark, images_df, regions
+    ):
+        from ariadne_spark.operators.pip import pip_join, pip_join_partitioned
+
+        rdf = self._regions_df(spark, regions)
+        for deepest in (False, True):
+            want = {
+                (r.image_id, r.region_id, r.depth)
+                for r in pip_join(
+                    images_df, regions, deepest_only=deepest
+                ).collect()
+            }
+            got = {
+                (r.image_id, r.region_id, r.depth)
+                for r in pip_join_partitioned(
+                    images_df, rdf, deepest_only=deepest
+                ).collect()
+            }
+            assert got == want and len(got) > 100
+
+    def test_tie_error_fires_at_action(self, spark, data_dir):
+        from ariadne_spark.operators.pip import pip_join_partitioned
+
+        bad = generate_regions(with_overlap_error=True)
+        rdf = self._regions_df(spark, bad)
+        pts = spark.createDataFrame(
+            [("p0", 10_050_000, 100_000_000)],
+            "image_id string, lon_u long, lat_u long",
+        )
+        with pytest.raises(Exception, match="ambiguous containment"):
+            pip_join_partitioned(pts, rdf, deepest_only=True).collect()
+
+    def test_plan_is_distributed_no_broadcast(self, spark, images_df, regions):
+        from ariadne_spark.operators.pip import pip_join_partitioned
+
+        rdf = self._regions_df(spark, regions)
+        p = (
+            pip_join_partitioned(images_df, rdf, deepest_only=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the region side must NOT be broadcast (that is the regime
+        # this variant exists for); the candidate join is a real
+        # shuffled equi-join on the cell key
+        assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
+        assert "Exchange" in p

@@ -324,3 +324,124 @@ def test_pack_boundaries_tile_windows_exactly(spark):
         ).collect()
     )
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# pack_multimodal — interleaved image-text packing
+# ---------------------------------------------------------------------------
+
+
+def _mm_oracle(rows, ctx):
+    """Pure-python twin of pack_multimodal's per-shard loop."""
+    out = []
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r[0], []).append(r)
+    for shard in by_shard:
+        segs = sorted(by_shard[shard], key=lambda r: (r[1], r[2]))
+        b, pos = 0, 0
+        for _, doc, seq, kind, t in segs:
+            if kind == "image":
+                if pos + t > ctx:
+                    out.append((shard, b, pos, None, None, "pad", 0, ctx - pos))
+                    b, pos = b + 1, 0
+                out.append((shard, b, pos, doc, seq, "image", 0, t))
+                pos += t
+                if pos == ctx:
+                    b, pos = b + 1, 0
+            else:
+                lo = 0
+                while lo < t:
+                    take = min(t - lo, ctx - pos)
+                    out.append((shard, b, pos, doc, seq, "text", lo, lo + take))
+                    pos += take
+                    lo += take
+                    if pos == ctx:
+                        b, pos = b + 1, 0
+        if pos > 0:
+            out.append((shard, b, pos, None, None, "pad", 0, ctx - pos))
+    return set(out)
+
+
+def _mm_rows():
+    # 2 shards; docs interleave text and images; adversarial sizes:
+    # text spanning multiple windows, image exactly filling a window,
+    # image forcing a pad, zero-token text segment (dropped)
+    return [
+        # (shard, doc, seq, kind, n_tokens)
+        (0, 1, 0, "text", 5),
+        (0, 1, 1, "image", 4),
+        (0, 1, 2, "text", 0),
+        (0, 1, 3, "text", 13),   # spans windows
+        (0, 2, 0, "image", 8),   # exactly one window
+        (0, 2, 1, "text", 3),
+        (1, 3, 0, "image", 7),
+        (1, 3, 1, "image", 7),   # forces a pad (7+7 > 8)
+        (1, 4, 0, "text", 2),
+    ]
+
+
+def test_pack_multimodal_matches_oracle_and_tiles_windows(spark):
+    from ariadne_spark.operators.curation import pack_multimodal
+
+    ctx = 8
+    rows = _mm_rows()
+    df = spark.createDataFrame(
+        rows, "shard long, doc_id long, seq long, kind string, n_tokens long"
+    )
+    got_rows = pack_multimodal(df, ctx).collect()
+    got = {
+        (r["shard"], r["bin"], r["win_pos"], r["doc_id"], r["seq"],
+         r["kind"], r["frag_lo"], r["frag_hi"])
+        for r in got_rows
+    }
+    assert got == _mm_oracle(rows, ctx)
+
+    # every (shard, bin) tiles [0, ctx) exactly — pads included
+    by_win = {}
+    for r in got_rows:
+        by_win.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (shard, b), frs in by_win.items():
+        frs.sort(key=lambda r: r["win_pos"])
+        pos = 0
+        for fr in frs:
+            assert fr["win_pos"] == pos, (shard, b)
+            pos += fr["frag_hi"] - fr["frag_lo"]
+        assert pos == ctx, (shard, b)
+
+    # image fragments are never split: each covers its full patch count
+    img_in = {(r[1], r[2]): r[4] for r in rows if r[3] == "image"}
+    img_out = [r for r in got_rows if r["kind"] == "image"]
+    assert len(img_out) == len(img_in)
+    for r in img_out:
+        assert (r["frag_lo"], r["frag_hi"]) == (0, img_in[(r["doc_id"], r["seq"])])
+
+    # zero-token text segments vanish
+    assert not [r for r in got_rows if r["kind"] == "text" and r["frag_lo"] == r["frag_hi"]]
+
+
+def test_pack_multimodal_parallelism_invariant(spark):
+    from ariadne_spark.operators.curation import pack_multimodal
+
+    df = spark.createDataFrame(
+        _mm_rows(), "shard long, doc_id long, seq long, kind string, n_tokens long"
+    )
+
+    def key(r):
+        return (r["shard"], r["bin"], r["win_pos"], r["doc_id"], r["seq"],
+                r["kind"], r["frag_lo"], r["frag_hi"])
+
+    a = sorted(key(r) for r in pack_multimodal(df.repartition(1), 8).collect())
+    b = sorted(key(r) for r in pack_multimodal(df.repartition(7), 8).collect())
+    assert a == b
+
+
+def test_pack_multimodal_oversized_image_raises(spark):
+    from ariadne_spark.operators.curation import pack_multimodal
+
+    df = spark.createDataFrame(
+        [(0, 1, 0, "image", 9)],
+        "shard long, doc_id long, seq long, kind string, n_tokens long",
+    )
+    with pytest.raises(Exception, match="cannot split"):
+        pack_multimodal(df, 8).collect()
