@@ -173,13 +173,17 @@ def cell_neighbors_df(cells_df, cell_col: str, res: int, k: int = 1, offsets=Non
     # width n <= 2k, dx and dx±n alias to the same wrapped neighbor —
     # without this, one cell receives the same replica twice and a
     # downstream self-join emits duplicate pairs
-    eff: dict[tuple[int, int], tuple[int, int]] = {}
+    eff: dict[tuple[int, int], None] = {}
     for dx, dy in kring_offsets(k) if offsets is None else offsets:
-        eff.setdefault((dx % n, dy), (dx, dy))
+        eff.setdefault((dx % n, dy), None)
+    # the plan uses the EFFECTIVE dx (in [0, n)) — the original dx with
+    # a single +n correction goes negative for dx < -n (k > n grids),
+    # packing malformed cells; ring_targets uses the same dxm, so the
+    # driver-side estimates and the plan can never disagree
     offsets = F.array(
         *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in eff.values()
+            F.struct(F.lit(dxm).alias("dx"), F.lit(dy).alias("dy"))
+            for dxm, dy in eff
         ]
     )
     exploded = cells_df.withColumn("_off", F.explode(offsets))

@@ -49,8 +49,15 @@ VIEW_COUNT_COL = "n_rows"
 
 
 def _agg_exprs(sum_cols: list[str]):
+    # NULL values contribute 0 on BOTH the cold-build and the delta
+    # path (the delta coalesces its per-group sum the same way): plain
+    # F.sum would give an all-NULL group a NULL total cold but 0
+    # incrementally — the one case where "ignore NULLs" and "NULL is
+    # 0" differ — and the fingerprint-identity law demands one
+    # convention everywhere
     return [F.count("*").cast("long").alias(VIEW_COUNT_COL)] + [
-        F.sum(F.col(c)).cast("long").alias(f"sum_{c}") for c in sum_cols
+        F.sum(F.coalesce(F.col(c), F.lit(0))).cast("long").alias(f"sum_{c}")
+        for c in sum_cols
     ]
 
 
@@ -167,7 +174,12 @@ def refresh_agg_view(
     d = delta.groupBy(group_col).agg(
         F.sum(sign).cast("long").alias("__dn"),
         *[
-            F.sum(sign * F.col(c)).cast("long").alias(f"__d_{c}")
+            # coalesce: a delta whose values for c are ALL NULL sums to
+            # NULL, and 5 + NULL would null the view's running sum —
+            # a NULL value contributes 0, exactly as in a cold rebuild
+            F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
+            .cast("long")
+            .alias(f"__d_{c}")
             for c in sum_cols
         ],
     ).localCheckpoint(eager=True)

@@ -297,13 +297,9 @@ def pip_join_partitioned(
             px = pdf["lon_u"].to_numpy().astype(np.float64)
             py = pdf["lat_u"].to_numpy().astype(np.float64)
             rids = pdf["region_id"].to_numpy()
-            polys: dict = {}
             for rid in pd.unique(pdf["region_id"]):
-                poly = polys.get(rid)
-                if poly is None:
-                    wkt = pdf["wkt"].to_numpy()[rids == rid][0]
-                    poly = polys[rid] = parse_wkt(wkt)
                 m = rids == rid
+                poly = parse_wkt(pdf["wkt"].to_numpy()[m][0])
                 keep[m] = points_in_polygon(px[m], py[m], poly)
             yield pdf.loc[
                 keep, ["image_id", "region_id", "depth"]

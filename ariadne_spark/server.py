@@ -243,7 +243,12 @@ class ToolServer:
             # structurally invalid request (no/ill-typed method) is
             # INVALID_REQUEST per spec SS4.2, not METHOD_NOT_FOUND
             return err(INVALID_REQUEST, "missing method")
-        params = req.get("params") or {}
+        # absent params (or explicit null) means no-params; any OTHER
+        # non-object value — including falsy [] / 0 / "" — is a
+        # structurally invalid positional-params request
+        params = req.get("params")
+        if params is None:
+            params = {}
         if not isinstance(params, dict):
             return err(INVALID_PARAMS, "params must be an object")
         try:

@@ -793,9 +793,21 @@ class SnapshotStore:
 
     def drop_branch(self, table: str, name: str) -> None:
         prefix = f"{table}.branch.{name}."
+        top = -1
         for f in self.backend.list_names(f"{self.root}/manifests"):
             if f.startswith(prefix):
                 self.backend.remove(f"{self.root}/manifests/{f}")
+                ver = f.rpartition(".")[2]
+                if ver.isdigit():
+                    top = max(top, int(ver))
+        # forward-probe past the listing like every other reader: an
+        # eventually-consistent LIST may lag the newest version files,
+        # and a survivor would resurrect the branch (and permanently
+        # block re-use of the name in the shared tag namespace)
+        v = top + 1
+        while self.backend.exists(self._branch_prefix(table, name) + str(v)):
+            self.backend.remove(self._branch_prefix(table, name) + str(v))
+            v += 1
 
     def write_audit_publish(
         self,
@@ -835,7 +847,13 @@ class SnapshotStore:
             # enumeration listing still lags it
             tp = self._tag_path(table, snapshot_id)
             if self.backend.exists(tp):
-                return int(self.backend.read_text(tp).strip())
+                try:
+                    return int(self.backend.read_text(tp).strip())
+                except FileNotFoundError:
+                    # dropped between exists() and read: treat as
+                    # absent and fall through to the branch probe,
+                    # like tags()/branches() do
+                    pass
             v = self._branch_version(table, snapshot_id)
             assert v is not None, (
                 f"no tag or branch {snapshot_id!r} on {table}"

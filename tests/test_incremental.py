@@ -1258,3 +1258,28 @@ def test_pipeline_is_built_probe(spark, tmp_path):
     assert not p.is_built()
     p.full_build(_images(spark, np.arange(50)))
     assert p.is_built()
+
+
+def test_resolve_sid_tolerates_tag_dropped_mid_read(spark, tmp_path):
+    """A tag dropped between _resolve_sid's exists() and read_text()
+    must fall through to the branch probe and the clean 'no tag or
+    branch' assertion — not leak a raw FileNotFoundError."""
+    st = SnapshotStore(spark, str(tmp_path / "res"))
+    sid = st.write_table(
+        spark.createDataFrame([(1, "a", 1)], "pk long, key string, v long"),
+        "t", "key",
+    )
+    st.tag("t", "ghost", sid)
+    real = st.backend.read_text
+
+    def racy(path):
+        if ".tag.ghost" in path:
+            raise FileNotFoundError(path)
+        return real(path)
+
+    st.backend.read_text = racy
+    try:
+        with pytest.raises(AssertionError, match="no tag or branch"):
+            st.read("t", snapshot_id="ghost").collect()
+    finally:
+        st.backend.read_text = real

@@ -176,3 +176,45 @@ def test_refresh_crash_before_merge_leaves_stale_intent_harmless(spark, tmp_path
     refresh_agg_view(st, "base", "v", "lang", ["tokens"])
     got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
     assert got == {"en": 50, "de": 6}
+
+
+def test_refresh_null_values_match_cold_rebuild(spark, tmp_path):
+    """NULL sum-column values: a delta whose values for c are all NULL
+    must not null the view's running sum (5 + NULL), and an all-NULL
+    new group must land identically to a cold rebuild — one NULL-is-0
+    convention on both paths, fingerprint-pinned."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(
+        spark.createDataFrame(
+            [(1, "en", 5, 5), (2, "de", 6, 6)],
+            "doc_id long, lang string, tokens long, chars long",
+        ),
+        "base",
+        key="lang",
+    )
+    create_agg_view(st, "base", "v", "lang", ["tokens"])
+    # insert a NULL-valued row into en (delta for en sums to NULL
+    # without the coalesce) and a brand-new all-NULL group zh
+    ups = spark.createDataFrame(
+        [(10, "en", None, 1), (11, "zh", None, 1)],
+        "doc_id long, lang string, tokens long, chars long",
+    )
+    st.merge_rows(ups, "base", pk="doc_id")
+    refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    got = {r["lang"]: (r["n_rows"], r["sum_tokens"]) for r in st.read("v").collect()}
+    assert got["en"] == (2, 5) and got["zh"] == (1, 0)
+
+    st2 = SnapshotStore(spark, str(tmp_path / "cold"))
+    st2.write_table(st.read("base"), "base", key="lang")
+    create_agg_view(st2, "base", "v", "lang", ["tokens"])
+    assert _fps(st, "v") == _fps(st2, "v")
+
+    # deleting the NULL row refreshes back without disturbing en's sum
+    st.merge_rows(
+        spark.createDataFrame([], "doc_id long, lang string, tokens long, chars long"),
+        "base", pk="doc_id",
+        deletes=spark.createDataFrame([(10,)], "doc_id long"),
+    )
+    refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+    got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
+    assert got["en"] == 5

@@ -315,3 +315,26 @@ def test_tag_race_one_winner_objstore(spark, tmp_path):
         b.tag("t", "v1")
     assert a.tags("t") == b.tags("t")
     assert object_count() > 0
+
+
+def test_drop_branch_forward_probes_past_lagging_list(spark, tmp_path):
+    """drop_branch on an eventually-consistent store must remove
+    version files the lagging LIST has not surfaced yet — a survivor
+    would resurrect the branch and permanently block the name."""
+    root = str(tmp_path / "ob")
+    st = SnapshotStore(spark, root, backend=ObjectStoreCommitBackend(list_lag=2))
+    df = spark.createDataFrame([(1, "a", 1)], "pk long, key string, v long")
+    s1 = st.write_table(df, "t", "key")
+    s2 = st.write_table(
+        spark.createDataFrame([(1, "a", 2)], "pk long, key string, v long"),
+        "t", "key",
+    )
+    st.branch("t", "b", s1)
+    st.move_branch("t", "b", s2)  # version files .0 and .1; LIST lags both
+    st.drop_branch("t", "b")
+    assert st.branches("t") == {}
+    # the name is reusable in the shared tag namespace; resolve via the
+    # read-after-write direct probe (the LIST-backed tags() view lags
+    # by construction here — that lag is exactly what this test models)
+    st.tag("t", "b", s1)
+    assert st._resolve_sid("t", "b") == s1

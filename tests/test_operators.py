@@ -443,7 +443,9 @@ def test_ring_targets_matches_column_form(spark):
     """cells.ring_targets (the driver-side twin used by the knn prune
     estimator and prefix_ring) must agree with cell_neighbors_df's
     compiled plan on wrap, clamp, AND aliased-offset dedup."""
-    for res, k in ((1, 1), (2, 1), (5, 2)):
+    # (1, 3) is the k > n regime: offsets with |dx| > n must wrap to
+    # VALID cells (an un-modded dx once packed a negative x)
+    for res, k in ((1, 1), (2, 1), (5, 2), (1, 3)):
         cells_list = [
             (int(c),)
             for c in [

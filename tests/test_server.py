@@ -245,3 +245,25 @@ def test_null_id_is_answered_and_missing_method_is_invalid_request(srv):
     # unknown method keeps -32601
     rep = json.loads(srv.handle_line(_rpc("no_such_tool")))
     assert rep["error"]["code"] == -32601
+
+
+def test_falsy_non_object_params_rejected(srv):
+    """params: [] / 0 / "" are structurally invalid positional params
+    and must answer INVALID_PARAMS — `or {}` used to silently treat
+    them as no-params; absent or null params still mean no-params."""
+    for bad in ([], 0, ""):
+        rep = json.loads(
+            srv.handle_line(
+                json.dumps({"jsonrpc": "2.0", "id": 1, "method": "get_stats",
+                            "params": bad})
+            )
+        )
+        assert rep["error"]["code"] == -32602, bad
+    for ok in (None, {}):
+        rep = json.loads(
+            srv.handle_line(
+                json.dumps({"jsonrpc": "2.0", "id": 2, "method": "get_stats",
+                            "params": ok})
+            )
+        )
+        assert "result" in rep, ok
