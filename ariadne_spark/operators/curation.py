@@ -2057,7 +2057,20 @@ def pack_multimodal(
         for doc, seq, kind, t in zip(
             pdf["doc_id"], pdf["seq"], pdf["kind"], pdf["n_tokens"]
         ):
+            # NULLs arrive as NaN after the long cast; int(NaN) raises
+            # an opaque TypeError mid-pack — name the offending segment
+            # instead, matching the kind/ctx assert style below
+            assert pd.notna(doc) and pd.notna(seq) and pd.notna(t), (
+                f"segment (doc {doc}, seq {seq}) in shard {shard} has "
+                f"NULL doc/seq/n_tokens (n_tokens={t}): every segment "
+                "needs a non-null identity and token count"
+            )
             doc, seq, t = int(doc), int(seq), int(t)
+            assert t >= 0, (
+                f"segment (doc {doc}, seq {seq}) has negative "
+                f"n_tokens={t} — a negative count would be silently "
+                "dropped by the split loop; fix the upstream counter"
+            )
             assert kind in ("text", "image"), f"unknown segment kind {kind!r}"
             if kind == "image":
                 assert 1 <= t <= ctx, (

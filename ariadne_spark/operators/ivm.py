@@ -91,19 +91,40 @@ def _pending_intent(store, view: str) -> dict | None:
 def _recover_pending(store, view: str) -> None:
     """Finish a refresh that crashed between its merge commit and its
     baseline record. The intent row carries (new base sid, the view
-    snapshot the merge started from): if the view has moved past that
-    snapshot the merge COMMITTED and only the bookkeeping was lost —
-    record the baseline now, so the rerun cannot double-apply the same
-    delta. If the view still sits at the pre-merge snapshot the merge
-    never committed and the stale intent is simply superseded. Assumes
-    the view is maintained solely through this module (single
-    maintainer — same contract as the from_sid guard)."""
+    snapshot the merge started from): snapshot ids are dense (store
+    `_commit` allocates pre+1), so the ONLY view snapshot our merge
+    commit can have produced is pre_sid + 1 — if the view sits exactly
+    there the merge COMMITTED and only the bookkeeping was lost, and
+    the baseline is recorded now so the rerun cannot double-apply the
+    same delta. If the view still sits at the pre-merge snapshot the
+    merge never committed and the stale intent is simply superseded.
+    Any OTHER position means the view moved through something besides
+    this module's merge (rollback, compaction, manual write) — the
+    single-maintainer contract is broken, so the baseline is NOT
+    adopted (adopting would silently skip a delta that was never
+    applied) and a loud warning names the three snapshots involved."""
     pending = _pending_intent(store, view)
     if pending is None:
         return
     cur = store.current_snapshot_id(view)
-    if cur is not None and int(cur) != int(pending["n_rows"]):
+    cur_i = -1 if cur is None else int(cur)
+    pre = int(pending["n_rows"])
+    if cur_i == pre:
+        return  # merge never committed; the new refresh supersedes the intent
+    if cur_i == pre + 1:
         _record_baseline(store, view, int(pending["snapshot_id"]))
+        return
+    import warnings
+
+    warnings.warn(
+        f"IVM view {view!r}: pending intent expected snapshot "
+        f"{pre} (pre-merge) or {pre + 1} (post-merge) but the view is at "
+        f"{cur_i} — the view moved outside this maintainer; refusing to "
+        "adopt the crashed refresh's baseline (its delta may never have "
+        "been applied). Rebuild the view with create_agg_view.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
 
 
 def recorded_baseline(store, view: str) -> int | None:

@@ -52,13 +52,20 @@ def _envelope_cells(env, index_res: int, region_id: str = "?") -> list[int]:
     of the registration rule, shared by the broadcast RegionIndex and
     the partitioned join's region-explode stage (two copies would let
     the two paths silently register different cells). Refuses
-    antimeridian-crossing envelopes (probe points never wrap)."""
+    antimeridian-crossing envelopes (probe points never wrap) with a
+    real ValueError — not `assert`, which `python -O` strips, silently
+    re-enabling malformed registration. An envelope whose right edge
+    sits exactly ON the seam (env[2] == LON_SPAN) is legal and clamps
+    to the last column x = n-1; it does NOT also register the wrapped
+    x = 0 column (probe points satisfy lon_u < LON_SPAN, so no probe
+    in column 0 can fall inside such an envelope)."""
     n = 1 << index_res
-    assert 0.0 <= env[0] and env[2] <= cells.LON_SPAN, (
-        f"region {region_id} envelope x=[{env[0]}, {env[2]}] "
-        f"outside the lon_u domain [0, {cells.LON_SPAN}]: "
-        "antimeridian-crossing polygons must be pre-split at the seam"
-    )
+    if not (0.0 <= env[0] and env[2] <= cells.LON_SPAN):
+        raise ValueError(
+            f"region {region_id} envelope x=[{env[0]}, {env[2]}] "
+            f"outside the lon_u domain [0, {cells.LON_SPAN}]: "
+            "antimeridian-crossing polygons must be pre-split at the seam"
+        )
     x0 = int(env[0] * n // cells.LON_SPAN)
     x1 = int(env[2] * n // cells.LON_SPAN)
     y0 = int(env[1] * n // cells.LAT_SPAN)

@@ -241,8 +241,18 @@ class ToolServer:
         method = req.get("method")
         if not isinstance(method, str):
             # structurally invalid request (no/ill-typed method) is
-            # INVALID_REQUEST per spec SS4.2, not METHOD_NOT_FOUND
-            return err(INVALID_REQUEST, "missing method")
+            # INVALID_REQUEST per spec SS4.2, not METHOD_NOT_FOUND.
+            # A structurally invalid request is NEVER treated as a
+            # notification: when the id cannot be determined (absent
+            # member) the spec says respond with id null (SS5 "If there
+            # was an error in detecting the id ... it MUST be Null") —
+            # suppressing the reply would leave a conforming client
+            # waiting forever on its malformed call
+            return {
+                "jsonrpc": "2.0",
+                "id": rid,  # None when absent — exactly the spec's null
+                "error": {"code": INVALID_REQUEST, "message": "missing method"},
+            }
         # absent params (or explicit null) means no-params; any OTHER
         # non-object value — including falsy [] / 0 / "" — is a
         # structurally invalid positional-params request

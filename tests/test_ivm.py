@@ -218,3 +218,48 @@ def test_refresh_null_values_match_cold_rebuild(spark, tmp_path):
     refresh_agg_view(st, "base", "v", "lang", ["tokens"])
     got = {r["lang"]: r["sum_tokens"] for r in st.read("v").collect()}
     assert got["en"] == 5
+
+
+def test_recover_refuses_foreign_view_movement(spark, tmp_path):
+    """A pending intent whose view moved to NEITHER pre_sid NOR
+    pre_sid+1 (rollback/compaction/manual write after a pre-baseline
+    crash) must NOT be adopted as 'merge committed' — the old inference
+    (any movement == committed) would record a baseline for a delta
+    that was never applied. The recovery warns loudly instead."""
+    import warnings as _w
+
+    import pytest
+
+    from ariadne_spark.operators import ivm as ivm_mod
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.write_table(
+        _base(spark, [(1, "en", 5, 5), (2, "de", 6, 6)]), "base", key="lang"
+    )
+    create_agg_view(st, "base", "v", "lang", ["tokens"])
+    st.merge_rows(_base(spark, [(1, "en", 50, 5)]), "base", pk="doc_id")
+
+    # crash BEFORE the merge commits (stale intent, view unmoved)...
+    real_merge = st.merge_rows
+
+    def dying_merge(*a, **k):
+        st.merge_rows = real_merge
+        raise RuntimeError("injected crash before merge commit")
+
+    st.merge_rows = dying_merge
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_agg_view(st, "base", "v", "lang", ["tokens"])
+
+    # ...then the view moves TWICE through a foreign writer (two manual
+    # re-snapshots), so cur == pre+2: recovery must refuse + warn
+    v = st.read("v")
+    st.write_table(v, "v", key="lang")
+    st.write_table(v, "v", key="lang")
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        ivm_mod._recover_pending(st, "v")
+    assert any("outside this maintainer" in str(x.message) for x in got)
+    # and no baseline was recorded for the never-applied delta
+    from ariadne_spark.operators.ivm import recorded_baseline
+
+    assert recorded_baseline(st, "v") == 0  # still the create-time baseline

@@ -370,7 +370,8 @@ def test_region_index_refuses_seam_crossing_polygon():
         "wkt": "POLYGON ((-5000000 10000000, 5000000 10000000, "
         "5000000 20000000, -5000000 20000000, -5000000 10000000))",
     }
-    with pytest.raises(AssertionError, match="antimeridian"):
+    # ValueError, not assert: the domain guard must survive `python -O`
+    with pytest.raises(ValueError, match="antimeridian"):
         RegionIndex([seam])
     # an in-domain polygon still indexes fine
     ok = {

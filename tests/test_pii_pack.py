@@ -445,3 +445,22 @@ def test_pack_multimodal_oversized_image_raises(spark):
     )
     with pytest.raises(Exception, match="cannot split"):
         pack_multimodal(df, 8).collect()
+
+
+def test_pack_multimodal_rejects_null_and_negative_segments(spark):
+    """NULL doc/seq/n_tokens used to crash with an opaque int(NaN)
+    TypeError and negative n_tokens was a silent no-op (while-loop
+    never entered — the segment vanished without a trace); both must
+    fail loudly, naming the offending segment."""
+    from ariadne_spark.operators.curation import pack_multimodal
+
+    schema = "shard long, doc_id long, seq long, kind string, n_tokens long"
+    null_tok = spark.createDataFrame([(0, 1, 0, "text", None)], schema)
+    with pytest.raises(Exception, match="NULL doc/seq/n_tokens"):
+        pack_multimodal(null_tok, 8).collect()
+    null_doc = spark.createDataFrame([(0, None, 0, "text", 3)], schema)
+    with pytest.raises(Exception, match="NULL doc/seq/n_tokens"):
+        pack_multimodal(null_doc, 8).collect()
+    neg = spark.createDataFrame([(0, 1, 0, "text", -4)], schema)
+    with pytest.raises(Exception, match="negative"):
+        pack_multimodal(neg, 8).collect()

@@ -240,6 +240,13 @@ def test_null_id_is_answered_and_missing_method_is_invalid_request(srv):
     out = srv.handle_line(json.dumps({"jsonrpc": "2.0", "id": 8, "method": 42}))
     rep = json.loads(out)
     assert rep["error"]["code"] == -32600
+    # a structurally INVALID request with NO id member is NOT a
+    # notification: the id cannot be determined, so the spec (§5)
+    # requires a response with id null — silence would block the caller
+    out = srv.handle_line(json.dumps({"jsonrpc": "2.0"}))
+    assert out is not None, "invalid request without id must be answered"
+    rep = json.loads(out)
+    assert rep["error"]["code"] == -32600 and rep["id"] is None
     # a true notification (no id key) still gets no reply
     assert srv.handle_line(json.dumps({"jsonrpc": "2.0", "method": "get_stats"})) is None
     # unknown method keeps -32601
