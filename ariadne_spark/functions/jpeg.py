@@ -10,14 +10,21 @@ the encoder's output is a standards-conforming interchange JPEG and
 the decoder reads baseline JPEGs produced elsewhere (progressive SOF2
 raises NotImplementedError loudly).
 
-Scale posture: the DCT/quantization stages are vectorized across all
-blocks of an image at once; the entropy stage is a per-coefficient
-Python loop, which is fine inside Arrow-batched UDFs for the
-correctness path but is NOT the 2M-image bench hot path — the synth
-bench corpus deliberately uses the 'fjpg' stand-in codec so round-
-over-round decode throughput stays comparable (see codecs.py). A
-production deployment swaps this module for a native libjpeg binding
-via `register_codec` without touching any operator.
+Scale posture (round 5): every stage is vectorized. Encode-side
+DCT/quantization batch across all blocks; decode-side entropy runs on
+a numpy WAVE machine over restart intervals (`_decode_scan_waves` —
+intervals are independent byte-aligned decodes, so they become lanes
+and each wave decodes one symbol per lane; ~13x the per-bit reference
+decoder on the entropy stage, ~5x full-decode, measured in BENCH.md
+"real-JPEG decode throughput"). Restart-free foreign streams use a
+16-bit-window LUT walk (~2x) — Huffman boundaries are data-dependent,
+so without restart markers there is no exact intra-image parallel
+seam in pure numpy; that path remains the documented swap point for a
+native libjpeg binding via `register_codec` (no operator changes).
+The encoder emits restart markers on request (`restart_mcus`), so
+corpora this engine writes always decode on the wave path. The synth
+bench corpus still uses the 'fjpg' stand-in codec so round-over-round
+decode throughput stays comparable (see codecs.py).
 
 Reference analog: the per-language tree-sitter parse stage
 (`packages/core/src/project/project.ts:63-101`) — here the "grammar"
@@ -271,14 +278,25 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 95, subsample: str = "420") -> bytes:
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 95,
+    subsample: str = "420",
+    restart_mcus: int = 0,
+) -> bytes:
     """HxWx3 uint8 RGB -> baseline JFIF bytes. `subsample` is '420'
     (2x2 chroma, the interchange default) or '444' (no subsampling —
     use with quality >= 97 when a tight PSNR bound matters: box-
-    averaged chroma is irreducibly lossy on high-frequency content)."""
+    averaged chroma is irreducibly lossy on high-frequency content).
+    `restart_mcus` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (predictors reset, bit stream byte-aligned) — a few
+    bytes of overhead that makes the entropy stream RESUMABLE at
+    interval boundaries, the format's own seam for parallel decode of
+    very large images."""
     h, w, c = px.shape
     assert c == 3 and px.dtype == np.uint8
     assert subsample in ("420", "444")
+    assert 0 <= restart_mcus <= 0xFFFF, "restart interval is a 16-bit count"
     s2 = 2 if subsample == "420" else 1
     mcu = 8 * s2
     ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
@@ -306,13 +324,26 @@ def encode_jpeg(px: np.ndarray, quality: int = 95, subsample: str = "420") -> by
         (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
     ):
         out += _seg(0xFFC4, bytes([tc_th] + bits + vals))
+    if restart_mcus:
+        out += _seg(0xFFDD, struct.pack(">H", restart_mcus))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
     bw_y = pw // 8
     writer = _BitWriter()
     preds = [0, 0, 0]
+    mcols = pw // mcu
+    mi = 0
     for mr in range(ph // mcu):
-        for mc in range(pw // mcu):
+        for mc in range(mcols):
+            if restart_mcus and mi and mi % restart_mcus == 0:
+                # close the interval: byte-align (flush pads with 1s),
+                # emit RSTn (n cycles 0..7), reset every DC predictor
+                writer.flush()
+                out += writer.buf
+                out += bytes([0xFF, 0xD0 + (mi // restart_mcus - 1) % 8])
+                writer = _BitWriter()
+                preds = [0, 0, 0]
+            mi += 1
             if s2 == 2:
                 for dy in range(2):
                     for dx in range(2):
@@ -402,26 +433,40 @@ def _extend(bits: int, size: int) -> int:
 def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Collect the scan's entropy bytes from `pos`, de-stuffing 0xFF00
     and splitting at RSTn markers; returns (intervals, next marker
-    position)."""
-    intervals: list[bytearray] = [bytearray()]
-    i = pos
-    n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            intervals[-1].append(b)
-            i += 1
-            continue
-        m = data[i + 1] if i + 1 < n else 0xD9
-        if m == 0x00:
-            intervals[-1].append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:  # RSTn — interval boundary
-            intervals.append(bytearray())
-            i += 2
-        else:
-            break  # a real marker ends the scan
-    return [bytes(iv) for iv in intervals], i
+    position). Vectorized: all 0xFF positions are found in one pass,
+    classified in one pass (stuffing / RSTn / scan-ending marker), and
+    each interval is assembled by deleting its stuffed 0x00 bytes from
+    one slice — the per-byte python loop this replaces was costing
+    more than the entropy decode itself on large scans."""
+    a = np.frombuffer(data, np.uint8)[pos:]
+    ff = np.flatnonzero(a == 0xFF)
+    # marker code after each 0xFF (a trailing lone 0xFF acts as EOI)
+    nxt = np.full(ff.shape, 0xD9, np.uint8)
+    inbound = ff + 1 < a.size
+    nxt[inbound] = a[ff[inbound] + 1]
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    ends = np.flatnonzero(~is_stuff & ~is_rst)
+    last = int(ends[0]) if ends.size else ff.size  # index into ff[]
+    end = int(ff[last]) if ends.size else a.size   # scan end, rel. to pos
+    cuts = ff[:last][is_rst[:last]]                # RSTn positions
+    stuffs = ff[:last][is_stuff[:last]]
+    # compact ONCE: drop every stuffed 0x00 and both bytes of every
+    # RSTn marker, then cut the compacted bytes at the adjusted
+    # boundaries — per-interval np.delete was quadratic-ish in the
+    # interval count and dominated large scans
+    drop = np.zeros(end, bool)
+    if stuffs.size:
+        drop[stuffs + 1] = True
+    if cuts.size:
+        drop[cuts] = True
+        drop[cuts + 1] = True
+    dropped = np.cumsum(drop)  # dropped[i] = # dropped in [0, i]
+    cb = a[:end][~drop].tobytes()
+    # interval i starts right after cut i-1's two marker bytes
+    starts = [0] + (cuts + 2 - dropped[cuts + 1]).tolist()
+    ends_c = (cuts - np.where(cuts > 0, dropped[cuts - 1], 0)).tolist() + [len(cb)]
+    return [cb[s:e] for s, e in zip(starts, ends_c)], pos + end
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -519,33 +564,49 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     planes = []
     for c in comps:
         p = out_planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:  # np.repeat by 1 still copies the whole plane
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
         planes.append(p[:h, :w])
     if len(planes) == 1:
         y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    # PLANAR color math, one interleave at the end: np.stack(axis=2)
+    # and per-channel strided writes both pay tiny-stride memory
+    # traffic per op (~8x this, measured); the arithmetic order
+    # matches the expressions r = y + 1.402(cr-128) etc. term for
+    # term, so the output stays bit-identical
+    cb = cb - 128.0
+    cr = cr - 128.0
+    pl = np.empty((3, h, w), np.float64)
+    np.multiply(cr, 1.402, out=pl[0])
+    pl[0] += y
+    pl[1] = y  # exact (y - a) - b association
+    pl[1] -= 0.344136 * cb
+    pl[1] -= 0.714136 * cr
+    np.multiply(cb, 1.772, out=pl[2])
+    pl[2] += y
+    np.rint(pl, out=pl)
+    np.clip(pl, 0, 255, out=pl)
+    return pl.transpose(1, 2, 0).astype(np.uint8)
 
 
-def _decode_scan(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
-    """Entropy-decode every MCU; returns {component id: float plane}
-    at each component's own (padded) resolution. IDCT is batched per
-    component — one matrix product over all its blocks.
+def _scan_geometry(scan, h, w, hmax_g, vmax_g):
+    """MCU grid + per-component effective sampling for a scan — the
+    ONE copy of the spec A.2 geometry, shared by the vectorized and
+    loop decoders (two copies could silently diverge on the
+    non-interleaved chroma-plane sizing).
 
-    Geometry per spec A.2: an INTERLEAVED scan's MCU grid derives from
-    the FRAME's max sampling factors (hmax_g/vmax_g — equal to the
-    scan's own max when the scan carries every component, the common
-    case) with h_i x v_i blocks per component per MCU; a single-
-    component NON-INTERLEAVED scan's MCU is one block on the
-    component's OWN sample grid, ceil(w*h_i/hmax)/8 blocks across
-    (A.2.2) — using the full-resolution grid there would mis-size
-    subsampled chroma planes. The shared comps dicts are never
-    mutated (a mutation would corrupt later scans and the final
-    upsample)."""
+    An INTERLEAVED scan's MCU grid derives from the FRAME's max
+    sampling factors (hmax_g/vmax_g) with h_i x v_i blocks per
+    component per MCU; a single-component NON-INTERLEAVED scan's MCU
+    is one block on the component's OWN sample grid,
+    ceil(w*h_i/hmax)/8 blocks across (A.2.2) — using the
+    full-resolution grid there would mis-size subsampled chroma
+    planes."""
     if len(scan) == 1:
         c0 = scan[0][0]
         cw = -(-(w * c0["h"]) // hmax_g)
@@ -556,6 +617,464 @@ def _decode_scan(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
         mcu_w, mcu_h = 8 * hmax_g, 8 * vmax_g
         mcols, mrows = -(-w // mcu_w), -(-h // mcu_h)
         eff = {c["id"]: (c["h"], c["v"]) for c, _, _ in scan}
+    return mcols, mrows, eff
+
+
+def _idct_planes(scan, state, qtables):
+    """Dequantize + batched IDCT: {cid: {zz (nblocks,64) int64, bw,
+    bh}} -> {cid: float plane} — one matrix product per component."""
+    out = {}
+    for c, _, _ in scan:
+        st = state[c["id"]]
+        qt = qtables[c["tq"]][ZIG].astype(np.float64)
+        # one pass: dequantize + un-zigzag in a single fancy store
+        # (zz * qt lands directly at its raster position)
+        n = st["zz"].shape[0]
+        raster = np.empty((n, 64), np.float64)
+        raster[:, ZIG] = st["zz"] * qt
+        # (T.T @ A) @ T as two LARGE 2-D GEMMs instead of N batched
+        # 8x8 products (BLAS-friendly; ~3x, measured). Association is
+        # preserved exactly — step 1 computes the T.T @ A entries (as
+        # (A.T @ T).T), step 2 multiplies that by T — so the values
+        # match the batched form
+        a_t = np.ascontiguousarray(
+            raster.reshape(n, 8, 8).transpose(0, 2, 1)
+        ).reshape(-1, 8)
+        w = (a_t @ _T).reshape(n, 8, 8).transpose(0, 2, 1)  # = T.T @ A
+        blocks = (
+            np.ascontiguousarray(w).reshape(-1, 8) @ _T
+        ).reshape(n, 8, 8) + 128.0
+        out[c["id"]] = _deblockify(blocks, st["bh"], st["bw"])
+    return out
+
+
+def _lut(t: _DecTable) -> list[int]:
+    """16-bit-window Huffman LUT for a _DecTable: index = the next 16
+    bits of the stream (MSB-first), entry = (symbol << 5) | code_len,
+    0 = no code has that prefix (invalid). One array lookup replaces
+    the spec F.16 per-bit DECODE walk; memoized on the table (the
+    same DHT serves every MCU). Built with numpy slice fills
+    (canonical codes of length L own contiguous index ranges of size
+    2^(16-L)), returned as a plain list — python-int list indexing is
+    ~3x faster than numpy scalar indexing in the symbol walk."""
+    memo = getattr(t, "_lut16", None)
+    if memo is not None:
+        return memo
+    arr = np.zeros(65536, np.int32)
+    for ln in range(1, 17):
+        if t.maxcode[ln] < 0:
+            continue
+        for ci, code in enumerate(range(t.mincode[ln], t.maxcode[ln] + 1)):
+            val = t.vals[t.valptr[ln] + ci]
+            lo = code << (16 - ln)
+            arr[lo : lo + (1 << (16 - ln))] = (val << 5) | ln
+    t._lut16 = arr.tolist()
+    return t._lut16
+
+
+def _lut_adv(t: _DecTable, is_ac: bool) -> np.ndarray:
+    """Wave-machine LUT variant: entry = (symbol << 5) | total_advance
+    where total_advance = code length + the symbol's OWN magnitude-bit
+    count (the size category: low nibble for AC run/size bytes, the
+    whole value for DC) — so one lookup yields both the next-symbol
+    cursor step and where the magnitude bits END, and the wave step
+    needs a single 56-bit window gather per symbol. 0 = invalid prefix
+    (a real entry always has advance >= 1). int64 so every downstream
+    op stays cast-free."""
+    attr = "_lutadv_ac" if is_ac else "_lutadv_dc"
+    memo = getattr(t, attr, None)
+    if memo is not None:
+        return memo
+    arr = np.zeros(65536, np.int64)
+    for ln in range(1, 17):
+        if t.maxcode[ln] < 0:
+            continue
+        for ci, code in enumerate(range(t.mincode[ln], t.maxcode[ln] + 1)):
+            val = t.vals[t.valptr[ln] + ci]
+            size = (val & 15) if is_ac else val
+            lo = code << (16 - ln)
+            arr[lo : lo + (1 << (16 - ln))] = (val << 5) | (ln + size)
+    setattr(t, attr, arr)
+    return arr
+
+
+def _extend_vec(bits: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Vectorized spec F.12 EXTEND over int64 arrays (size 0 -> 0)."""
+    half = np.left_shift(np.int64(1), np.maximum(size - 1, 0))
+    full = np.left_shift(np.int64(1), size)
+    return np.where(size == 0, 0, np.where(bits >= half, bits, bits - full + 1))
+
+
+# Below this many restart intervals the wave decoder's per-wave numpy
+# overhead beats its vectorization win; the walk decoder takes over.
+_WAVE_MIN_INTERVALS = 16
+
+
+def _decode_scan(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
+    """Entropy decode dispatcher, bit-identical to the per-bit
+    reference twin `_decode_scan_loop` on every stream (adversarial
+    parity test over formats/subsamplings/restarts in test_jpeg):
+
+    - `_decode_scan_waves` when the stream carries enough restart
+      intervals: intervals are independent decodes (byte-aligned,
+      predictors reset), so they become LANES of a numpy wave machine
+      — each wave decodes one Huffman symbol in EVERY unfinished
+      interval with ~35 vectorized array ops. Per-symbol cost falls to
+      ~array-gather level: ~13x the loop twin on the entropy stage,
+      ~5x full-decode (the rest is the shared float64 IDCT + color
+      tail, itself vectorized; BENCH.md "real-JPEG decode
+      throughput"). This is the scale path: the module's own encoder
+      emits restart markers (`restart_mcus`), so everything this
+      engine writes decodes here, and many camera/web JPEGs carry DRI
+      too.
+    - `_decode_scan_walk` otherwise (restart-free foreign streams):
+      a 16-bit-window LUT symbol walk — still one python loop, but one
+      table lookup per symbol instead of the spec's per-bit tree walk
+      (~2x the twin). Huffman boundaries are data-dependent, so a
+      restart-free stream has no exact intra-image parallel seam in
+      pure numpy; this path remains the documented libjpeg-swap seam
+      for corpora of restart-free baselines."""
+    mcols, mrows, _ = _scan_geometry(scan, h, w, hmax_g, vmax_g)
+    n_mcus = mrows * mcols
+    step = restart if restart else n_mcus
+    n_int = -(-n_mcus // step)
+    impl = _decode_scan_waves if n_int >= _WAVE_MIN_INTERVALS else _decode_scan_walk
+    return impl(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g)
+
+
+def _decode_scan_walk(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
+    """LUT symbol walk + vectorized coefficient fill.
+
+    Two passes. Pass 1 is the irreducibly sequential part — Huffman
+    code boundaries are data-dependent, so ONE tight python loop walks
+    the symbol stream; but each symbol costs a single 16-bit-window
+    table lookup (`_lut`) plus integer adds, not the spec's per-bit
+    tree walk, and it only RECORDS (bit position, size, target
+    coefficient) for every nonzero coefficient. Pass 2 is pure numpy
+    over those records: magnitude bits gathered through a per-byte
+    32-bit window array, EXTEND applied vectorized, DC diffs turned
+    into predictors by a segmented cumsum (restart intervals are the
+    segment resets), and everything scattered into the coefficient
+    matrix with one fancy-index store. The dequant+IDCT tail was
+    already batched.
+
+    Memory: the window list costs ~28 bytes per scan byte (python
+    ints); a 1 MB scan peaks ~30 MB transient — bounded by the
+    one-image-at-a-time Arrow batch contract of the decode UDFs."""
+    mcols, mrows, eff = _scan_geometry(scan, h, w, hmax_g, vmax_g)
+    n_mcus = mrows * mcols
+    step = restart if restart else n_mcus
+    n_int = -(-n_mcus // step)
+
+    # -- per-component coefficient layout: one flat int64 array -------------
+    comp_off: dict[int, int] = {}
+    shapes: dict[int, tuple[int, int]] = {}
+    total = 0
+    for c, _, _ in scan:
+        eh, ev = eff[c["id"]]
+        bw, bh = mcols * eh, mrows * ev
+        comp_off[c["id"]] = total
+        shapes[c["id"]] = (bh, bw)
+        total += bh * bw * 64
+    flat = np.zeros(total, np.int64)
+
+    # -- per-MCU block sequence: (coef base, DC lut, AC lut, cid) -----------
+    luts = {
+        c["id"]: (_lut(huff[(0, td)]), _lut(huff[(1, ta)]))
+        for c, td, ta in scan
+    }
+    seq: list[list[tuple]] = []
+    for mi in range(n_mcus):
+        mr, mc = divmod(mi, mcols)
+        blocks = []
+        for c, _, _ in scan:
+            cid = c["id"]
+            eh, ev = eff[cid]
+            bw = shapes[cid][1]
+            dlut, alut = luts[cid]
+            for dy in range(ev):
+                for dx in range(eh):
+                    bidx = (mr * ev + dy) * bw + mc * eh + dx
+                    blocks.append((comp_off[cid] + bidx * 64, dlut, alut, cid))
+        seq.append(blocks)
+
+    # -- one contiguous bit buffer over all expected intervals --------------
+    # (pad generously: a garbage-decoding final MCU can overrun by at
+    # most blocks_per_mcu * (16+11)*64 bits before the boundary check
+    # below raises — the pad keeps the window reads in range meanwhile)
+    ivs = [intervals[i] for i in range(n_int)]
+    buf = b"".join(ivs) + b"\x00" * 2048
+    ba = np.frombuffer(buf, np.uint8).astype(np.uint32)
+    b32np = (ba[:-3] << 24) | (ba[1:-2] << 16) | (ba[2:-1] << 8) | ba[3:]
+    B32 = b32np.tolist()
+    bit_off = [0] * (n_int + 1)
+    for i, iv in enumerate(ivs):
+        bit_off[i + 1] = bit_off[i] + 8 * len(iv)
+
+    # -- pass 1: symbol walk ------------------------------------------------
+    ac_pos: list[int] = []
+    ac_size: list[int] = []
+    ac_tgt: list[int] = []
+    dc_pos = {c["id"]: [] for c, _, _ in scan}
+    dc_size = {c["id"]: [] for c, _, _ in scan}
+    dc_tgt = {c["id"]: [] for c, _, _ in scan}
+    dc_seg = {c["id"]: [] for c, _, _ in scan}
+    apos, asize, atgt = ac_pos.append, ac_size.append, ac_tgt.append
+    for it in range(n_int):
+        p = bit_off[it]
+        ebits = bit_off[it + 1]
+        for cid in dc_seg:
+            dc_seg[cid].append(len(dc_tgt[cid]))
+        for mi in range(it * step, min((it + 1) * step, n_mcus)):
+            if p > ebits:
+                raise ValueError("truncated entropy stream")
+            for base, dlut, alut, cid in seq[mi]:
+                e = dlut[(B32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid huffman code")
+                p += e & 31
+                s = e >> 5
+                dc_pos[cid].append(p)
+                dc_size[cid].append(s)
+                dc_tgt[cid].append(base)
+                p += s
+                k = 1
+                while k <= 63:
+                    e = alut[(B32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid huffman code")
+                    p += e & 31
+                    rs = e >> 5
+                    s = rs & 15
+                    if s == 0:
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    assert k <= 63, "AC run past block end"
+                    apos(p)
+                    asize(s)
+                    atgt(base + k)
+                    p += s
+                    k += 1
+        if p > ebits:
+            raise ValueError("truncated entropy stream")
+
+    # -- pass 2: vectorized magnitude extraction + scatter ------------------
+    def gather(pos, size):
+        pos = np.asarray(pos, np.int64)
+        size = np.asarray(size, np.int64)
+        win = b32np[pos >> 3].astype(np.int64)
+        bits = (win >> (32 - (pos & 7) - size)) & (
+            np.left_shift(np.int64(1), size) - 1
+        )
+        return _extend_vec(bits, size)
+
+    if ac_tgt:
+        flat[np.asarray(ac_tgt, np.int64)] = gather(ac_pos, ac_size)
+    for c, _, _ in scan:
+        cid = c["id"]
+        if not dc_tgt[cid]:
+            continue
+        diffs = gather(dc_pos[cid], dc_size[cid])
+        cum = np.cumsum(diffs)
+        starts = np.asarray(dc_seg[cid], np.int64)
+        ends = np.append(starts[1:], len(diffs))
+        prev = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        cum -= np.repeat(prev, ends - starts)  # restart resets the predictor
+        flat[np.asarray(dc_tgt[cid], np.int64)] = cum
+
+    state = {}
+    for c, _, _ in scan:
+        bh, bw = shapes[c["id"]]
+        off = comp_off[c["id"]]
+        state[c["id"]] = {
+            "zz": flat[off : off + bh * bw * 64].reshape(-1, 64),
+            "bw": bw,
+            "bh": bh,
+        }
+    return _idct_planes(scan, state, qtables)
+
+
+def _decode_scan_waves(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
+    """Wave-vectorized entropy decode over restart intervals.
+
+    Restart intervals are the format's own parallel seam: each starts
+    byte-aligned with all DC predictors reset (spec F.2.1.3.1), so the
+    N intervals are N INDEPENDENT Huffman decodes. This machine runs
+    them as N lanes of numpy state vectors — bit cursor `p`, block
+    pointer `B` into a precomputed stream-order block table, intra-
+    block coefficient index `k`, per-(lane, component) DC predictors —
+    and each WAVE decodes exactly one symbol in every unfinished lane:
+    one 16-bit-window gather, one stacked-LUT gather (DC vs AC table
+    selected per lane by `k` and the current block's component), a
+    vectorized magnitude EXTEND, fancy-index predictor updates and a
+    coefficient scatter. ~40 array ops per wave regardless of lane
+    count; total work is O(total symbols) element-ops, so throughput
+    approaches numpy gather speed instead of python interpreter speed.
+    Wave count is the MAXIMUM symbols in any one interval — intervals
+    are near-equal-length by construction (a fixed MCU count each), so
+    lane utilization stays high; finished lanes are compacted out of
+    the active index every wave.
+
+    Error semantics match the loop twin: unmatched 16-bit window ->
+    ValueError("invalid huffman code"); an AC run past the block end
+    -> AssertionError; a lane's cursor passing its interval end while
+    blocks remain -> ValueError("truncated entropy stream"). A lane
+    decoding garbage can bleed reads into the NEXT interval's bytes
+    for at most one wave before that check fires — the shared buffer
+    makes those reads safe, and the trailing pad covers the last lane."""
+    mcols, mrows, eff = _scan_geometry(scan, h, w, hmax_g, vmax_g)
+    n_mcus = mrows * mcols
+    step = restart if restart else n_mcus
+    n_int = -(-n_mcus // step)
+
+    # per-component coefficient layout: one flat int64 array
+    comp_off: dict[int, int] = {}
+    shapes: dict[int, tuple[int, int]] = {}
+    total = 0
+    for c, _, _ in scan:
+        eh, ev = eff[c["id"]]
+        bw, bh = mcols * eh, mrows * ev
+        comp_off[c["id"]] = total
+        shapes[c["id"]] = (bh, bw)
+        total += bh * bw * 64
+    flat = np.zeros(total + 64, np.int64)  # +64: masked-lane scratch slot
+
+    # stream-order block table (numpy): coefficient base, component slot
+    slots = {c["id"]: i for i, (c, _, _) in enumerate(scan)}
+    per_mcu: list[list[tuple[int, int]]] = []  # template over one MCU row span
+    # (base depends on mcu index; build full arrays directly)
+    n_blk_mcu = sum(
+        eff[c["id"]][0] * eff[c["id"]][1] for c, _, _ in scan
+    )
+    n_blocks = n_mcus * n_blk_mcu
+    tgt_base = np.empty(n_blocks, np.int64)
+    cslot = np.empty(n_blocks, np.int64)
+    mr = np.arange(n_mcus) // mcols
+    mc = np.arange(n_mcus) % mcols
+    bi = 0
+    for c, _, _ in scan:
+        cid = c["id"]
+        eh, ev = eff[cid]
+        bw = shapes[cid][1]
+        for dy in range(ev):
+            for dx in range(eh):
+                idxs = bi + np.arange(n_mcus) * n_blk_mcu
+                bidx = (mr * ev + dy) * bw + mc * eh + dx
+                tgt_base[idxs] = comp_off[cid] + bidx * 64
+                cslot[idxs] = slots[cid]
+                bi += 1
+    del per_mcu
+
+    # stacked LUTs: [2*slot] = DC, [2*slot+1] = AC for that component.
+    # DC entries read exactly like AC run/size bytes with run = 0 (DC
+    # size categories are <= 11 < 16), so the wave body below needs NO
+    # DC/AC branch for s, r, coefficient index, or k advance.
+    luts = np.empty((2 * len(scan), 65536), np.int64)
+    for i, (c, td, ta) in enumerate(scan):
+        luts[2 * i] = _lut_adv(huff[(0, td)], is_ac=False)
+        luts[2 * i + 1] = _lut_adv(huff[(1, ta)], is_ac=True)
+    tabx = 2 * cslot  # per-block DC table index; +1 = its AC table
+
+    # contiguous bit buffer; 56-bit windows (7 bytes, top byte clear,
+    # so int64 stays positive and shifts are well-defined): one gather
+    # serves BOTH the 16-bit code window and the magnitude bits, since
+    # offset(7) + code(16) + magnitude(11) = 34 <= 56
+    ivs = [intervals[i] for i in range(n_int)]
+    buf = b"".join(ivs) + b"\x00" * 2048
+    ba = np.frombuffer(buf, np.uint8).astype(np.int64)
+    b56 = (
+        (ba[:-6] << 48) | (ba[1:-5] << 40) | (ba[2:-4] << 32)
+        | (ba[3:-3] << 24) | (ba[4:-2] << 16) | (ba[5:-1] << 8) | ba[6:]
+    )
+    bit_off = np.zeros(n_int + 1, np.int64)
+    for i, iv in enumerate(ivs):
+        bit_off[i + 1] = bit_off[i] + 8 * len(iv)
+
+    p = bit_off[:-1].copy()
+    blk_end_all = np.minimum((np.arange(n_int) + 1) * step, n_mcus) * n_blk_mcu
+    B = np.minimum(np.arange(n_int) * step, n_mcus) * n_blk_mcu
+    k = np.zeros(n_int, np.int64)
+    preds = np.zeros((n_int, len(scan)), np.int64)
+    one = np.int64(1)
+
+    # compacted per-lane state: lanes drop out as their interval ends
+    idx = np.flatnonzero(B < blk_end_all)
+    pa = p[idx]
+    Ba = B[idx]
+    ka = k[idx]
+    bend = blk_end_all[idx]
+    ebit = bit_off[1:][idx]
+    while idx.size:
+        off = pa & 7
+        w = b56[pa >> 3]
+        e = luts[tabx[Ba] + (ka != 0), (w >> (40 - off)) & 0xFFFF]
+        if not e.all():
+            raise ValueError("invalid huffman code")
+        adv = e & 31
+        sym = e >> 5
+        s = sym & 15
+        mask = np.left_shift(one, s) - 1
+        bits = (w >> (56 - off - adv)) & mask
+        v = np.where(bits >= (mask + 1) >> 1, bits, bits - mask)  # EXTEND
+        pa = pa + adv
+
+        isdc = ka == 0
+        coef = ka + (sym >> 4)  # run is 0 on DC lanes by construction
+        # DC lanes accumulate predictors; the stored value IS the predictor
+        dci = np.flatnonzero(isdc)
+        if dci.size:
+            lanes = idx[dci]
+            cs = cslot[Ba[dci]]
+            preds[lanes, cs] += v[dci]
+            v[dci] = preds[lanes, cs]
+        # one scatter covers DC (coef 0) and AC value symbols
+        store = isdc | (s > 0)
+        assert not np.any(store & (coef > 63)), "AC run past block end"
+        si = np.flatnonzero(store)
+        flat[tgt_base[Ba[si]] + coef[si]] = v[si]
+
+        zrl = sym == 0xF0
+        kn = np.where(zrl, ka + 16, np.where(store, coef + 1, ka))
+        blk_done = ((~isdc) & (sym == 0)) | (kn > 63)  # EOB | block filled
+        Ba = Ba + blk_done
+        ka = np.where(blk_done, 0, kn)
+        # a conforming interval never moves the cursor past its own
+        # end (final flush pads with 1-bits); any lane that did was
+        # decoding garbage or ran out of bytes — exactly the loop
+        # twin's "read past the interval" condition
+        if np.any(pa > ebit):
+            raise ValueError("truncated entropy stream")
+        live = Ba < bend
+        if not live.all():
+            idx = idx[live]
+            pa = pa[live]
+            Ba = Ba[live]
+            ka = ka[live]
+            bend = bend[live]
+            ebit = ebit[live]
+
+    state = {}
+    for c, _, _ in scan:
+        bh, bw = shapes[c["id"]]
+        off = comp_off[c["id"]]
+        state[c["id"]] = {
+            "zz": flat[off : off + bh * bw * 64].reshape(-1, 64),
+            "bw": bw,
+            "bh": bh,
+        }
+    return _idct_planes(scan, state, qtables)
+
+
+def _decode_scan_loop(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
+    """Per-bit reference twin of `_decode_scan` (spec F.16/F.2.2
+    decode procedures, straight-line): kept as the bit-identity oracle
+    the parity tests pit the vectorized decoder against — the two
+    implementations share geometry (`_scan_geometry`) and the IDCT
+    tail (`_idct_planes`) but nothing of the entropy walk."""
+    mcols, mrows, eff = _scan_geometry(scan, h, w, hmax_g, vmax_g)
     state = {}
     for c, _, _ in scan:
         eh, ev = eff[c["id"]]
@@ -598,13 +1117,4 @@ def _decode_scan(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
                         assert k <= 63, "AC run past block end"
                         zz[k] = _extend(reader.take(s), s)
                         k += 1
-    out = {}
-    for c, _, _ in scan:
-        st = state[c["id"]]
-        qt = qtables[c["tq"]][ZIG].astype(np.float64)
-        coefs_zz = st["zz"].astype(np.float64) * qt
-        raster = np.zeros_like(coefs_zz)
-        raster[:, ZIG] = coefs_zz
-        blocks = _T.T @ raster.reshape(-1, 8, 8) @ _T + 128.0
-        out[c["id"]] = _deblockify(blocks, st["bh"], st["bw"])
-    return out
+    return _idct_planes(scan, state, qtables)

@@ -309,3 +309,90 @@ def test_noninterleaved_multiscan_odd_dims_444():
     ni = codecs.decode_image(_encode_noninterleaved(px, 97, "444"), "jpeg")
     assert np.array_equal(il, ni)
     assert codecs.psnr(px, ni) >= 30.0
+
+
+# ---------------------------------------------------------------------------
+# vectorized entropy decoder — bit-identity vs the per-bit reference twin
+# ---------------------------------------------------------------------------
+
+
+def _golden_flat_gray() -> bytes:
+    return (
+        _gray_headers(8, 8)
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\xd0\xaf"
+        + b"\xff\xd9"
+    )
+
+
+def _golden_restart() -> bytes:
+    return (
+        _gray_headers(16, 8)
+        + _seg(0xFFDD, struct.pack(">H", 1))
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\xd0\xaf" + b"\xff\xd0" + b"\xd0\xaf"
+        + b"\xff\xd9"
+    )
+
+
+def _parity_streams():
+    """Adversarial stream set: both subsamplings, odd dims, flat and
+    noise content, quality extremes, restart intervals (incl. one that
+    does not divide the MCU count), non-interleaved multi-scan, and
+    the hand-assembled golden fixtures."""
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, size=(64, 80, 3), dtype=np.uint8)
+    flat = np.full((16, 16, 3), 200, np.uint8)
+    grad = np.zeros((48, 32, 3), np.uint8)
+    grad[:, :, 0] = np.linspace(0, 255, 32, dtype=np.uint8)[None, :]
+    grad[:, :, 1] = np.linspace(0, 255, 48, dtype=np.uint8)[:, None]
+    streams = [
+        encode_jpeg(noise, 90, "420"),
+        encode_jpeg(noise, 97, "444"),
+        encode_jpeg(flat, 100, "444"),
+        encode_jpeg(grad, 30, "420"),
+        encode_jpeg(big, 75, "420", restart_mcus=3),   # 20 MCUs, 3 ∤ 20
+        encode_jpeg(big, 95, "444", restart_mcus=1),   # every MCU an interval
+        _encode_noninterleaved(noise[:32, :48], 90, "420"),
+        _encode_noninterleaved(noise[:20, :12], 97, "444"),
+        _golden_flat_gray(),
+        _golden_restart(),
+    ]
+    return streams
+
+
+def test_vectorized_decoder_bit_identical_to_loop_twin(monkeypatch):
+    from ariadne_spark.functions import jpeg as J
+
+    for i, data in enumerate(_parity_streams()):
+        fast = decode_jpeg(data)
+        monkeypatch.setattr(J, "_decode_scan", J._decode_scan_loop)
+        ref = decode_jpeg(data)
+        monkeypatch.undo()
+        assert np.array_equal(fast, ref), f"stream {i} diverged"
+
+
+def test_encoder_restart_markers_roundtrip_and_conform():
+    """restart_mcus>0 must emit DRI + cycling RSTn and decode to
+    exactly the no-restart encoding's pixels (same quantized
+    coefficients, only the entropy framing differs)."""
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    plain = encode_jpeg(px, 85, "420")
+    rst = encode_jpeg(px, 85, "420", restart_mcus=2)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
+    # 12 MCUs at restart=2 -> 5 boundaries, RSTn cycling from D0
+    for n in range(5):
+        assert bytes([0xFF, 0xD0 + n % 8]) in rst
+    assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+
+
+def test_truncated_stream_still_raises_on_vectorized_path():
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    data = encode_jpeg(px, 90, "420")
+    # chop the entropy stream well short of the MCU count
+    cut = data[: len(data) // 2]
+    with pytest.raises(Exception):
+        decode_jpeg(cut + b"\xff\xd9")
