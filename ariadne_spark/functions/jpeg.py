@@ -366,6 +366,247 @@ def encode_jpeg(
 
 
 # --------------------------------------------------------------------------
+# progressive (SOF2) encoder — spectral selection + successive
+# approximation with EOB runs; the decode twin's conformance source
+# --------------------------------------------------------------------------
+
+# one shared AC table for progressive scans: ALL (run<<4|size) bytes
+# with size <= 10 (176 symbols), each a canonical 8-bit code — Kraft
+# sum 176/256 < 1, so the assignment is valid and the all-ones prefix
+# stays unused. Annex K's sequential AC tables lack the EOBn symbols
+# (0x10, 0x20, ...), so progressive needs its own table anyway.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = sorted((r << 4) | s for r in range(16) for s in range(11))
+ENC_PROG_AC = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """Point transform for AC coefficients (G.1.2.2): divide by 2^Al
+    TRUNCATING TOWARD ZERO — unlike DC's floor shift."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(w: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
+    """AC first scan (Ah=0) over one component's own-grid blocks:
+    run/size coding of the point-transformed band with EOB-run
+    accumulation across blocks."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ENC_PROG_AC[nb << 4]
+            w.put(code, ln)
+            if nb:
+                w.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for blk in blocks:
+        band = [_trunc_shift(int(blk[k]), al) for k in range(ss, se + 1)]
+        last = -1
+        for j in range(len(band) - 1, -1, -1):
+            if band[j]:
+                last = j
+                break
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for j in range(last + 1):
+            v = band[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ENC_PROG_AC[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = _csize(v)
+            code, ln = ENC_PROG_AC[(run << 4) | s]
+            w.put(code, ln)
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(w: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (Ah=Al+1): newly significant coefficients
+    (|v| >> Al == 1) as size-1 symbols + sign bit; history
+    coefficients contribute one deferred correction bit each, flushed
+    after the next emitted symbol (IJG's BR/BE buffering, mirrored)."""
+    eobrun = 0
+    be: list[int] = []  # correction bits deferred across an EOB run
+
+    def flush() -> None:
+        nonlocal eobrun, be
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ENC_PROG_AC[nb << 4]
+            w.put(code, ln)
+            if nb:
+                w.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+        for b in be:
+            w.put(b, 1)
+        be = []
+
+    for blk in blocks:
+        vals = [int(blk[k]) for k in range(ss, se + 1)]
+        absb = [abs(v) >> al for v in vals]
+        eobpos = -1
+        for j in range(len(absb) - 1, -1, -1):
+            if absb[j] == 1:
+                eobpos = j
+                break
+        run = 0
+        br: list[int] = []
+        for j, a in enumerate(absb):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and j <= eobpos:
+                flush()
+                code, ln = ENC_PROG_AC[0xF0]
+                w.put(code, ln)
+                run -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if a > 1:  # history coefficient: defer its correction bit
+                br.append(a & 1)
+                continue
+            flush()  # newly significant
+            code, ln = ENC_PROG_AC[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if vals[j] > 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray, quality: int = 95, subsample: str = "420"
+) -> bytes:
+    """HxWx3 uint8 RGB -> progressive (SOF2) JFIF bytes, same
+    quantized coefficients as `encode_jpeg` at the same quality — so
+    `decode_jpeg` of both forms must agree PIXEL-EXACTLY (the
+    conformance oracle in test_jpeg). Scan script exercises every
+    progressive scan kind: interleaved DC first at Al=1, per-component
+    spectral-selection AC first scans at Al=1 (luma split 1-5 / 6-63),
+    per-component AC refinements to Al=0, interleaved DC refinement."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    assert subsample in ("420", "444")
+    s2 = 2 if subsample == "420" else 1
+    mcu = 8 * s2
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_ycbcr(padded)
+    if s2 == 2:
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    qly, qlc = quality_tables(quality)
+    zy = _quant_blocks(y, qly)
+    zcb = _quant_blocks(cb, qlc)
+    zcr = _quant_blocks(cr, qlc)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0x00]) + bytes(qly.reshape(64)[ZIG].astype(np.uint8)))
+    out += _seg(0xFFDB, bytes([0x01]) + bytes(qlc.reshape(64)[ZIG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (s2 << 4) | s2, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(0xFFC2, sof)
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x10, PROG_AC_BITS, PROG_AC_VALS),
+    ):
+        out += _seg(0xFFC4, bytes([tc_th] + list(bits) + list(vals)))
+
+    def sos(comp_spec, ss_, se_, ah_, al_):
+        payload = [len(comp_spec)]
+        for cid, tdta in comp_spec:
+            payload += [cid, tdta]
+        payload += [ss_, se_, (ah_ << 4) | al_]
+        return _seg(0xFFDA, bytes(payload))
+
+    mcols_f, mrows_f = pw // mcu, ph // mcu
+    bwy = pw // 8
+    bwc = (pw // s2) // 8
+    comps_meta = [  # (cid, zz, padded bw, own grid, dc table idx)
+        (1, zy, bwy, (-(-h // 8), -(-w // 8)), 0),
+        (2, zcb, bwc, (-(-(-(-h // s2)) // 8), -(-(-(-w // s2)) // 8)), 1),
+        (3, zcr, bwc, (-(-(-(-h // s2)) // 8), -(-(-(-w // s2)) // 8)), 1),
+    ]
+
+    def dc_blocks():  # interleaved frame-MCU traversal, baseline order
+        for mi in range(mrows_f * mcols_f):
+            mr, mc = divmod(mi, mcols_f)
+            for ci, (cid, z, bwp, _own, t) in enumerate(comps_meta):
+                eh = ev = s2 if cid == 1 else 1
+                for dy in range(ev):
+                    for dx in range(eh):
+                        yield ci, t, z[(mr * ev + dy) * bwp + mc * eh + dx]
+
+    # scan 1: DC first, interleaved, Al=1 (floor point transform)
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, t, blk in dc_blocks():
+        v = int(blk[0]) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _csize(diff)
+        code, ln = ENC_DC[t][s]
+        wtr.put(code, ln)
+        if s:
+            wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.buf
+
+    def own_blocks(z, bwp, own):
+        bh_o, bw_o = own
+        return [z[r * bwp + cc] for r in range(bh_o) for cc in range(bw_o)]
+
+    # AC first scans at Al=1 (luma band-split), then refinements to Al=0
+    bands = {1: [(1, 5), (6, 63)], 2: [(1, 63)], 3: [(1, 63)]}
+    for enc, ah_, al_ in ((_enc_ac_first, 0, 1), (_enc_ac_refine, 1, 0)):
+        for cid, z, bwp, own, _t in comps_meta:
+            for ss_, se_ in bands[cid]:
+                out += sos([(cid, 0x00)], ss_, se_, ah_, al_)
+                wtr = _BitWriter()
+                enc(wtr, own_blocks(z, bwp, own), ss_, se_, al_)
+                wtr.flush()
+                out += wtr.buf
+
+    # final scan: DC refinement, interleaved, Ah=1 Al=0 (raw bits)
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for _ci, _t, blk in dc_blocks():
+        wtr.put(int(blk[0]) & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
 
@@ -470,17 +711,23 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> HxWx3 uint8 RGB (grayscale replicated to
-    3 channels). Supports SOF0/SOF1, 8-bit, 1 or 3 components, any
-    sampling factors in {1,2}x{1,2}, restart intervals, multi-table
-    DQT/DHT segments. Progressive (SOF2) and arithmetic coding raise
-    NotImplementedError."""
+    """JFIF bytes -> HxWx3 uint8 RGB (grayscale replicated to 3
+    channels). Supports baseline SOF0/SOF1 AND progressive SOF2
+    (spectral selection + successive approximation, DC and AC
+    refinement passes, EOB runs — the libjpeg default scan script
+    among others), 8-bit, 1 or 3 components, any sampling factors in
+    {1,2}x{1,2}, restart intervals (baseline scans), multi-table
+    DQT/DHT segments. Arithmetic coding and hierarchical modes raise
+    NotImplementedError; so does the never-observed-in-practice
+    progressive+DRI combination."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _DecTable] = {}
     comps: list[dict] = []
     h = w = 0
     restart = 0
+    progressive = False
+    prog: dict[int, dict] = {}  # cid -> persistent coefficient state
     i = 2
     n = len(data)
     out_planes: dict[int, np.ndarray] = {}
@@ -511,19 +758,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raster[ZIG] = zz
                 qtables[tq] = raster
                 p += 65
-        elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            assert prec == 8, "baseline JPEG is 8-bit"
+            assert prec == 8, "only 8-bit precision supported"
             comps = []
             for k in range(nc):
                 cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{m:02X}; progressive/"
-                "arithmetic/hierarchical) — baseline sequential only"
+                f"unsupported JPEG mode (SOF marker 0xFF{m:02X}; "
+                "lossless/arithmetic/hierarchical) — baseline sequential "
+                "and progressive only"
             )
         elif m == 0xC4:  # DHT — possibly several tables
             p = 0
@@ -543,12 +792,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tdta = body[1 + 2 * k], body[2 + 2 * k]
                 comp = next(c for c in comps if c["id"] == cid)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
+            hmax_g = max(c["h"] for c in comps)
+            vmax_g = max(c["v"] for c in comps)
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if restart:
+                    raise NotImplementedError(
+                        "progressive JPEG with restart intervals"
+                    )
+                intervals, i = _split_entropy(data, i + seglen)
+                _decode_scan_prog(
+                    scan, intervals, huff, ss, se, ahal >> 4, ahal & 0x0F,
+                    prog, h, w, hmax_g, vmax_g,
+                )
+                continue
             intervals, i = _split_entropy(data, i + seglen)
             # MERGE scans: a spec-legal non-interleaved baseline stream
             # carries one SOS per component (some encoders emit this) —
             # replacing would keep only the last component's plane
-            hmax_g = max(c["h"] for c in comps)
-            vmax_g = max(c["v"] for c in comps)
             out_planes.update(
                 _decode_scan(
                     scan, intervals, qtables, huff, h, w, restart,
@@ -558,6 +820,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue  # i already advanced past the scan
         # APPn / COM / others: skip
         i += seglen
+    if progressive and prog:
+        # all scans accumulated into per-component coefficients; one
+        # dequant+IDCT at the end (coefficients complete only at EOI)
+        pseudo = [(c, 0, 0) for c in comps]
+        out_planes = _idct_planes(pseudo, prog, qtables)
     assert comps and out_planes, "no decodable scan found"
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1066,6 +1333,172 @@ def _decode_scan_waves(scan, intervals, qtables, huff, h, w, restart, hmax_g, vm
             "bh": bh,
         }
     return _idct_planes(scan, state, qtables)
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) decoding — spec G.2, scan-by-scan coefficient
+# accumulation; IDCT happens once at EOI over the accumulated arrays
+# --------------------------------------------------------------------------
+
+
+def _own_grid(c, h, w, hmax, vmax) -> tuple[int, int]:
+    """A component's OWN block grid (spec A.2.2): ceil(dim * h_i /
+    hmax) samples, ceil(/8) blocks — the traversal grid of every
+    non-interleaved progressive scan."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan_prog(scan, intervals, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
+    """One progressive scan into the persistent per-component
+    coefficient state `prog` (cid -> {"zz": (nblocks, 64) int64 in
+    zigzag order on the component's PADDED frame-MCU grid, "bw",
+    "bh"}). Non-interleaved scans traverse the component's own grid
+    (A.2.2) and index into the padded array row-by-row, so interleaved
+    DC scans and non-interleaved AC scans share one array. Scalar
+    correctness path (progressive is a minority of a web corpus and
+    arrives one image per Arrow row; the wave machine covers the
+    baseline majority)."""
+    assert len(intervals) == 1, "unexpected RSTn in a progressive scan"
+    reader = _BitReader(intervals[0])
+    mcols_f = -(-w // (8 * hmax))
+    mrows_f = -(-h // (8 * vmax))
+    for c, _, _ in scan:
+        if c["id"] not in prog:
+            bw_pad = mcols_f * c["h"]
+            bh_pad = mrows_f * c["v"]
+            prog[c["id"]] = {
+                "zz": np.zeros((bh_pad * bw_pad, 64), np.int64),
+                "bw": bw_pad,
+                "bh": bh_pad,
+            }
+    if ss == 0:
+        assert se == 0, "progressive DC scan must have Se == 0"
+        _prog_dc(scan, reader, huff, ah, al, prog, mcols_f, mrows_f, h, w, hmax, vmax)
+    else:
+        assert len(scan) == 1, "progressive AC scans are non-interleaved"
+        assert 1 <= ss <= se <= 63, "bad spectral band"
+        _prog_ac(scan[0], reader, huff, ss, se, ah, al, prog, h, w, hmax, vmax)
+
+
+def _prog_dc(scan, reader, huff, ah, al, prog, mcols_f, mrows_f, h, w, hmax, vmax):
+    """DC scans: first pass (Ah=0) is baseline DC diff coding of the
+    point-transformed value, stored << Al; refinement (Ah>0) is one
+    raw bit per block adding bit << Al (exact because the encoder's
+    point transform is a floor shift, so dropped low bits are
+    non-negative)."""
+    if len(scan) > 1:  # interleaved over the frame MCU grid
+        preds = {c["id"]: 0 for c, _, _ in scan}
+        for mi in range(mrows_f * mcols_f):
+            mr, mc = divmod(mi, mcols_f)
+            for c, td, _ in scan:
+                st = prog[c["id"]]
+                eh, ev = c["h"], c["v"]
+                for dy in range(ev):
+                    for dx in range(eh):
+                        blk = (mr * ev + dy) * st["bw"] + mc * eh + dx
+                        if ah == 0:
+                            s = _read_symbol(reader, huff[(0, td)])
+                            preds[c["id"]] += _extend(reader.take(s), s)
+                            st["zz"][blk, 0] = preds[c["id"]] << al
+                        elif reader.bit():
+                            st["zz"][blk, 0] += 1 << al
+    else:
+        c, td, _ = scan[0]
+        st = prog[c["id"]]
+        bh_o, bw_o = _own_grid(c, h, w, hmax, vmax)
+        pred = 0
+        for bi in range(bh_o * bw_o):
+            r, cc = divmod(bi, bw_o)
+            blk = r * st["bw"] + cc
+            if ah == 0:
+                s = _read_symbol(reader, huff[(0, td)])
+                pred += _extend(reader.take(s), s)
+                st["zz"][blk, 0] = pred << al
+            elif reader.bit():
+                st["zz"][blk, 0] += 1 << al
+
+
+def _prog_ac(entry, reader, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
+    """AC band scans with EOB runs (G.2.2). First pass (Ah=0):
+    run/size coding within [Ss, Se], EOBn = (r<<4)|0 meaning 2^r +
+    r-extension-bits blocks end here. Refinement (Ah>0): newly
+    significant coefficients arrive as size-1 symbols (sign bit ->
+    +-2^Al); every already-nonzero coefficient passed over reads one
+    correction bit and, when set and its 2^Al bit is still clear,
+    moves one step away from zero — the classic IJG control flow,
+    which this mirrors symbol for symbol."""
+    c, _, ta = entry
+    st = prog[c["id"]]
+    act = huff[(1, ta)]
+    bh_o, bw_o = _own_grid(c, h, w, hmax, vmax)
+    zz, bw_pad = st["zz"], st["bw"]
+    eobrun = 0
+    if ah == 0:
+        for bi in range(bh_o * bw_o):
+            if eobrun:
+                eobrun -= 1
+                continue
+            r, cc = divmod(bi, bw_o)
+            coef = zz[r * bw_pad + cc]
+            k = ss
+            while k <= se:
+                rs = _read_symbol(reader, act)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr < 15:
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += reader.take(rr)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += rr
+                assert k <= se, "AC run past band end"
+                coef[k] = _extend(reader.take(s), s) << al
+                k += 1
+    else:
+        p1 = 1 << al
+        m1 = -p1
+        for bi in range(bh_o * bw_o):
+            r, cc = divmod(bi, bw_o)
+            coef = zz[r * bw_pad + cc]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_symbol(reader, act)
+                    rr, s = rs >> 4, rs & 15
+                    sval = 0
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += reader.take(rr)
+                            break  # correction tail handled below
+                        # else ZRL: skip 16 zero-history positions
+                    else:
+                        assert s == 1, "AC refinement size must be 1"
+                        sval = p1 if reader.bit() else m1
+                    while k <= se:
+                        if coef[k]:
+                            if reader.bit() and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] >= 0 else m1
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if sval and k <= se:
+                        coef[k] = sval
+                    k += 1
+            if eobrun:
+                while k <= se:  # correction bits through the band's rest
+                    if coef[k]:
+                        if reader.bit() and not (coef[k] & p1):
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 def _decode_scan_loop(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
