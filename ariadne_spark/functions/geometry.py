@@ -19,29 +19,70 @@ from __future__ import annotations
 import numpy as np
 
 
-def to_wkt(coords: np.ndarray) -> str:
-    """Nx2 vertex array (not closed) -> WKT POLYGON string."""
+def _ring_body(coords: np.ndarray) -> str:
     ring = np.vstack([coords, coords[:1]])
-    body = ", ".join(f"{x:.1f} {y:.1f}" for x, y in ring)
-    return f"POLYGON (({body}))"
+    return "(" + ", ".join(f"{x:.1f} {y:.1f}" for x, y in ring) + ")"
+
+
+def to_wkt(coords: np.ndarray, holes: list[np.ndarray] | None = None) -> str:
+    """Outer ring (Nx2, not closed) + optional hole rings -> WKT
+    POLYGON string."""
+    parts = [_ring_body(coords)] + [_ring_body(h) for h in (holes or [])]
+    return f"POLYGON ({', '.join(parts)})"
+
+
+def to_wkt_multi(polys: list[tuple[np.ndarray, list[np.ndarray]]]) -> str:
+    """[(outer, [holes...]), ...] -> WKT MULTIPOLYGON string."""
+    parts = [
+        "(" + ", ".join([_ring_body(o)] + [_ring_body(h) for h in hs]) + ")"
+        for o, hs in polys
+    ]
+    return f"MULTIPOLYGON ({', '.join(parts)})"
+
+
+def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
+    """WKT POLYGON (with optional hole rings) or MULTIPOLYGON -> list
+    of Nx2 float64 rings (closing vertices dropped). The containment
+    predicate is EVEN-ODD parity over all rings, under which outer
+    rings, holes, islands-in-holes and disjoint multipolygon parts
+    all compose by flat concatenation — no ring-role bookkeeping
+    (valid WKT nests holes properly, which is all even-odd needs)."""
+    import re
+
+    head = wkt[: wkt.index("(")].strip().upper()
+    if head not in ("POLYGON", "MULTIPOLYGON"):
+        raise ValueError(f"unsupported WKT geometry {head!r}")
+    rings = []
+    for m in re.finditer(r"\(([^()]+)\)", wkt):
+        pts = np.array(
+            [[float(v) for v in pair.split()] for pair in m.group(1).split(",")]
+        )
+        if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+            pts = pts[:-1]
+        rings.append(pts)
+    if not rings:
+        raise ValueError(f"no rings in WKT: {wkt[:60]!r}")
+    return rings
 
 
 def parse_wkt(wkt: str) -> np.ndarray:
-    """WKT POLYGON (outer ring only) -> Nx2 float64 array (closed ring dropped)."""
-    inner = wkt[wkt.index("((") + 2 : wkt.rindex("))")]
-    pts = np.array([[float(v) for v in pair.split()] for pair in inner.split(",")])
-    if np.array_equal(pts[0], pts[-1]):
-        pts = pts[:-1]
-    return pts
+    """Back-compat single-ring view: the FIRST ring of the geometry
+    (the outer ring of a plain POLYGON). Containment callers use
+    `parse_wkt_rings` + `points_in_rings`, which see holes and all
+    multipolygon parts."""
+    return parse_wkt_rings(wkt)[0]
 
 
-def envelope(poly: np.ndarray) -> tuple[float, float, float, float]:
-    """(min_x, min_y, max_x, max_y)."""
+def envelope(poly) -> tuple[float, float, float, float]:
+    """(min_x, min_y, max_x, max_y) of a ring or a list of rings (a
+    multipolygon's envelope covers every part; holes lie inside the
+    outer rings so including them never widens it)."""
+    pts = np.vstack(poly) if isinstance(poly, list) else poly
     return (
-        float(poly[:, 0].min()),
-        float(poly[:, 1].min()),
-        float(poly[:, 0].max()),
-        float(poly[:, 1].max()),
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
     )
 
 
@@ -64,6 +105,18 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nd
         xint = x1[None, :] + t * (x2[None, :] - x1[None, :])
     hits = crosses & (px < xint)
     return (hits.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd containment over a ring list (`parse_wkt_rings`
+    output): XOR of per-ring ray-cast parities — a point inside an
+    outer ring and a hole has even total crossings (outside), inside
+    an island-in-a-hole odd again (inside), and disjoint multipolygon
+    parts contribute independently. One vectorized pass per ring."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        inside ^= points_in_polygon(px, py, ring)
+    return inside
 
 
 def regular_polygon(cx: float, cy: float, radius: float, n: int, phase: float) -> np.ndarray:

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import cells
-from ..functions.geometry import envelope, parse_wkt, points_in_polygon
+from ..functions.geometry import envelope, parse_wkt_rings, points_in_rings
 
 DEFAULT_INDEX_RES = 6
 
@@ -87,14 +87,14 @@ class RegionIndex:
 
     def __init__(self, regions: list[dict], index_res: int = DEFAULT_INDEX_RES):
         self.index_res = index_res
-        self.polys: list[np.ndarray] = []
+        self.polys: list[list[np.ndarray]] = []  # ring lists (even-odd)
         self.envs: list[tuple[float, float, float, float]] = []
         self.region_ids: list[str] = []
         self.depths: list[int] = []
         self.by_cell: dict[int, list[int]] = defaultdict(list)
         for r in regions:
             idx = len(self.polys)
-            poly = parse_wkt(r["wkt"])
+            poly = parse_wkt_rings(r["wkt"])  # holes + MULTIPOLYGON
             self.polys.append(poly)
             env = envelope(poly)
             self.envs.append(env)
@@ -136,7 +136,7 @@ class RegionIndex:
                 near = (bx >= e[0]) & (bx <= e[2]) & (by >= e[1]) & (by <= e[3])
                 if not near.any():
                     continue
-                inside = points_in_polygon(bx[near], by[near], self.polys[ridx])
+                inside = points_in_rings(bx[near], by[near], self.polys[ridx])
                 hit_ids = bi[near][inside]
                 if len(hit_ids):
                     out_img.append(hit_ids)
@@ -268,7 +268,7 @@ def pip_join_partitioned(
             for rid, dep, wkt in zip(
                 pdf["region_id"], pdf["depth"], pdf["wkt"]
             ):
-                env = envelope(parse_wkt(wkt))
+                env = envelope(parse_wkt_rings(wkt))
                 for c in _envelope_cells(env, res, rid):
                     out["cell"].append(c)
                     out["region_id"].append(rid)
@@ -306,8 +306,8 @@ def pip_join_partitioned(
             rids = pdf["region_id"].to_numpy()
             for rid in pd.unique(pdf["region_id"]):
                 m = rids == rid
-                poly = parse_wkt(pdf["wkt"].to_numpy()[m][0])
-                keep[m] = points_in_polygon(px[m], py[m], poly)
+                poly = parse_wkt_rings(pdf["wkt"].to_numpy()[m][0])
+                keep[m] = points_in_rings(px[m], py[m], poly)
             yield pdf.loc[
                 keep, ["image_id", "region_id", "depth"]
             ].astype({"depth": "int32"})

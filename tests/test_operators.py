@@ -529,3 +529,130 @@ class TestPipJoinPartitioned:
         # shuffled equi-join on the cell key
         assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
         assert "Exchange" in p
+
+
+# ---------------------------------------------------------------------------
+# polygon holes + MULTIPOLYGON (round 5) — even-odd containment
+# ---------------------------------------------------------------------------
+
+
+def _pnpoly_scalar(x, y, ring):
+    """Independent scalar even-odd oracle (classic pnpoly loop) — a
+    DIFFERENT formulation from the vectorized ray-cast (index loop +
+    strict/nonstrict comparison arrangement), so a shared bug cannot
+    hide."""
+    inside = False
+    j = len(ring) - 1
+    for i in range(len(ring)):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        if (yi <= y) != (yj <= y):
+            if x < xi + (y - yi) * (xj - xi) / (yj - yi):
+                inside = not inside
+        j = i
+    return inside
+
+
+def _oracle_rings(x, y, rings):
+    inside = False
+    for ring in rings:
+        if _pnpoly_scalar(x, y, ring):
+            inside = not inside
+    return inside
+
+
+def _donut_world():
+    """outer square [10,90]^2 (x1e6), hole [30,70]^2, island [45,55]^2,
+    plus a disjoint second part [120,160]x[10,50] — as one MULTIPOLYGON."""
+    from ariadne_spark.functions.geometry import to_wkt_multi
+
+    sq = lambda x0, y0, x1, y1: np.array(  # noqa: E731
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float
+    ) * 1e6
+    outer = sq(10, 10, 90, 90)
+    hole = sq(30, 30, 70, 70)
+    island = sq(45, 45, 55, 55)
+    part2 = sq(120, 10, 160, 50)
+    wkt = to_wkt_multi([(outer, [hole, island]), (part2, [])])
+    return wkt, [outer, hole, island, part2]
+
+
+def test_rings_containment_matches_scalar_oracle():
+    from ariadne_spark.functions.geometry import parse_wkt_rings, points_in_rings
+
+    wkt, _ = _donut_world()
+    rings = parse_wkt_rings(wkt)
+    assert len(rings) == 4
+    rng = np.random.default_rng(31)
+    px = rng.uniform(0, 180e6, 4000)
+    py = rng.uniform(0, 120e6, 4000)
+    got = points_in_rings(px, py, rings)
+    want = np.array([_oracle_rings(x, y, rings) for x, y in zip(px, py)])
+    assert np.array_equal(got, want)
+    # the semantic layers: ring zone classification
+    probe = lambda x, y: bool(  # noqa: E731
+        points_in_rings(np.array([x * 1e6]), np.array([y * 1e6]), rings)[0]
+    )
+    assert probe(20, 20)        # in outer, outside hole
+    assert not probe(35, 35)    # in hole
+    assert probe(50, 50)        # on the island inside the hole
+    assert probe(130, 30)       # disjoint second part
+    assert not probe(100, 100)  # outside everything
+
+
+def test_pip_join_both_forms_respect_holes(spark):
+    """pip_join (broadcast) and pip_join_partitioned (shuffle) must
+    agree with the scalar oracle — and each other — on a world with
+    holes, an island and a multipolygon part."""
+    import pandas as pd
+
+    from ariadne_spark.functions.geometry import parse_wkt_rings
+    from ariadne_spark.operators.pip import pip_join, pip_join_partitioned
+
+    wkt, _ = _donut_world()
+    regions = [{"region_id": "world", "depth": 0, "wkt": wkt}]
+    rng = np.random.default_rng(32)
+    n = 1500
+    pdf = pd.DataFrame({
+        "image_id": [f"img_{i}" for i in range(n)],
+        "lon_u": rng.uniform(0, 180e6, n),
+        "lat_u": rng.uniform(0, 120e6, n),
+    })
+    images = spark.createDataFrame(pdf)
+    rings = parse_wkt_rings(wkt)
+    want = {
+        (f"img_{i}", "world", 0)
+        for i in range(n)
+        if _oracle_rings(pdf["lon_u"][i], pdf["lat_u"][i], rings)
+    }
+    got_b = {(r["image_id"], r["region_id"], r["depth"])
+             for r in pip_join(images, regions, deepest_only=False).collect()}
+    assert got_b == want
+    regions_df = spark.createDataFrame(
+        pd.DataFrame([{**r} for r in regions]),
+        "region_id string, depth int, wkt string",
+    )
+    got_p = {(r["image_id"], r["region_id"], r["depth"])
+             for r in pip_join_partitioned(
+                 images, regions_df, deepest_only=False).collect()}
+    assert got_p == want
+
+
+def test_wkt_roundtrip_with_holes_and_multi():
+    from ariadne_spark.functions.geometry import (
+        parse_wkt_rings,
+        to_wkt,
+        to_wkt_multi,
+    )
+
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4]], float)
+    rings = parse_wkt_rings(to_wkt(outer, [hole]))
+    assert len(rings) == 2
+    np.testing.assert_array_equal(rings[0], outer)
+    np.testing.assert_array_equal(rings[1], hole)
+    multi = to_wkt_multi([(outer, [hole]), (outer + 100, [])])
+    assert multi.startswith("MULTIPOLYGON")
+    assert len(parse_wkt_rings(multi)) == 3
+    with pytest.raises(ValueError, match="unsupported WKT"):
+        parse_wkt_rings("LINESTRING (0 0, 1 1)")
