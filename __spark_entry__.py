@@ -44,7 +44,25 @@ MINHASH_PARAMS = [(2, 3, 5), (7, 11, 13), (17, 19, 23), (29, 31, 37)]
 SIM_BITS = 8
 
 
+_SF_BYTES: dict[str, int] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # size the session's AQE initial partition count to THIS corpus
+    # (bytes-scaled, clamped to [cores, cores*8] — session.py): tiny
+    # test corpora stop paying 256-bucket map overhead on sub-second
+    # shuffles while a 100 TB sf_dir lands on the cores*8 ceiling,
+    # i.e. exactly the round-4 wave-smoothing policy
+    if sf_dir not in _SF_BYTES:
+        import glob as _glob
+        import os as _os
+
+        _SF_BYTES[sf_dir] = sum(
+            _os.path.getsize(p) for p in _glob.glob(f"{sf_dir}/*.parquet")
+        )
+    from ariadne_spark.session import scale_shuffle_to_input
+
+    scale_shuffle_to_input(spark, _SF_BYTES[sf_dir])
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

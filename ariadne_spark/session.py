@@ -44,6 +44,38 @@ def shuffle_policy(cores: int, shuffle_partitions: int | None) -> tuple[int, int
     return sp, max(cores * 8, 64)
 
 
+def scaled_initial_partitions(
+    cores: int, input_bytes: int, target_bytes: int = 4 << 20
+) -> int:
+    """Bytes-scaled AQE initial partition count: one initial partition
+    per ~4 MB of on-disk input (compressed parquet expands ~3-5x in
+    flight, so that is ~15-20 MB per map task), clamped to
+    [cores, cores*8]. The cores*8 ceiling IS the round-4 wave-smoothing
+    policy — big inputs land exactly there, so the 24M-row and 2M-image
+    pipeline wins are untouched; tiny inputs stop paying 256-bucket map
+    overhead on sub-second shuffles (round-4 verdict item 4: measured
+    ~5-11% on cold sub-2s queries at sf0.1, BENCH.md round 5). The
+    floor keeps the parallelismFirst contract: never fewer initial
+    partitions than cores."""
+    lo = max(cores, 8)
+    hi = max(cores * 8, 64)
+    return int(min(hi, max(lo, -(-int(input_bytes) // target_bytes))))
+
+
+def scale_shuffle_to_input(spark, input_bytes: int) -> int:
+    """Retune the session's AQE initial partition number to a job's
+    input size (AQE configs are runtime-mutable). Returns the value
+    set. Callers that know their input bytes (the sf-dir table loader,
+    size-aware jobs) call this before building their plan; everything
+    else keeps the session default (cores*8)."""
+    cores = spark.sparkContext.defaultParallelism
+    n = scaled_initial_partitions(cores, input_bytes)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(n)
+    )
+    return n
+
+
 def get_spark(
     cores: int | None = None,
     app_name: str = "ariadne_spark",

@@ -347,3 +347,33 @@ def test_df_fingerprint_matches_python_fold(spark):
     lo = sum(h & 0xFFFFFFFF for h in hs)
     expected = ((hi << 32) + lo) % (1 << 64)
     assert df_fingerprint(df) == [257, expected]
+
+
+def test_scaled_initial_partitions_law():
+    """Bytes-scaled AQE sizing: floor at cores (parallelismFirst
+    contract), one partition per ~4 MB in between, ceiling at cores*8
+    (the round-4 wave-smoothing policy — big inputs land exactly
+    there, so the 24M/2M pipeline wins are structurally preserved)."""
+    from ariadne_spark.session import scaled_initial_partitions
+
+    assert scaled_initial_partitions(32, 0) == 32            # floor
+    assert scaled_initial_partitions(32, 17_500_000) == 32   # sf0.1 corpus
+    assert scaled_initial_partitions(32, 400 << 20) == 100   # 400MB -> bytes law
+    assert scaled_initial_partitions(32, 10 << 40) == 256    # 10TB -> ceiling
+    assert scaled_initial_partitions(8, 10 << 40) == 64
+    assert scaled_initial_partitions(2, 123) == 8            # tiny-box floor
+
+
+def test_entry_loader_scales_session_to_corpus(spark):
+    """__spark_entry__._t must retune the session's AQE initial
+    partition number to the sf_dir's on-disk size."""
+    import __spark_entry__ as E
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    old = spark.conf.get(key)
+    try:
+        E._t(spark, "/root/testdata/sf0.01", "region").count()
+        cores = spark.sparkContext.defaultParallelism
+        assert int(spark.conf.get(key)) == max(cores, 8)  # tiny corpus -> floor
+    finally:
+        spark.conf.set(key, old)
