@@ -17,7 +17,9 @@ image libraries (no PIL), so the engine ships:
   corpus decodable at bench speed with a known error bound (center-
   quantized, max |err| 2 -> PSNR ≈ 46 dB > 40 dB gate); the real
   entropy stage is a per-coefficient loop ~100x slower per image;
-- a real 24-bit BMP codec (uncompressed BI_RGB) — lossless, standard.
+- a real 24-bit BMP codec (uncompressed BI_RGB) — lossless, standard;
+- a real GIF87a/89a codec (functions/gif.py: variable-width LZW,
+  interlace, local/global palettes) — first frame, <=256-color encode.
 
 Formats dispatch through the CODECS registry keyed by `fmt` (the
 per-language handler-registry convention of the reference,
@@ -146,11 +148,24 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+def _encode_gif(px: np.ndarray) -> bytes:
+    from .gif import encode_gif
+
+    return encode_gif(px)
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    from .gif import decode_gif
+
+    return decode_gif(data)
+
+
 CODECS: dict[str, tuple] = {
     "png": (encode_png, decode_png),
     "jpeg": (_encode_jpeg_default, _decode_jpeg),
     "fjpg": (encode_fjpg, decode_fjpg),
     "bmp": (encode_bmp, decode_bmp),
+    "gif": (_encode_gif, _decode_gif),
 }
 
 

@@ -196,7 +196,13 @@ def quarantine_scan(images: DataFrame) -> DataFrame:
     """
     from ..functions.codecs import CODECS, FJPG_MAGIC, PNG_SIG
 
-    magics = {"png": PNG_SIG, "fjpg": FJPG_MAGIC, "bmp": b"BM", "jpeg": b"\xff\xd8"}
+    magics = {
+        "png": PNG_SIG,
+        "fjpg": FJPG_MAGIC,
+        "bmp": b"BM",
+        "jpeg": b"\xff\xd8",
+        "gif": b"GIF8",
+    }
 
     def scan(iterator):
         for pdf in iterator:
