@@ -148,7 +148,18 @@ class SpatialPipeline:
     def _commit_stage(
         self, stage: str, in_sid: int, out_df: DataFrame, keys: list[str] | None, t0: float
     ) -> None:
-        """Write stage output (full or partition-scoped), log lineage."""
+        """Write stage output (full or partition-scoped), log lineage.
+
+        Partition-scoped commits (keys given — the incremental path,
+        where output is small by contract) eagerly localCheckpoint the
+        stage plan and overlap the write with the plan-side summary
+        (`parallel_summary`): the plan executes once into the block
+        manager, then the two Spark actions of the commit run
+        concurrently — update latency is scheduling-bound, so each
+        collapsed serial action is wall time off the critical path.
+        Full rebuilds keep the write-then-summarize-files path (their
+        plans are the expensive part and must execute exactly once,
+        streaming through to disk rather than into memory)."""
         table = stage
         if self.store.current_snapshot_id(table) is None:
             self.store.write_table(out_df, table, "pk")
@@ -162,7 +173,10 @@ class SpatialPipeline:
                 out_df, table, "pk", keys=sorted(prior.partitions)
             )
         else:
-            self.store.overwrite_partitions(out_df, table, "pk", keys=keys)
+            self.store.overwrite_partitions(
+                out_df.localCheckpoint(eager=True), table, "pk", keys=keys,
+                parallel_summary=True,
+            )
         wall = (time.perf_counter() - t0) * 1000
         m = self.store.manifest(table)
         for k, p in sorted(m.partitions.items()):
@@ -225,83 +239,123 @@ class SpatialPipeline:
         )
         self._commit_stage("knn", in_sid, out, affected, t0)
 
-    def _stage_tiles(self, in_sid: int, keys: list[str] | None) -> None:
-        """tiles_fine: per-pk counts for z in [PREFIX_RES..max_z];
-        tiles_coarse: apex rebuilt whole from fine level PREFIX_RES."""
-        if not self._stage_done("tiles_fine", in_sid):
-            t0 = time.perf_counter()
-            src = self.store.read("images_indexed", keys=keys)
-            # two-shuffle pyramid (see tiles.build_pyramid): raw -> max_z
-            # counts, then explode-ancestors down to PREFIX_RES (pk is
-            # invariant under coarsening: a tile's PREFIX_RES ancestor IS
-            # the partition cell)
-            z = self.max_z
-            tx = cells.idiv((F.col("lon_u") * F.lit(1 << z)).cast("long"), cells.LON_SPAN)
-            ty = cells.idiv((F.col("lat_u") * F.lit(1 << z)).cast("long"), cells.LAT_SPAN)
-            base = (
-                src.select(
-                    F.lit(z).alias("z"), tx.alias("tx"), ty.alias("ty"), _pk_col().alias("pk")
+    def _tiles_fine_plan(self, keys: list[str] | None) -> DataFrame:
+        """The tiles_fine output plan over the given partition scope —
+        per-pk counts for z in [PREFIX_RES..max_z]. Two-shuffle pyramid
+        (see tiles.build_pyramid): raw -> max_z counts, then
+        explode-ancestors down to PREFIX_RES (pk is invariant under
+        coarsening: a tile's PREFIX_RES ancestor IS the partition
+        cell). Shared by the fine commit and the coarse stage's
+        constructed post-state (below)."""
+        src = self.store.read("images_indexed", keys=keys)
+        z = self.max_z
+        tx = cells.idiv((F.col("lon_u") * F.lit(1 << z)).cast("long"), cells.LON_SPAN)
+        ty = cells.idiv((F.col("lat_u") * F.lit(1 << z)).cast("long"), cells.LAT_SPAN)
+        base = (
+            src.select(
+                F.lit(z).alias("z"), tx.alias("tx"), ty.alias("ty"), _pk_col().alias("pk")
+            )
+            .groupBy("z", "tx", "ty", "pk")
+            .agg(F.count("*").alias("n_images"))
+        )
+        ancestors = F.array(
+            *[
+                F.struct(
+                    F.lit(zz).alias("z"),
+                    F.shiftright(F.col("tx"), self.max_z - zz).alias("tx"),
+                    F.shiftright(F.col("ty"), self.max_z - zz).alias("ty"),
                 )
-                .groupBy("z", "tx", "ty", "pk")
-                .agg(F.count("*").alias("n_images"))
+                for zz in range(PREFIX_RES, self.max_z + 1)
+            ]
+        )
+        return (
+            base.select(F.explode(ancestors).alias("a"), "pk", "n_images")
+            .groupBy("a.z", "a.tx", "a.ty", "pk")
+            .agg(F.sum("n_images").alias("n_images"))
+        )
+
+    def _stage_tiles_fine(self, in_sid: int, keys: list[str] | None) -> None:
+        if self._stage_done("tiles_fine", in_sid):
+            return
+        t0 = time.perf_counter()
+        self._commit_stage("tiles_fine", in_sid, self._tiles_fine_plan(keys), keys, t0)
+
+    def _stage_tiles_coarse(self, in_sid: int, keys: list[str] | None) -> None:
+        """Apex levels [0, PREFIX_RES), rebuilt whole from fine level
+        PREFIX_RES. The input is the POST-update fine state CONSTRUCTED
+        from (previous fine snapshot minus changed keys) ∪ (this
+        update's fine plan) — definitionally equal to what tiles_fine
+        is concurrently committing, so the two stages run in PARALLEL
+        instead of coarse waiting on fine's commit (the commit was the
+        single longest serial chain of the update's critical path).
+        The previous snapshot id is pinned before reading so a
+        mid-read fine commit cannot shift the base underneath. When
+        the fine marker for in_sid is already committed (a heal
+        re-run), the table's current content IS the new state and is
+        read directly."""
+        if self._stage_done("tiles_coarse", in_sid):
+            return
+        t0 = time.perf_counter()
+        if self._stage_done("tiles_fine", in_sid):
+            fine_new = self.store.read("tiles_fine")
+        elif keys is None:
+            fine_new = self._tiles_fine_plan(None)
+        else:
+            m = self.store.manifest("tiles_fine")
+            keep = [k for k in sorted(m.partitions) if k not in set(keys)]
+            out = self._tiles_fine_plan(keys)
+            fine_new = (
+                self.store.read(
+                    "tiles_fine", snapshot_id=m.snapshot_id, keys=keep
+                ).unionByName(out)
+                if keep
+                else out
             )
-            ancestors = F.array(
-                *[
-                    F.struct(
-                        F.lit(zz).alias("z"),
-                        F.shiftright(F.col("tx"), self.max_z - zz).alias("tx"),
-                        F.shiftright(F.col("ty"), self.max_z - zz).alias("ty"),
-                    )
-                    for zz in range(PREFIX_RES, self.max_z + 1)
-                ]
-            )
-            out = (
-                base.select(F.explode(ancestors).alias("a"), "pk", "n_images")
-                .groupBy("a.z", "a.tx", "a.ty", "pk")
+        base = fine_new.where(F.col("z") == PREFIX_RES)
+        levels = []
+        cur = base.select("z", "tx", "ty", "n_images")
+        for z in range(PREFIX_RES - 1, -1, -1):
+            cur = (
+                cur.select(
+                    F.lit(z).alias("z"),
+                    F.shiftright(F.col("tx"), 1).alias("tx"),
+                    F.shiftright(F.col("ty"), 1).alias("ty"),
+                    "n_images",
+                )
+                .groupBy("z", "tx", "ty")
                 .agg(F.sum("n_images").alias("n_images"))
             )
-            self._commit_stage("tiles_fine", in_sid, out, keys, t0)
+            levels.append(cur)
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.unionByName(lvl)
+        out = out.withColumn("pk", F.lit("all"))
+        # apex is rebuilt whole every time: overwrite its only partition
+        self._commit_stage("tiles_coarse", in_sid, out, None if
+                           self.store.current_snapshot_id("tiles_coarse") is None
+                           else ["all"], t0)
 
-        if not self._stage_done("tiles_coarse", in_sid):
-            t0 = time.perf_counter()
-            base = self.store.read("tiles_fine").where(F.col("z") == PREFIX_RES)
-            levels = []
-            cur = base.select("z", "tx", "ty", "n_images")
-            for z in range(PREFIX_RES - 1, -1, -1):
-                cur = (
-                    cur.select(
-                        F.lit(z).alias("z"),
-                        F.shiftright(F.col("tx"), 1).alias("tx"),
-                        F.shiftright(F.col("ty"), 1).alias("ty"),
-                        "n_images",
-                    )
-                    .groupBy("z", "tx", "ty")
-                    .agg(F.sum("n_images").alias("n_images"))
-                )
-                levels.append(cur)
-            out = levels[0]
-            for lvl in levels[1:]:
-                out = out.unionByName(lvl)
-            out = out.withColumn("pk", F.lit("all"))
-            # apex is rebuilt whole every time: overwrite its only partition
-            self._commit_stage("tiles_coarse", in_sid, out, None if
-                               self.store.current_snapshot_id("tiles_coarse") is None
-                               else ["all"], t0)
+    def _stage_tiles(self, in_sid: int, keys: list[str] | None) -> None:
+        """Sequential form kept for heal paths and direct callers."""
+        self._stage_tiles_fine(in_sid, keys)
+        self._stage_tiles_coarse(in_sid, keys)
 
     def _run_stages(self, in_sid: int, keys: list[str] | None) -> None:
-        # pip / knn / tiles are independent given images_indexed (each
-        # writes its own table + lineage marker), so submit them from
-        # three threads: Spark schedules the jobs concurrently and the
+        # pip / knn / tiles_fine / tiles_coarse are independent given
+        # images_indexed (tiles_coarse constructs the post-fine state
+        # itself — see _stage_tiles_coarse), so submit all four from
+        # threads: Spark schedules the jobs concurrently and the
         # per-job fixed overhead overlaps — in incremental updates the
         # work per stage is tiny and scheduling latency dominates.
         # Outputs are deterministic regardless of completion order.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             futures = [
                 ex.submit(self._stage_pip, in_sid, keys),
                 ex.submit(self._stage_knn, in_sid, keys),
-                ex.submit(self._stage_tiles, in_sid, keys),
+                ex.submit(self._stage_tiles_fine, in_sid, keys),
+                ex.submit(self._stage_tiles_coarse, in_sid, keys),
             ]
             for f in futures:
                 f.result()
@@ -398,14 +452,27 @@ class SpatialPipeline:
         # materialize the delta ONCE: it is read three times below (id
         # collect, images_indexed merge, id_index sync) and the caller's
         # plan may be expensive or not stable across evaluations — a
-        # drifting plan would desynchronize all_dead from the merged rows
-        changed_meta = (
-            changed.select(*META_COLS).withColumn("pk", _pk_col()).localCheckpoint()
-        )
-
-        # the delta is small by contract — collecting its ids lets the
-        # old-pk lookup prune to exactly the ids' index buckets
-        changed_ids = [r["image_id"] for r in changed_meta.select("image_id").collect()]
+        # drifting plan would desynchronize all_dead from the merged rows.
+        # Small deltas (the common case — this path is latency-bound on
+        # scheduling, not data) materialize to the DRIVER in one action:
+        # the ids/pks come for free and every later read is a local-
+        # relation scan, replacing [checkpoint job + ids-collect job]
+        # with one job. Larger deltas keep the executor-side checkpoint
+        # (take() only signals size; its rows are discarded on that
+        # path, so an unstable caller plan still materializes once).
+        plan = changed.select(*META_COLS).withColumn("pk", _pk_col())
+        small_cap = 10_000
+        rows = plan.take(small_cap + 1)
+        if len(rows) <= small_cap:
+            changed_meta = self.spark.createDataFrame(rows, plan.schema)
+            changed_ids = [r["image_id"] for r in rows]
+        else:
+            changed_meta = plan.localCheckpoint()
+            # the delta's ids let the old-pk lookup prune to exactly
+            # the ids' index buckets
+            changed_ids = [
+                r["image_id"] for r in changed_meta.select("image_id").collect()
+            ]
         all_dead = sorted(set(changed_ids) | set(deleted_ids or []))
         dead_ids = self.spark.createDataFrame(
             [(i,) for i in all_dead], "image_id string"
@@ -431,9 +498,13 @@ class SpatialPipeline:
             .join(dead_ids, "image_id", "left_anti")
             .unionByName(changed_meta)
         )
+        # parallel_summary: `merged` is a pinned-snapshot scan over the
+        # touched partitions plus local/checkpointed rows — stable and
+        # cheap to execute twice, so the commit's write and summary
+        # actions overlap (see overwrite_partitions)
         in_sid = self.store.overwrite_partitions(
             merged, "images_indexed", "pk", keys=touched_keys,
-            sort_cols=_zorder_cols(),
+            sort_cols=_zorder_cols(), parallel_summary=True,
         )
         changed_keys = self.store.diff("images_indexed", prev_sid, in_sid)
         # id_index sync and the derived stages are independent once

@@ -1393,6 +1393,7 @@ class SnapshotStore:
         sort_cols=None,
         max_records_per_file: int | None = None,
         require_no_delete_files: bool = False,
+        parallel_summary: bool = False,
     ) -> int:
         """Partition-granular overwrite: df holds the NEW full content of
         the partitions it touches (delete-then-insert idempotency, the
@@ -1400,6 +1401,18 @@ class SnapshotStore:
         partitions keep pointing at their old data files. `keys`
         additionally lists partitions to DELETE even if df has no rows
         for them (the `remove_file` path, `project.ts:402-467`).
+
+        `parallel_summary=True` runs the partition summary over the
+        INPUT PLAN in a second thread, concurrently with the write job
+        — the two serial Spark actions of a small commit become one
+        wall-clock action (the incremental-update hot path). Caller
+        contract: the plan must be DETERMINISTIC across two executions
+        and cheap to execute twice (a pinned-snapshot scan or a
+        localCheckpoint) — the summary is of rows the plan yields,
+        identical to what lands in the files; per-FILE zone maps are
+        still read from the written footers afterwards (metadata-only).
+        The default path keeps summarizing from the written files, so
+        an expensive plan executes exactly once.
 
         Concurrency (Iceberg validate-and-rebase): data is written
         ONCE; on a lost commit race the write REBASES onto the new
@@ -1412,13 +1425,32 @@ class SnapshotStore:
         base = self.manifest(table)
         assert base is not None, f"table {table} has no snapshot yet"
         df = self._conform(df, base.schema_json)
-        vdir = self._write_partition_data(
-            df, table, key, base.snapshot_id + 1, sort_cols,
-            max_records_per_file,
-        )
-        summary = self._summarize_written(
-            vdir, key, base.stats_cols, base.bloom_cols, base.bloom_bits
-        )
+        if parallel_summary:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                sfut = ex.submit(
+                    partition_summary, df, key, base.stats_cols,
+                    base.bloom_cols, base.bloom_bits or BLOOM_BITS_DEFAULT,
+                )
+                vdir = self._write_partition_data(
+                    df, table, key, base.snapshot_id + 1, sort_cols,
+                    max_records_per_file,
+                )
+                summary = sfut.result()
+            if base.stats_cols and summary:
+                fz = self._file_zone_maps(vdir, base.stats_cols)
+                for k, files in fz.items():
+                    if k in summary and len(files) > 1:
+                        summary[k]["files"] = files
+        else:
+            vdir = self._write_partition_data(
+                df, table, key, base.snapshot_id + 1, sort_cols,
+                max_records_per_file,
+            )
+            summary = self._summarize_written(
+                vdir, key, base.stats_cols, base.bloom_cols, base.bloom_bits
+            )
         rel = os.path.relpath(vdir, self.root)
         touched = set(keys or []) | set(summary)
         for _ in range(COMMIT_RETRIES):

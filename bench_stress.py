@@ -165,6 +165,43 @@ def ensure_meta_images(n: int, synth_cores: int) -> str:
     return path
 
 
+def _emb_col(dim: int):
+    """Deterministic centered pseudo-embedding: 64 planted cluster
+    centers + per-row noise, components in [-0.5, 0.5] (centered, so
+    random cosines cluster near 0 and a 0.85 threshold keeps the
+    semdedup survivor set small — the stress measures the k-means +
+    pair-join machinery, not a pathological pair explosion)."""
+    from pyspark.sql import functions as F
+
+    cl = F.pmod(F.col("id"), F.lit(64))
+
+    def comp(j):
+        center = (F.pmod(F.xxhash64(cl * dim + j), F.lit(997)) / 997.0) - 0.5
+        noise = (F.pmod(F.xxhash64(F.col("id") * dim + j), F.lit(991)) / 991.0) - 0.5
+        return (center * 0.8 + noise * 0.2).cast("float")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+
+
+def ensure_embeddings(spark, n: int, dim: int) -> str:
+    """Cached synthesis of an n-row embeddings table, on the CALLER's
+    session (get_spark's getOrCreate would hand back the live stress
+    session, and stopping 'our' session would kill it)."""
+    path = f"{CACHE_DIR}/emb_{n}_{dim}.parquet"
+    done = f"{CACHE_DIR}/emb_{n}_{dim}.done"
+    if os.path.exists(done):
+        return path
+    from pyspark.sql import functions as F
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), _emb_col(dim).alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return path
+
+
 def run_stress(
     n: int,
     cores: int,
@@ -173,14 +210,22 @@ def run_stress(
     fingerprint: bool = False,
     shuffle_partitions: int | None = None,
 ) -> dict:
+    from pyspark.sql import functions as F
+
     from ariadne_spark.functions.fingerprint import df_fingerprint
+    from ariadne_spark.operators.curation import pack_sequences
     from ariadne_spark.operators.knn import knn_edges
     from ariadne_spark.operators.pip import pip_join
+    from ariadne_spark.operators.pq import ivf_pq_topk, pq_encode, pq_train
+    from ariadne_spark.operators.semdedup import semdedup_pairs
     from ariadne_spark.operators.tiles import build_pyramid, rasterize_tiles
     from ariadne_spark.session import get_spark
     from ariadne_spark.synth.regions import generate_regions
 
-    known = ("rowcount", "pip_join", "knn", "tile_pyramid", "rasterize")
+    known = (
+        "rowcount", "pip_join", "knn", "tile_pyramid", "rasterize",
+        "semdedup", "pq_train_encode", "ivf_pq_topk", "pack_sequences",
+    )
     if stages_sel is not None:
         stages_sel = [s.strip() for s in stages_sel]
         unknown = [s for s in stages_sel if s not in known]
@@ -245,6 +290,62 @@ def run_stress(
     )
     run("tile_pyramid", lambda: noop(build_pyramid(meta, max_z=8)))
     run("rasterize", lambda: noop(rasterize_tiles(meta, z=5, fmt="png")))
+
+    # -- curation/dedup tier (round-5 verdict item 6) -----------------------
+    # Sizes are the operators' own cost-model knobs, stated here so the
+    # table can't silently read as "24M everywhere" (no silent caps):
+    #  - semdedup's pair join is cluster-bounded ~n^1.5 BY DESIGN, so
+    #    the probe runs n/24 rows (1M at n=24M — still ~1000x anything
+    #    the k-means/pair paths had seen) with sqrt(n) centroids;
+    #  - pq_train + pq_encode are linear passes: full n;
+    #  - ivf_pq_topk is an every-row-is-a-query self-join (candidate
+    #    count n^2 * n_probe / n_centroids by its docstring): n/120
+    #    rows with explicit cells so candidates stay ~400/query;
+    #  - pack_sequences windows over shards: full n docs.
+    def _embeddings(rows: int):
+        return spark.read.parquet(ensure_embeddings(spark, rows, 16))
+
+    n_sem = max(n // 24, 10_000)
+    run(
+        "semdedup",
+        lambda: noop(
+            semdedup_pairs(
+                _embeddings(n_sem),
+                threshold_q=850_000,
+                n_centroids=max(2, int(n_sem**0.5)),
+                kmeans_iters=2,
+            )
+        ),
+    )
+    run(
+        "pq_train_encode",
+        lambda: noop(
+            pq_encode(
+                _embeddings(n),
+                books=pq_train(_embeddings(n), m=4, k=256, iters=2),
+            )
+        ),
+    )
+    n_ivf = max(n // 120, 10_000)
+    run(
+        "ivf_pq_topk",
+        lambda: noop(
+            ivf_pq_topk(
+                _embeddings(n_ivf), k=3, n_centroids=2000, n_probe=4
+            )
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(24)).alias("shard"),
+        (F.pmod(F.xxhash64("id"), F.lit(2000)) + 1).alias("n_tokens"),
+    )
+    run(
+        "pack_sequences",
+        lambda: noop(
+            pack_sequences(docs, F.col("n_tokens"), 2048, ["shard"], "doc_id")
+        ),
+    )
     knn_fp = None
     if fingerprint:
         # order-independent (n_rows, content hash), the SAME helper
