@@ -279,10 +279,9 @@ def ivf_pq_topk(
 
     assign = _ivf_assign_udf(cents, n_probe)
     enc = _encode_udf(books)
-    dist_table = _adc_table_udf(books)
 
-    # one Arrow pass computes cell assignment + codes + query table;
-    # eagerly checkpointed because both sides of the cell join read it
+    # one Arrow pass computes cell assignment + codes; eagerly
+    # checkpointed because both sides of the cell join read it
     # (checkpoint, not .persist(): cache entries pinned by .persist()
     # outlive the call and leak for the session's lifetime, while
     # checkpoint blocks are freed when the result DataFrame is GC'd)
@@ -291,27 +290,91 @@ def ivf_pq_topk(
             "vec_id",
             assign(F.col("embedding")).alias("a"),
             enc(F.col("embedding")).alias("codes"),
-            dist_table(F.col("embedding")).alias("tbl"),
+            "embedding",
         )
         .select(
             "vec_id",
             F.col("a.own_cell").alias("own_cell"),
             F.col("a.probe_cells").alias("probe_cells"),
             "codes",
-            "tbl",
+            "embedding",
         )
         .localCheckpoint(eager=True)
     )
+    # Shuffle shape (round 5 — the 24M stress run caught the old form
+    # spilling 17 GB at 200k rows): the query side ships the RAW
+    # dim-float embedding (~64 B), NOT the per-query (m x k') int64
+    # ADC table (~8 KB) the previous plan exploded into every
+    # candidate row; the corpus side collapses to ONE row per cell
+    # (collect_list of (dst, codes) — cells are ~sqrt(n) rows by
+    # ivf_params, so each list is small and bounded). The join output
+    # is one row per (query, probed cell) instead of per candidate
+    # pair, and the Arrow scorer below rebuilds the ADC table
+    # per-query (m*k'*dsub int multiplies — cheaper than shipping it)
+    # and emits only the per-cell top-k_pre survivors, so the final
+    # window ranks O(k * n_probe) rows per query, never the full
+    # candidate set. Same int64 arithmetic end to end -> results
+    # bit-identical to the pair-explosion form (covered by the
+    # parallelism-invariance and rerank-exactness tests).
     queries = assigned.select(
-        F.col("vec_id").alias("src"), F.explode("probe_cells").alias("cell"), "tbl"
+        F.col("vec_id").alias("src"),
+        F.explode("probe_cells").alias("cell"),
+        "embedding",
     )
-    corpus = assigned.select(
-        F.col("vec_id").alias("dst"), F.col("own_cell").alias("cell"), "codes"
+    corpus_cells = (
+        assigned.select(
+            F.col("vec_id").alias("dst"), F.col("own_cell").alias("cell"), "codes"
+        )
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("dst", "codes")).alias("cands"))
     )
-    pairs = (
-        queries.join(corpus, "cell")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", _adc_col().alias("adc_q"))
+    k_pre = 4 * k if rerank else k
+    books_s = q_round(books, EMB_QSCALE)
+    m_, _kk, dsub = books.shape
+    id_t = embeddings.schema["vec_id"].dataType.simpleString()
+
+    def score(batches):
+        empty = pd.DataFrame({"src": [], "dst": [], "adc_q": []})
+        for pdf in batches:
+            if pdf.empty:
+                yield empty
+                continue
+            srcs_o, dsts_o, adcs_o = [], [], []
+            for _cell, grp in pdf.groupby("cell", sort=False):
+                cands = grp["cands"].iloc[0]
+                dsts = np.array([c["dst"] for c in cands])
+                codes_mat = np.stack(
+                    [np.asarray(c["codes"], np.int64) for c in cands]
+                )
+                embs = q_round(np.stack(grp["embedding"].to_numpy()), EMB_QSCALE)
+                srcs = grp["src"].to_numpy()
+                scores = np.zeros((len(srcs), len(dsts)), np.int64)
+                for j in range(m_):
+                    tbl_j = embs[:, j * dsub : (j + 1) * dsub] @ books_s[j].T
+                    scores += tbl_j[:, codes_mat[:, j]]
+                selfp = srcs[:, None] == dsts[None, :]
+                for qi in range(len(srcs)):
+                    idx = np.flatnonzero(~selfp[qi])
+                    if idx.size == 0:
+                        continue
+                    order = np.lexsort((dsts[idx], -scores[qi][idx]))[:k_pre]
+                    sel = idx[order]
+                    srcs_o.append(np.repeat(srcs[qi], len(sel)))
+                    dsts_o.append(dsts[sel])
+                    adcs_o.append(scores[qi][sel])
+            if not srcs_o:
+                yield empty
+                continue
+            yield pd.DataFrame(
+                {
+                    "src": np.concatenate(srcs_o),
+                    "dst": np.concatenate(dsts_o),
+                    "adc_q": np.concatenate(adcs_o),
+                }
+            )
+
+    pairs = queries.join(corpus_cells, "cell").mapInPandas(
+        score, f"src {id_t}, dst {id_t}, adc_q long"
     )
     w = Window.partitionBy("src").orderBy(F.desc("adc_q"), F.col("dst"))
     if not rerank:
