@@ -1350,6 +1350,56 @@ def _own_grid(c, h, w, hmax, vmax) -> tuple[int, int]:
     return -(-ch // 8), -(-cw // 8)
 
 
+class _LutReader:
+    """Positional bit reader over one de-stuffed interval using the
+    walk decoder's 16-bit-window LUT scheme: `sym(lut)` decodes one
+    Huffman symbol with a single table lookup (vs the spec F.16
+    per-bit walk), `take(k)` reads k <= 16 magnitude/extension bits
+    from a 32-bit byte window. Used by the progressive scan decoders
+    — measured ~3x on real progressive streams, bit-identical (the
+    f3 fixture's full-pixel sha256 is pinned in test_jpeg)."""
+
+    __slots__ = ("b32", "p", "nbits")
+
+    def __init__(self, data: bytes):
+        ba = np.frombuffer(data + b"\x00\x00\x00\x00", np.uint8).astype(np.uint32)
+        self.b32 = (
+            (ba[:-3] << 24) | (ba[1:-2] << 16) | (ba[2:-1] << 8) | ba[3:]
+        ).tolist()
+        self.p = 0
+        self.nbits = 8 * len(data)
+
+    def sym(self, lut: list[int]) -> int:
+        p = self.p
+        if p >= self.nbits:
+            raise ValueError("truncated entropy stream")
+        e = lut[(self.b32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid huffman code")
+        self.p = p + (e & 31)
+        if self.p > self.nbits:  # code ran into padding: truncated
+            raise ValueError("truncated entropy stream")
+        return e >> 5
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        p = self.p
+        if p + k > self.nbits:
+            raise ValueError("truncated entropy stream")
+        self.p = p + k
+        return (self.b32[p >> 3] >> (32 - (p & 7) - k)) & ((1 << k) - 1)
+
+    def bit(self) -> int:
+        # standalone, not take(1): half the refinement stream is
+        # single correction bits and the nested call doubled their cost
+        p = self.p
+        if p >= self.nbits:
+            raise ValueError("truncated entropy stream")
+        self.p = p + 1
+        return (self.b32[p >> 3] >> (31 - (p & 7))) & 1
+
+
 def _decode_scan_prog(scan, intervals, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
     """One progressive scan into the persistent per-component
     coefficient state `prog` (cid -> {"zz": (nblocks, 64) int64 in
@@ -1361,7 +1411,7 @@ def _decode_scan_prog(scan, intervals, huff, ss, se, ah, al, prog, h, w, hmax, v
     arrives one image per Arrow row; the wave machine covers the
     baseline majority)."""
     assert len(intervals) == 1, "unexpected RSTn in a progressive scan"
-    reader = _BitReader(intervals[0])
+    reader = _LutReader(intervals[0])
     mcols_f = -(-w // (8 * hmax))
     mrows_f = -(-h // (8 * vmax))
     for c, _, _ in scan:
@@ -1388,6 +1438,7 @@ def _prog_dc(scan, reader, huff, ah, al, prog, mcols_f, mrows_f, h, w, hmax, vma
     raw bit per block adding bit << Al (exact because the encoder's
     point transform is a floor shift, so dropped low bits are
     non-negative)."""
+    luts = {td: _lut(huff[(0, td)]) for _, td, _ in scan}
     if len(scan) > 1:  # interleaved over the frame MCU grid
         preds = {c["id"]: 0 for c, _, _ in scan}
         for mi in range(mrows_f * mcols_f):
@@ -1399,7 +1450,7 @@ def _prog_dc(scan, reader, huff, ah, al, prog, mcols_f, mrows_f, h, w, hmax, vma
                     for dx in range(eh):
                         blk = (mr * ev + dy) * st["bw"] + mc * eh + dx
                         if ah == 0:
-                            s = _read_symbol(reader, huff[(0, td)])
+                            s = reader.sym(luts[td])
                             preds[c["id"]] += _extend(reader.take(s), s)
                             st["zz"][blk, 0] = preds[c["id"]] << al
                         elif reader.bit():
@@ -1413,7 +1464,7 @@ def _prog_dc(scan, reader, huff, ah, al, prog, mcols_f, mrows_f, h, w, hmax, vma
             r, cc = divmod(bi, bw_o)
             blk = r * st["bw"] + cc
             if ah == 0:
-                s = _read_symbol(reader, huff[(0, td)])
+                s = reader.sym(luts[td])
                 pred += _extend(reader.take(s), s)
                 st["zz"][blk, 0] = pred << al
             elif reader.bit():
@@ -1431,7 +1482,7 @@ def _prog_ac(entry, reader, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
     which this mirrors symbol for symbol."""
     c, _, ta = entry
     st = prog[c["id"]]
-    act = huff[(1, ta)]
+    act = _lut(huff[(1, ta)])
     bh_o, bw_o = _own_grid(c, h, w, hmax, vmax)
     zz, bw_pad = st["zz"], st["bw"]
     eobrun = 0
@@ -1444,7 +1495,7 @@ def _prog_ac(entry, reader, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
             coef = zz[r * bw_pad + cc]
             k = ss
             while k <= se:
-                rs = _read_symbol(reader, act)
+                rs = reader.sym(act)
                 rr, s = rs >> 4, rs & 15
                 if s == 0:
                     if rr < 15:
@@ -1463,11 +1514,15 @@ def _prog_ac(entry, reader, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
         m1 = -p1
         for bi in range(bh_o * bw_o):
             r, cc = divmod(bi, bw_o)
-            coef = zz[r * bw_pad + cc]
+            row = zz[r * bw_pad + cc]
+            # python-list view of the block for the per-coefficient
+            # walk: list indexing is ~5x numpy scalar indexing and this
+            # loop touches every band coefficient of every block
+            coef = row.tolist()
             k = ss
             if eobrun == 0:
                 while k <= se:
-                    rs = _read_symbol(reader, act)
+                    rs = reader.sym(act)
                     rr, s = rs >> 4, rs & 15
                     sval = 0
                     if s == 0:
@@ -1481,9 +1536,10 @@ def _prog_ac(entry, reader, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
                         assert s == 1, "AC refinement size must be 1"
                         sval = p1 if reader.bit() else m1
                     while k <= se:
-                        if coef[k]:
-                            if reader.bit() and not (coef[k] & p1):
-                                coef[k] += p1 if coef[k] >= 0 else m1
+                        c_k = coef[k]
+                        if c_k:
+                            if reader.bit() and not (c_k & p1):
+                                coef[k] = c_k + (p1 if c_k >= 0 else m1)
                         else:
                             if rr == 0:
                                 break
@@ -1494,11 +1550,13 @@ def _prog_ac(entry, reader, huff, ss, se, ah, al, prog, h, w, hmax, vmax):
                     k += 1
             if eobrun:
                 while k <= se:  # correction bits through the band's rest
-                    if coef[k]:
-                        if reader.bit() and not (coef[k] & p1):
-                            coef[k] += p1 if coef[k] >= 0 else m1
+                    c_k = coef[k]
+                    if c_k:
+                        if reader.bit() and not (c_k & p1):
+                            coef[k] = c_k + (p1 if c_k >= 0 else m1)
                     k += 1
                 eobrun -= 1
+            row[ss : se + 1] = coef[ss : se + 1]
 
 
 def _decode_scan_loop(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):

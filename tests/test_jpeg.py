@@ -458,6 +458,13 @@ def test_progressive_real_world_fixture_decodes():
     data = open("tests/fixtures/f3_progressive.jpg", "rb").read()
     px = decode_jpeg(data)
     assert px.shape == (477, 720, 3)
+    # full-pixel regression pin: locks every later decoder optimization
+    # (LUT reader, list walks) to bit-identical output on a real stream
+    import hashlib
+
+    assert hashlib.sha256(px.tobytes()).hexdigest() == (
+        "12889f7e9ddd1821e04d2b027964eb994534b5cbf9b354db0581fed18f11ed73"
+    )
     # a real photo: non-degenerate dynamic range and detail
     assert px.std() > 20
     assert 40 < px.mean() < 220
