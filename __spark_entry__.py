@@ -1665,7 +1665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .otherwise(F.col("bytes")),
             )
             .withColumn(
-                "fmt", F.when(idn == 2, F.lit("tiff")).otherwise(F.col("fmt"))
+                # webp: unregistered (tiff joined the codec registry in round 5)
+                "fmt", F.when(idn == 2, F.lit("webp")).otherwise(F.col("fmt"))
             )
             .withColumn(
                 "w", F.when(idn == 5, F.col("w") + 1).otherwise(F.col("w"))

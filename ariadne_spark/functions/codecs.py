@@ -19,7 +19,9 @@ image libraries (no PIL), so the engine ships:
   entropy stage is a per-coefficient loop ~100x slower per image;
 - a real 24-bit BMP codec (uncompressed BI_RGB) — lossless, standard;
 - a real GIF87a/89a codec (functions/gif.py: variable-width LZW,
-  interlace, local/global palettes) — first frame, <=256-color encode.
+  interlace, local/global palettes) — first frame, <=256-color encode;
+- a real TIFF 6.0 codec (functions/tiff.py: II/MM byte orders,
+  multi-strip RGB8, PackBits + early-change LZW + predictor 2).
 
 Formats dispatch through the CODECS registry keyed by `fmt` (the
 per-language handler-registry convention of the reference,
@@ -148,6 +150,18 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+def _encode_tiff(px: np.ndarray) -> bytes:
+    from .tiff import encode_tiff
+
+    return encode_tiff(px, compression="lzw")
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    from .tiff import decode_tiff
+
+    return decode_tiff(data)
+
+
 def _encode_gif(px: np.ndarray) -> bytes:
     from .gif import encode_gif
 
@@ -166,6 +180,7 @@ CODECS: dict[str, tuple] = {
     "fjpg": (encode_fjpg, decode_fjpg),
     "bmp": (encode_bmp, decode_bmp),
     "gif": (_encode_gif, _decode_gif),
+    "tiff": (_encode_tiff, _decode_tiff),
 }
 
 

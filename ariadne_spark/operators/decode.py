@@ -197,11 +197,13 @@ def quarantine_scan(images: DataFrame) -> DataFrame:
     from ..functions.codecs import CODECS, FJPG_MAGIC, PNG_SIG
 
     magics = {
-        "png": PNG_SIG,
-        "fjpg": FJPG_MAGIC,
-        "bmp": b"BM",
-        "jpeg": b"\xff\xd8",
-        "gif": b"GIF8",
+        "png": (PNG_SIG,),
+        "fjpg": (FJPG_MAGIC,),
+        "bmp": (b"BM",),
+        "jpeg": (b"\xff\xd8",),
+        "gif": (b"GIF8",),
+        # TIFF has two conforming signatures (little/big endian)
+        "tiff": (b"II*\x00", b"MM\x00*"),
     }
 
     def scan(iterator):
@@ -214,8 +216,10 @@ def quarantine_scan(images: DataFrame) -> DataFrame:
                 if fmt not in CODECS:
                     kinds.append("unknown_fmt")
                     continue
-                magic = magics.get(fmt)
-                if magic is not None and bytes(blob[: len(magic)]) != magic:
+                sigs = magics.get(fmt)
+                if sigs is not None and not any(
+                    bytes(blob[: len(m)]) == m for m in sigs
+                ):
                     kinds.append("bad_magic")
                     continue
                 try:

@@ -350,7 +350,9 @@ def _planted_corrupt_df(spark, images_df, n=60):
         if cls == 1:
             blob, kind = blob[:16], "decode_error"
         elif cls == 2:
-            fmt, kind = "tiff", "unknown_fmt"
+            # webp: genuinely unregistered (tiff joined the registry
+            # in round 5, so a tiff-labeled png is now bad_magic)
+            fmt, kind = "webp", "unknown_fmt"
         elif cls == 3:
             blob, kind = b"XX" + blob[2:], "bad_magic"
         elif cls == 4:
