@@ -7,16 +7,18 @@ image libraries (no PIL), so the engine ships:
 
 - a real, minimal PNG codec (RGB8, filter 0, zlib) — fully lossless and
   deterministic; readable by any standard PNG tool;
-- a REAL baseline JPEG/JFIF codec under the 'jpeg' tag (functions/
-  jpeg.py: Annex-K DCT + Huffman, 4:2:0 and 4:4:4) — standards-
-  conforming interchange format; swap for a native libjpeg binding via
-  `register_codec` when throughput matters;
+- a REAL JPEG/JFIF codec under the 'jpeg' tag (functions/jpeg.py:
+  Annex-K DCT + Huffman, 4:2:0/4:4:4, baseline AND progressive SOF2,
+  wave-vectorized entropy decode over restart intervals) — standards-
+  conforming interchange format; a native libjpeg binding via
+  `register_codec` remains the swap point for restart-free foreign
+  corpora at scan speed;
 - a clearly-marked DETERMINISTIC FAKE lossy codec under the 'fjpg' tag:
   4x uniform quantization + zlib. It is NOT a real JPEG — it is the
   bench stand-in whose O(n) numpy decode keeps the 2M-image synthetic
   corpus decodable at bench speed with a known error bound (center-
-  quantized, max |err| 2 -> PSNR ≈ 46 dB > 40 dB gate); the real
-  entropy stage is a per-coefficient loop ~100x slower per image;
+  quantized, max |err| 2 -> PSNR ≈ 46 dB > 40 dB gate) and keeps
+  round-over-round decode throughput comparable;
 - a real 24-bit BMP codec (uncompressed BI_RGB) — lossless, standard;
 - a real GIF87a/89a codec (functions/gif.py: variable-width LZW,
   interlace, local/global palettes) — first frame, <=256-color encode;

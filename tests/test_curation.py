@@ -233,7 +233,8 @@ def test_curate_images_funnel(spark, images_df):
         return spark.createDataFrame([tuple(row[c] for c in cols)], base.schema)
 
     adversarial = (
-        variant("zz_badfmt", fmt="tiff")
+        # webp: unregistered (tiff joined the codec registry in round 5)
+        variant("zz_badfmt", fmt="webp")
         .unionByName(variant("zz_nullbytes", bytes=None))
         .unionByName(variant("zz_tiny", w=2, h=2))
         .unionByName(variant("zz_wide", w=400, h=20))  # 8000 px, 20:1 aspect
@@ -245,7 +246,7 @@ def test_curate_images_funnel(spark, images_df):
         .unionByName(variant("zz_nullfmt", fmt=None))
         .unionByName(variant("zz_nullw", w=None))
         # precedence: bad fmt AND tiny -> bad_format wins
-        .unionByName(variant("zz_both", fmt="tiff", w=1, h=1))
+        .unionByName(variant("zz_both", fmt="webp", w=1, h=1))
     )
     inp = base.unionByName(adversarial)
 
