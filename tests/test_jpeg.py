@@ -354,8 +354,12 @@ def _parity_streams():
         encode_jpeg(noise, 97, "444"),
         encode_jpeg(flat, 100, "444"),
         encode_jpeg(grad, 30, "420"),
-        encode_jpeg(big, 75, "420", restart_mcus=3),   # 20 MCUs, 3 ∤ 20
+        encode_jpeg(big, 75, "420", restart_mcus=3),   # 20 MCUs, 3 ∤ 20 (walk)
         encode_jpeg(big, 95, "444", restart_mcus=1),   # every MCU an interval
+        # 48x176/420 = 33 MCUs, restart 2 -> 17 intervals, the LAST
+        # holding a single MCU: the wave path's short-final-lane case
+        encode_jpeg(rng.integers(0, 256, size=(48, 176, 3), dtype=np.uint8),
+                    85, "420", restart_mcus=2),
         _encode_noninterleaved(noise[:32, :48], 90, "420"),
         _encode_noninterleaved(noise[:20, :12], 97, "444"),
         _golden_flat_gray(),
