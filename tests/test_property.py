@@ -248,3 +248,71 @@ def test_strip_dup_spans_sql_matches_python_for_all_corpora(doc_words, n):
         for r in con.execute(strip_dup_spans_sql(n=n)).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-5 codecs: the compression layers must roundtrip ALL inputs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(0, 8000), runlen=st.integers(1, 200),
+       seed=st.integers(0, 2**32 - 1))
+def test_packbits_roundtrip_all_inputs(n, runlen, seed):
+    from ariadne_spark.functions.tiff import _packbits_decode, _packbits_encode
+
+    rng = np.random.default_rng(seed)
+    # mix literals with runs of hypothesis-chosen length (the 128-byte
+    # literal/replicate boundaries are the bug surface)
+    data = bytes(
+        np.repeat(rng.integers(0, 256, max(n // max(runlen, 1), 1)),
+                  runlen)[:n].astype(np.uint8)
+    )
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 20000), alphabet=st.integers(1, 256),
+       seed=st.integers(0, 2**32 - 1))
+def test_tiff_lzw_roundtrip_all_inputs(n, alphabet, seed):
+    from ariadne_spark.functions.tiff import _tlzw_decode, _tlzw_encode
+
+    rng = np.random.default_rng(seed)
+    data = bytes(rng.integers(0, alphabet, n, dtype=np.uint8))
+    assert _tlzw_decode(_tlzw_encode(data), n) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 20000), ncodes=st.integers(1, 256),
+       mcs=st.integers(2, 8), seed=st.integers(0, 2**32 - 1))
+def test_gif_lzw_roundtrip_all_inputs(n, ncodes, mcs, seed):
+    from ariadne_spark.functions.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(seed)
+    ncodes = min(ncodes, 1 << mcs)  # symbols must fit the code space
+    data = rng.integers(0, ncodes, n).astype(np.int64)
+    out = _lzw_decode(_lzw_encode(data, mcs), mcs, n)
+    np.testing.assert_array_equal(out, data.astype(np.uint8))
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=dims, h=dims, ncol=st.integers(1, 256), seed=st.integers(0, 2**32 - 1))
+def test_gif_container_roundtrip_all_palettes(w, h, ncol, seed):
+    from ariadne_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+    px = pal[rng.integers(0, ncol, (h, w))]
+    np.testing.assert_array_equal(decode_gif(encode_gif(px)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1),
+       compression=st.sampled_from(["none", "packbits", "lzw"]))
+def test_tiff_container_roundtrip_all_inputs(w, h, seed, compression):
+    from ariadne_spark.functions.tiff import decode_tiff, encode_tiff
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(px, compression)), px
+    )
