@@ -40,6 +40,12 @@ from ariadne_spark.operators.ann import (
 from ariadne_spark.operators.dedup import dup_clusters
 
 
+# blocked pair scoring: transient dot-matrix elements per block and
+# the row floor (module-level so tests can force multi-block runs)
+_PAIR_BLOCK_ELEMS = 1 << 25
+_PAIR_BLOCK_MIN_ROWS = 256
+
+
 def semdedup_pairs(
     embeddings: DataFrame,
     threshold_q: int,
@@ -76,14 +82,35 @@ def semdedup_pairs(
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)  # id-sorted so a < b orientation is by value
         ids, mat_q = ids[order], mat_q[order]
-        dots = mat_q @ mat_q.T  # exact int64
-        ii, jj = np.triu_indices(len(ids), k=1)
-        m = dots[ii, jj] >= threshold_q
+        n = len(ids)
+        # BLOCKED scoring: a full n x n dot matrix is 8*n^2 bytes —
+        # k-means on real data yields occasional giant clusters, and a
+        # 60k-row cluster would hold a 28 GB matrix in one worker (the
+        # 24M stress run's RSS peak; 100k rows would OOM it outright).
+        # Row blocks cap the transient at ~256 MB regardless of
+        # cluster size; thresholding happens per block so survivors,
+        # not scores, accumulate. Same int64 products, same pairs.
+        blk = max(_PAIR_BLOCK_MIN_ROWS, _PAIR_BLOCK_ELEMS // max(n, 1))
+        outs = []
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            dots = mat_q[i0:i1] @ mat_q.T  # exact int64, (i1-i0, n)
+            bi, bj = np.nonzero(dots >= threshold_q)
+            gi = bi + i0
+            keep = bj > gi  # upper triangle: a < b by sorted position
+            if keep.any():
+                outs.append(
+                    (ids[gi[keep]], ids[bj[keep]], dots[bi[keep], bj[keep]])
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"a": [], "b": [], "dot_q": []}
+            ).astype({"a": "int64", "b": "int64", "dot_q": "int64"})
         return pd.DataFrame(
             {
-                "a": ids[ii[m]].astype(np.int64),
-                "b": ids[jj[m]].astype(np.int64),
-                "dot_q": dots[ii, jj][m].astype(np.int64),
+                "a": np.concatenate([o[0] for o in outs]).astype(np.int64),
+                "b": np.concatenate([o[1] for o in outs]).astype(np.int64),
+                "dot_q": np.concatenate([o[2] for o in outs]).astype(np.int64),
             }
         )
 

@@ -114,3 +114,34 @@ def test_custom_column_names(spark, emb):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_blocked_pair_scoring_equals_single_block(spark, monkeypatch):
+    """The memory-capped blocked scorer must return the identical pair
+    set as one full-matrix pass — forced multi-block via tiny block
+    knobs (the giant-cluster path the 24M stress identified as the
+    RSS hazard)."""
+    import numpy as np
+    import pandas as pd
+
+    from ariadne_spark.operators import semdedup as S
+
+    rng = np.random.default_rng(9)
+    n = 150
+    pdf = pd.DataFrame({
+        "vec_id": rng.permutation(1000)[:n].astype(np.int64),
+        "embedding": [rng.normal(0, 0.3, 8).tolist() for _ in range(n)],
+    })
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+
+    def pairs():
+        # single cluster: one centroid so every row lands together
+        out = S.semdedup_pairs(df, threshold_q=200_000, n_centroids=2,
+                               kmeans_iters=0)
+        return {(r["a"], r["b"], r["dot_q"]) for r in out.collect()}
+
+    base = pairs()
+    assert base, "fixture should produce some near pairs"
+    monkeypatch.setattr(S, "_PAIR_BLOCK_ELEMS", 64)
+    monkeypatch.setattr(S, "_PAIR_BLOCK_MIN_ROWS", 16)
+    assert pairs() == base
