@@ -502,3 +502,80 @@ def test_progressive_passes_quarantine(spark):
     assert got["prog_ok"] == (True, None)
     assert got["prog_wild"] == (True, None)
     assert got["prog_cut"][0] is False  # truncated still quarantines
+
+
+def test_progressive_grayscale_single_component_scans():
+    """1-component progressive stream: DC scans traverse the
+    component's OWN grid (the non-interleaved `_prog_dc` branch my
+    3-component encoder never emits). Built from the module's own
+    primitives; oracle = the baseline non-interleaved decode of the
+    same quantized plane."""
+    from ariadne_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(33)
+    h, w = 24, 40  # non-multiple-of-16: padded grid == own grid (8s)
+    plane = rng.integers(0, 256, (h, w), np.uint8)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    qly, _ = J.quality_tables(90)
+    z = J._quant_blocks(padded, qly)  # zigzag rows, raster block order
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    hdr = bytearray(b"\xff\xd8")
+    hdr += seg(0xFFDB, bytes([0x00]) + bytes(qly.reshape(64)[J.ZIG].astype(np.uint8)))
+    hdr += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    hdr += seg(0xFFC4, bytes([0x00] + J.DC_LUMA_BITS + J.DC_LUMA_VALS))
+    hdr += seg(0xFFC4, bytes([0x10] + J.PROG_AC_BITS + J.PROG_AC_VALS))
+
+    def sos(ss, se, ah, al):
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = bytearray(hdr)
+    # DC first, single component (own-grid traversal), Al=1
+    out += sos(0, 0, 0, 1)
+    wtr = J._BitWriter()
+    pred = 0
+    for blk in z:
+        v = int(blk[0]) >> 1
+        diff, pred = v - pred, v
+        s = J._csize(diff)
+        code, ln = J.ENC_DC[0][s]
+        wtr.put(code, ln)
+        if s:
+            wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.buf
+    # AC first + refine over the full band
+    for enc, ah, al in ((J._enc_ac_first, 0, 1), (J._enc_ac_refine, 1, 0)):
+        out += sos(1, 63, ah, al)
+        wtr = J._BitWriter()
+        enc(wtr, list(z), 1, 63, al)
+        wtr.flush()
+        out += wtr.buf
+    # DC refine, single component
+    out += sos(0, 0, 1, 0)
+    wtr = J._BitWriter()
+    for blk in z:
+        wtr.put(int(blk[0]) & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    # oracle: baseline single-component stream over the same coefficients
+    base = bytearray(b"\xff\xd8")
+    base += seg(0xFFDB, bytes([0x00]) + bytes(qly.reshape(64)[J.ZIG].astype(np.uint8)))
+    base += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    base += seg(0xFFC4, bytes([0x00] + J.DC_LUMA_BITS + J.DC_LUMA_VALS))
+    base += seg(0xFFC4, bytes([0x10] + J.AC_LUMA_BITS + J.AC_LUMA_VALS))
+    base += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    wtr = J._BitWriter()
+    pred = 0
+    for blk in z:
+        pred = J._encode_block(wtr, blk, pred, J.ENC_DC[0], J.ENC_AC[0])
+    wtr.flush()
+    base += wtr.buf + b"\xff\xd9"
+    want = decode_jpeg(bytes(base))
+    np.testing.assert_array_equal(got, want)
