@@ -972,8 +972,16 @@ def _extend_vec(bits: np.ndarray, size: np.ndarray) -> np.ndarray:
     return np.where(size == 0, 0, np.where(bits >= half, bits, bits - full + 1))
 
 
-# Below this many restart intervals the wave decoder's per-wave numpy
-# overhead beats its vectorization win; the walk decoder takes over.
+# Wave-decoder dispatch thresholds, set by A/B measurement (BENCH.md
+# round-5 follow-up): the wave machine's wall is ~(waves x fixed
+# per-wave numpy overhead) where waves = max symbols per interval —
+# i.e. proportional to MCUs PER INTERVAL, not interval count — while
+# the LUT walk is ~flat per stream. Measured crossover on a 3072-MCU
+# image: waves win below ~20-24 MCUs/interval and lose badly above
+# (16 intervals of 192 MCUs: 1446 ms waves vs 302 ms walk). So the
+# wave path requires SHORT intervals (restart <= 16 MCUs) and enough
+# lanes to amortize each wave (>= 16 intervals).
+_WAVE_MAX_MCUS_PER_INTERVAL = 16
 _WAVE_MIN_INTERVALS = 16
 
 
@@ -1005,7 +1013,11 @@ def _decode_scan(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g):
     n_mcus = mrows * mcols
     step = restart if restart else n_mcus
     n_int = -(-n_mcus // step)
-    impl = _decode_scan_waves if n_int >= _WAVE_MIN_INTERVALS else _decode_scan_walk
+    impl = (
+        _decode_scan_waves
+        if n_int >= _WAVE_MIN_INTERVALS and step <= _WAVE_MAX_MCUS_PER_INTERVAL
+        else _decode_scan_walk
+    )
     return impl(scan, intervals, qtables, huff, h, w, restart, hmax_g, vmax_g)
 
 
